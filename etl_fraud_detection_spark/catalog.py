@@ -1,0 +1,67 @@
+"""Test-table catalog: load the driver's parquet tables uniformly.
+
+The driver generates TPC-H-ish parquet at /root/testdata/sf*/ (TESTDATA.md).
+One wrinkle: ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which
+Spark only reads via ``spark.sql.legacy.parquet.nanosAsLong=true`` (as a
+bigint of nanoseconds). DuckDB (the correctness oracle) truncates nanos to
+microseconds, so we convert ``ns div 1000 -> timestamp`` to match exactly.
+
+All timestamp columns are normalized to TIMESTAMP_NTZ so query semantics
+are independent of the session timezone (the driver's session may not be
+UTC). Loading is a metadata-only operation — the conversions below are
+projections Catalyst fuses into the scan; nothing is materialized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from .session import tune
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Columns stored as TIMESTAMP(NANOS) in parquet (read as long ns).
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table with normalized timestamp columns."""
+    tune(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _NANOS_TS_COLS.get(name, ()):
+        if isinstance(df.schema[c].dataType, T.LongType):
+            # nanos -> micros, truncating exactly like DuckDB does.
+            df = df.withColumn(
+                c, F.expr(f"cast(timestamp_micros({c} div 1000) as timestamp_ntz)")
+            )
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampType):
+            # LTZ -> NTZ keeps the stored wall-clock under any session tz.
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp_ntz"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
+    """Register all tables as temp views (for spark.sql-based plans)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name + suffix)

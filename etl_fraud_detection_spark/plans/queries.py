@@ -1,0 +1,605 @@
+"""Driver-contract query catalog: one named query per operator of
+SURVEY.md §2, each paired with a DuckDB-oracle ANSI-SQL twin.
+
+Registry pattern: ``@query("name", oracle=SQL)`` adds a QuerySpec to
+``QUERIES``; ``__spark_entry__`` exposes it to the driver. Every
+computed column is aliased identically in the Spark plan and the oracle
+(the driver sorts columns by name before value-hashing).
+
+Oracle-parity ground rules (derived empirically, see tools/check_oracle.py):
+- timestamps: TIMESTAMP_NTZ on the Spark side (catalog.load_table), plain
+  TIMESTAMP in DuckDB — identical micros wall-clock.
+- double outputs are either passthrough column values (bit-identical in
+  both engines) or produced by exact integer/decimal arithmetic then cast;
+  never by float aggregation (sum order differs between engines).
+- aggregate sums over doubles go through DECIMAL(18,2) so both engines
+  compute the exact same decimal and cast to double deterministically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..catalog import load_table
+from ..plans import fraud
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# S-scans + P1/P2 projections + F3/F4 casts (SURVEY §2.1, §2.2, §2.8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scan_project",
+    oracle="""
+    SELECT l_orderkey AS orderkey,
+           l_linenumber AS linenumber,
+           CAST(l_shipdate AS DATE) AS ship_date,
+           l_returnflag AS returnflag,
+           l_extendedprice AS price
+    FROM lineitem
+    """,
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 projection with aliases + F3 CAST(ts AS DATE)
+    (reference etl.py:53-63; trsh_rep_fraud_sync.sql:8)."""
+    return _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_extendedprice").alias("price"),
+    )
+
+
+@query(
+    "q_filter_pred",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           o_orderstatus AS status,
+           o_totalprice AS totalprice,
+           o_orderdate AS orderdate
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                          AND TIMESTAMP '1997-12-31 23:59:59'
+      AND o_orderstatus IN ('O', 'P')
+      AND (o_totalprice > 250000.0 OR o_orderpriority = '1-URGENT')
+      AND NOT (o_orderpriority = '5-LOW')
+      AND COALESCE(o_orderstatus, 'X') <> 'F'
+    """,
+)
+def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 comparisons, P4 BETWEEN, P5 IN-list, P6 AND/OR/NOT, P7 COALESCE
+    (reference trsh_rep_fraud_sync.sql:12-21,112,122; etl.py:194)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.where(
+        F.col("o_orderdate").between("1996-01-01 00:00:00", "1997-12-31 23:59:59")
+        & F.col("o_orderstatus").isin("O", "P")
+        & ((F.col("o_totalprice") > 250000.0) | (F.col("o_orderpriority") == "1-URGENT"))
+        & ~(F.col("o_orderpriority") == "5-LOW")
+        & (F.coalesce(F.col("o_orderstatus"), F.lit("X")) != "F")
+    ).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_orderdate").alias("orderdate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J-joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_equi_chain",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           l.l_linenumber AS linenumber,
+           c.c_name AS cust_name,
+           n.n_name AS nation_name,
+           r.r_name AS region_name
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def q_join_equi_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 equi-part: the reference's fact→dim 3-4-way join chain
+    (trsh_rep_fraud_sync.sql:10-16). Small dims are broadcast — at 100 TB
+    the fact side never shuffles for these joins."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        l.join(o.where(F.col("o_orderstatus") == "F"), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            l.l_orderkey.alias("orderkey"),
+            l.l_linenumber.alias("linenumber"),
+            c.c_name.alias("cust_name"),
+            n.n_name.alias("nation_name"),
+            r.r_name.alias("region_name"),
+        )
+    )
+
+
+@query(
+    "q_join_temporal",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey,
+           l.l_linenumber AS linenumber,
+           o.o_orderdate AS orderdate,
+           l.l_shipdate AS shipdate
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate BETWEEN o.o_orderdate
+                          AND o.o_orderdate + INTERVAL 30 DAY
+    """,
+)
+def q_join_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 temporal/point-in-time join: equi key + BETWEEN range — the
+    reference's signature fact→SCD2-dim join shape
+    (trsh_rep_fraud_sync.sql:12-16). Catalyst hash-joins the equi
+    conjunct and applies the range as a residual filter."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return o.join(
+        l,
+        (l.l_orderkey == o.o_orderkey)
+        & l.l_shipdate.between(o.o_orderdate, o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+    ).select(
+        o.o_orderkey.alias("orderkey"),
+        l.l_linenumber.alias("linenumber"),
+        o.o_orderdate.alias("orderdate"),
+        l.l_shipdate.alias("shipdate"),
+    )
+
+
+@query(
+    "q_join_theta",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey,
+           l.l_linenumber AS linenumber,
+           l.l_extendedprice AS price,
+           o.o_totalprice AS totalprice
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_extendedprice > o.o_totalprice * 0.5
+    """,
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 theta conjunct inside a hash join (reference sql:39 —
+    ``tr.trans_date > ac.valid_to`` inside the ON)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return o.join(
+        l,
+        (l.l_orderkey == o.o_orderkey) & (l.l_extendedprice > o.o_totalprice * 0.5),
+    ).select(
+        o.o_orderkey.alias("orderkey"),
+        l.l_linenumber.alias("linenumber"),
+        l.l_extendedprice.alias("price"),
+        o.o_totalprice.alias("totalprice"),
+    )
+
+
+@query(
+    "q_semi_join",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS cust_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_totalprice > c.c_acctbal * 50.0
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    )
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 semi join: correlated EXISTS with a cross-table theta conjunct,
+    the rule-1 blacklist idiom ``trans_date > entry_dt``
+    (reference sql:18-21)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o,
+        (o.o_custkey == c.c_custkey)
+        & (o.o_totalprice > c.c_acctbal * 50.0)
+        & (o.o_orderdate >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")),
+        "left_semi",
+    ).select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("cust_name"))
+
+
+@query(
+    "q_anti_join",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS cust_name
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT'
+          AND o.o_totalprice > 150000.0
+    )
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/J5 anti join — the reference's insert-only-new-keys and
+    delete-detection idiom (etl.py:383-386, 311-314)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000.0)
+    )
+    return c.join(o, o.o_custkey == c.c_custkey, "left_anti").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("cust_name")
+    )
+
+
+@query(
+    "q_current_version",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey, o_orderdate AS orderdate
+    FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               MAX(o_orderdate) OVER (PARTITION BY o_custkey) AS max_dt
+        FROM orders
+    )
+    WHERE o_orderdate = max_dt
+    """,
+)
+def q_current_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/A2 current-version-per-key: correlated MAX subquery as a window
+    (reference etl.py:322-325 ``effective_to = (SELECT MAX ...)``)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("max_dt", F.max("o_orderdate").over(w))
+        .where(F.col("o_orderdate") == F.col("max_dt"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# U-set ops (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_union_all",
+    oracle="""
+    SELECT o_orderkey AS orderkey, 1 AS event_type, o_totalprice AS metric
+    FROM orders WHERE o_totalprice > 450000.0
+    UNION ALL
+    SELECT o_orderkey AS orderkey, 2 AS event_type, o_totalprice AS metric
+    FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'P'
+    """,
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 UNION ALL of branch projections — the 4-rule report concat
+    (reference trsh_rep_fraud_sync.sql:25,45,81)."""
+    o = _t(spark, sf_dir, "orders")
+    b1 = o.where(F.col("o_totalprice") > 450000.0).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.lit(1).alias("event_type"),
+        F.col("o_totalprice").alias("metric"),
+    )
+    b2 = o.where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "P")
+    ).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.lit(2).alias("event_type"),
+        F.col("o_totalprice").alias("metric"),
+    )
+    return b1.unionByName(b2)
+
+
+@query(
+    "q_nullsafe_diff",
+    oracle="""
+    WITH dwh AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS acctbal,
+               c_mktsegment AS mktsegment
+        FROM customer
+    ),
+    stg AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END AS acctbal,
+               CASE WHEN c_custkey % 11 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS mktsegment
+        FROM customer
+    )
+    SELECT s.c_custkey AS custkey,
+           d.acctbal AS dwh_acctbal, s.acctbal AS stg_acctbal,
+           d.mktsegment AS dwh_mktsegment, s.mktsegment AS stg_mktsegment
+    FROM stg s JOIN dwh d ON s.c_custkey = d.c_custkey
+    WHERE NOT (s.acctbal IS NOT DISTINCT FROM d.acctbal
+               AND s.mktsegment IS NOT DISTINCT FROM d.mktsegment)
+    """,
+)
+def q_nullsafe_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 NULL-safe change detection — the reference's
+    ``NOT EXISTS (dwh INTERSECT stg)`` comparator (etl.py:350-352), the
+    subtlest semantic in the SCD engine: NULL vs NULL is 'unchanged',
+    NULL vs value IS a change. Spark's ``<=>`` (eqNullSafe)."""
+    c = _t(spark, sf_dir, "customer")
+    dwh = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(F.col("c_acctbal")).alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    stg = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None)).otherwise(F.col("c_acctbal")).alias("acctbal"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit("CHANGED")).otherwise(F.col("c_mktsegment")).alias("mktsegment"),
+    )
+    changed = ~(
+        stg["acctbal"].eqNullSafe(dwh["acctbal"])
+        & stg["mktsegment"].eqNullSafe(dwh["mktsegment"])
+    )
+    return (
+        stg.alias("s")
+        .join(dwh.alias("d"), stg["c_custkey"] == dwh["c_custkey"])
+        .where(changed)
+        .select(
+            stg["c_custkey"].alias("custkey"),
+            dwh["acctbal"].alias("dwh_acctbal"),
+            stg["acctbal"].alias("stg_acctbal"),
+            dwh["mktsegment"].alias("dwh_mktsegment"),
+            stg["mktsegment"].alias("stg_mktsegment"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A-aggregates (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scalar_subquery_wm",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type
+    FROM events
+    WHERE ts > (SELECT MAX(ts) FROM events
+                WHERE event_type = 'signup' AND user_id % 10 = 0)
+    """,
+)
+def q_scalar_subquery_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 scalar-subquery watermark: rows newer than MAX(ts) of a
+    sub-snapshot (reference sql:22-24 report watermark; etl.py:100-104)."""
+    e = _t(spark, sf_dir, "events")
+    e.createOrReplaceTempView("events_wm_src")
+    return spark.sql(
+        """
+        SELECT event_id, user_id, ts, event_type
+        FROM events_wm_src
+        WHERE ts > (SELECT MAX(ts) FROM events_wm_src
+                    WHERE event_type = 'signup' AND user_id % 10 = 0)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# W-windows (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_window_lag",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           LAG(value) OVER w AS prv_value,
+           LAG(ts) OVER w AS prv_ts,
+           LAG(event_type) OVER w AS prv_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 LAG per key ordered by event time (reference sql:63-64,110).
+    All three LAGs share one window spec → one shuffle, one sort."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prv_value"),
+        F.lag("ts").over(w).alias("prv_ts"),
+        F.lag("event_type").over(w).alias("prv_type"),
+    )
+
+
+@query(
+    "q_window_frames",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           MIN(CASE WHEN value < prv_value THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS reducion,
+           MIN(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS min_ts,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS oper
+    FROM (
+        SELECT event_id, user_id, ts, value, event_type,
+               LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prv_value
+        FROM events
+    )
+    """,
+)
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/W4/W5 + A3 + F7: MIN/SUM(CASE) over small ROWS frames — the
+    rule-4 machinery (reference sql:95,111-112). Identical partition+order
+    on every frame keeps it to a single Window exec per layer."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    inner = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "event_type",
+        F.lag("value").over(w).alias("prv_value"),
+    )
+    return inner.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.min(F.when(F.col("value") < F.col("prv_value"), 1).otherwise(0))
+        .over(w.rowsBetween(-2, 0))
+        .alias("reducion"),
+        F.min("ts").over(w.rowsBetween(-3, -1)).alias("min_ts"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .over(w.rowsBetween(-3, -1))
+        .alias("oper"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F-scalar functions (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scalar_funcs",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           CONCAT_WS(' ', o_orderstatus,
+                     CASE WHEN o_orderpriority = '5-LOW' THEN NULL
+                          ELSE o_orderpriority END,
+                     CAST(o_orderkey % 3 AS VARCHAR)) AS fio,
+           COALESCE(CASE WHEN o_orderstatus = 'P' THEN NULL
+                         ELSE o_orderstatus END, 'PENDING') AS status_c,
+           CAST(o_orderdate AS DATE) AS report_dt,
+           o_orderdate - INTERVAL 1 SECOND AS closed_at,
+           o_orderdate + INTERVAL 1 HOUR AS plus_hour,
+           o_orderdate + INTERVAL 20 MINUTE AS plus_20min,
+           CASE WHEN o_totalprice > 300000.0 THEN 'BIG' ELSE 'SMALL' END AS size_tag
+    FROM orders
+    """,
+)
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F7: CONCAT_WS NULL-skipping (reference sql:5), COALESCE, CAST
+    to date (sql:8), the engine's three interval arithmetics — 1 SECOND
+    version close (etl.py:341), 1 HOUR rule 3 (sql:77), 20 MINUTE rule 4
+    (sql:125) — and CASE WHEN (sql:95)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.concat_ws(
+            " ",
+            F.col("o_orderstatus"),
+            F.when(F.col("o_orderpriority") == "5-LOW", F.lit(None)).otherwise(
+                F.col("o_orderpriority")
+            ),
+            (F.col("o_orderkey") % 3).cast("string"),
+        ).alias("fio"),
+        F.coalesce(
+            F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(
+                F.col("o_orderstatus")
+            ),
+            F.lit("PENDING"),
+        ).alias("status_c"),
+        F.col("o_orderdate").cast("date").alias("report_dt"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 1 SECOND")).alias("closed_at"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 HOUR")).alias("plus_hour"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 20 MINUTES")).alias("plus_20min"),
+        F.when(F.col("o_totalprice") > 300000.0, "BIG").otherwise("SMALL").alias("size_tag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fraud-rule analogs on events (SURVEY §2.12 / §7 phase 0)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_fraud3_events",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, prv_type, prv_ts
+    FROM (
+        SELECT event_id, user_id, ts, event_type,
+               LAG(event_type) OVER w AS prv_type,
+               LAG(ts) OVER w AS prv_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE event_type <> prv_type AND ts < prv_ts + INTERVAL 1 HOUR
+    """,
+)
+def q_fraud3_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-3 analog: different 'city' within <1h (reference sql:46-80).
+    This is the flagship `entry()` query."""
+    return fraud.rule3_city_hop_events(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "q_fraud4_events",
+    oracle="""
+    SELECT event_id, user_id, ts, value, min_ts
+    FROM (
+        SELECT event_id, user_id, ts, event_type, value, prv_value, min_ts, oper,
+               MIN(CASE WHEN value < prv_value THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS reducion
+        FROM (
+            SELECT event_id, user_id, ts, event_type, value,
+                   LAG(value) OVER w AS prv_value,
+                   MIN(ts) OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS min_ts,
+                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS oper
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+    )
+    WHERE event_type = 'purchase'
+      AND oper >= 2
+      AND ts < min_ts + INTERVAL 12 HOUR
+      AND reducion = 1
+    """,
+)
+def q_fraud4_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-4 analog: amount-guessing pattern (reference sql:82-129)."""
+    return fraud.rule4_amount_guessing_events(_t(spark, sf_dir, "events"))

@@ -1,0 +1,73 @@
+"""SparkSession factory.
+
+Local test/bench sessions run on local[$SPARK_GRAFT_CPUS]; the driver may
+also hand us a pre-built session (``__spark_entry__.entry``), in which case
+:func:`tune` applies the runtime-settable confs we rely on (UTC session
+timezone, nanos-parquet compat, AQE) without restarting the JVM.
+
+Scale notes (100 TB target): everything here is runtime config only —
+shuffle partitioning for a real cluster is sized per-query via AQE
+(``spark.sql.adaptive.coalescePartitions``), broadcast joins are requested
+explicitly at the plan level (plans/fraud.py), and nothing below pins a
+driver-side collect into the hot path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe (and required) to set at runtime on ANY session,
+# including one the driver built for us.
+_RUNTIME_CONFS = {
+    # Testdata events.parquet stores TIMESTAMP(NANOS) which Spark refuses
+    # by default; read as long and convert in catalog.load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic timestamp semantics vs the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Runtime re-planning: coalesce small shuffle partitions, split skewed
+    # ones — the main lever that makes one plan work at sf0.001 and 100 TB.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (best effort)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - static conf on odd builds
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "etl-fraud-detection-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a local SparkSession tuned for this engine.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores. Shuffle
+    partitions default to the core count — at local scale more partitions
+    are pure overhead; on a real cluster AQE coalescing makes the initial
+    number a ceiling, not a constant.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+        .config("spark.driver.bindAddress", "127.0.0.1")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())
