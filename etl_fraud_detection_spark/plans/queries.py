@@ -603,3 +603,121 @@ def q_fraud3_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fraud4_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule-4 analog: amount-guessing pattern (reference sql:82-129)."""
     return fraud.rule4_amount_guessing_events(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# M-operators: the SCD engine on deterministic fixtures (SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+from ..operators.scd import scd1_merge, scd2_merge  # noqa: E402
+from ..plans import fixtures as FX  # noqa: E402
+
+_NOW_SQL = "TIMESTAMP '2025-01-15 12:00:00'"
+_TODAY_SQL = "TIMESTAMP '2025-01-10 00:00:00'"
+_SENT_SQL = "TIMESTAMP '9999-12-31 00:00:00'"
+
+
+def _now_col():
+    return F.expr("TIMESTAMP_NTZ '2025-01-15 12:00:00'")
+
+
+def _today_col():
+    return F.expr("TIMESTAMP_NTZ '2025-01-10 00:00:00'")
+
+
+@query(
+    "q_scd1_merge",
+    oracle=f"""
+    WITH dwh AS ({FX.values_cte(FX.SCD1_DWH_ROWS, FX.SCD1_DWH_COLS, FX.SCD1_DWH_TYPES)}),
+    stg AS ({FX.values_cte(FX.SCD1_STG_ROWS, FX.SCD1_STG_COLS, FX.SCD1_STG_TYPES)}),
+    j AS (
+        SELECT d.*, s.trans_id AS s_trans_id, s.amt AS s_amt,
+               s.card_num AS s_card_num, s.create_dt AS s_create_dt,
+               (s.trans_id IS NOT NULL AND NOT (
+                    d.trans_id IS NOT DISTINCT FROM s.trans_id
+                AND d.amt IS NOT DISTINCT FROM s.amt
+                AND d.card_num IS NOT DISTINCT FROM s.card_num)) AS chg
+        FROM dwh d LEFT JOIN stg s ON d.trans_id = s.trans_id
+    )
+    SELECT CASE WHEN chg THEN s_trans_id ELSE trans_id END AS trans_id,
+           CASE WHEN chg THEN s_amt ELSE amt END AS amt,
+           CASE WHEN chg THEN s_card_num ELSE card_num END AS card_num,
+           create_dt,
+           CASE WHEN chg THEN s_create_dt ELSE update_dt END AS update_dt,
+           CASE WHEN chg THEN {_NOW_SQL} ELSE processed_dt END AS processed_dt
+    FROM j
+    UNION ALL
+    SELECT trans_id, amt, card_num, create_dt,
+           CAST(NULL AS TIMESTAMP) AS update_dt, {_NOW_SQL} AS processed_dt
+    FROM stg s
+    WHERE NOT EXISTS (SELECT 1 FROM dwh d WHERE d.trans_id = s.trans_id)
+    """,
+)
+def q_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+M2 SCD1 merge (reference etl.py:372-407): overwrite changed
+    rows (NULL-safe change detection), insert new keys. Exercises the
+    NULL->value and value->NULL cases that a naive ``=`` compare loses."""
+    dwh = FX.spark_df(spark, FX.SCD1_DWH_ROWS, FX.SCD1_DWH_COLS, FX.SCD1_DWH_TYPES)
+    stg = FX.spark_df(spark, FX.SCD1_STG_ROWS, FX.SCD1_STG_COLS, FX.SCD1_STG_TYPES)
+    return scd1_merge(dwh, stg, FX.SCD1_KEYS, FX.SCD1_COLS, now=_now_col())
+
+
+@query(
+    "q_scd2_versions",
+    oracle=f"""
+    WITH dwh AS ({FX.values_cte(FX.SCD2_DWH_ROWS, FX.SCD2_DWH_COLS, FX.SCD2_DWH_TYPES)}),
+    stg AS ({FX.values_cte(FX.SCD2_STG_ROWS, FX.SCD2_STG_COLS, FX.SCD2_STG_TYPES)}),
+    srck AS ({FX.values_cte(FX.SCD2_SRC_KEYS_ROWS, FX.SCD2_SRC_KEYS_COLS, FX.SCD2_SRC_KEYS_TYPES)}),
+    hist AS (SELECT * FROM dwh WHERE effective_to <> {_SENT_SQL}),
+    cur AS (SELECT * FROM dwh WHERE effective_to = {_SENT_SQL}),
+    gone AS (SELECT * FROM cur
+             WHERE NOT deleted_flg
+               AND NOT EXISTS (SELECT 1 FROM srck WHERE srck.client_id = cur.client_id)),
+    tomb AS (SELECT client_id, name, phone, {_TODAY_SQL} AS effective_from,
+                    {_SENT_SQL} AS effective_to, TRUE AS deleted_flg,
+                    {_NOW_SQL} AS processed_dt
+             FROM gone),
+    cur2 AS (SELECT * FROM cur
+             WHERE NOT EXISTS (SELECT 1 FROM gone g WHERE g.client_id = cur.client_id)
+             UNION ALL SELECT * FROM tomb),
+    j AS (SELECT c.*, s.client_id AS s_client_id, s.name AS s_name,
+                 s.phone AS s_phone, s.create_dt AS s_create_dt,
+                 (s.client_id IS NOT NULL AND NOT (
+                      c.client_id IS NOT DISTINCT FROM s.client_id
+                  AND c.name IS NOT DISTINCT FROM s.name
+                  AND c.phone IS NOT DISTINCT FROM s.phone
+                  AND c.deleted_flg = FALSE)) AS chg
+          FROM cur2 c LEFT JOIN stg s ON c.client_id = s.client_id)
+    SELECT client_id, name, phone, effective_from, effective_to, deleted_flg, processed_dt
+    FROM hist
+    UNION ALL
+    SELECT client_id, name, phone, effective_from,
+           {_TODAY_SQL} - INTERVAL 1 SECOND, deleted_flg, {_NOW_SQL}
+    FROM gone
+    UNION ALL
+    SELECT client_id, name, phone, effective_from, effective_to, deleted_flg, processed_dt
+    FROM j WHERE NOT chg
+    UNION ALL
+    SELECT client_id, name, phone, effective_from,
+           s_create_dt - INTERVAL 1 SECOND, deleted_flg, {_NOW_SQL}
+    FROM j WHERE chg
+    UNION ALL
+    SELECT s_client_id, s_name, s_phone, s_create_dt, {_SENT_SQL}, FALSE, {_NOW_SQL}
+    FROM j WHERE chg
+    UNION ALL
+    SELECT s.client_id, s.name, s.phone, s.create_dt, {_SENT_SQL}, FALSE, {_NOW_SQL}
+    FROM stg s
+    WHERE NOT EXISTS (SELECT 1 FROM dwh d WHERE d.client_id = s.client_id)
+    """,
+)
+def q_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2+M3+M4 SCD2 merge (reference etl.py:297-388): close-at
+    create_dt-1s versioning, delete tombstones, reappearing-key revival,
+    NULL-safe change detection including deleted_flg-vs-FALSE."""
+    dwh = FX.spark_df(spark, FX.SCD2_DWH_ROWS, FX.SCD2_DWH_COLS, FX.SCD2_DWH_TYPES)
+    stg = FX.spark_df(spark, FX.SCD2_STG_ROWS, FX.SCD2_STG_COLS, FX.SCD2_STG_TYPES)
+    srck = FX.spark_df(spark, FX.SCD2_SRC_KEYS_ROWS, FX.SCD2_SRC_KEYS_COLS, FX.SCD2_SRC_KEYS_TYPES)
+    return scd2_merge(
+        dwh, stg, FX.SCD2_KEYS, FX.SCD2_COLS,
+        src_keys=srck, now=_now_col(), today=_today_col(),
+    )
