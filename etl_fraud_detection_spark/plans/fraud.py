@@ -89,3 +89,181 @@ def rule4_amount_guessing_events(events: DataFrame) -> DataFrame:
         & (F.col("ts") < F.col("min_ts") + F.expr("INTERVAL 12 HOURS"))
         & (F.col("reducion") == 1)
     ).select("event_id", "user_id", "ts", "value", "min_ts")
+
+
+# ---------------------------------------------------------------------------
+# Full-fidelity rules over the fraud-domain DWH shape (reference
+# trsh_rep_fraud_sync.sql:1-129). The reference recomputes the temporal
+# join chain per rule; we build the base once and reuse it — identical
+# semantics, one quarter the scan/join work. All dims are SCD2-small
+# relative to the fact at 100 TB, so each dim join is a broadcast.
+# ---------------------------------------------------------------------------
+
+_REPORT_SCHEMA = ("event_dt", "passport", "fio", "phone", "event_type", "report_dt", "processed_dt")
+
+
+def temporal_base(tx: DataFrame, cards: DataFrame, accounts: DataFrame, clients: DataFrame) -> DataFrame:
+    """transactions→cards_hist→accounts_hist→clients_hist point-in-time
+    join: key equality AND trans_date BETWEEN effective_from AND
+    effective_to (reference sql:10-16). Hash join on the equi conjunct,
+    range as residual filter — Catalyst's default physical strategy."""
+    c = cards.select("card_num", "account_num", F.col("effective_from").alias("c_ef"), F.col("effective_to").alias("c_et"))
+    a = accounts.select(
+        F.col("account_num").alias("a_account_num"),
+        F.col("valid_to").alias("account_valid_to"),
+        "client",
+        F.col("effective_from").alias("a_ef"),
+        F.col("effective_to").alias("a_et"),
+    )
+    cl = clients.select(
+        "client_id", "first_name", "last_name", "patronymic",
+        "passport_num", "passport_valid_to", "phone",
+        F.col("effective_from").alias("cl_ef"),
+        F.col("effective_to").alias("cl_et"),
+    )
+    td = F.col("trans_date")
+    return (
+        tx.join(F.broadcast(c), (tx["card_num"] == c["card_num"]) & td.between(F.col("c_ef"), F.col("c_et")))
+        .drop(c["card_num"])
+        .join(F.broadcast(a), (F.col("account_num") == F.col("a_account_num")) & td.between(F.col("a_ef"), F.col("a_et")))
+        .join(F.broadcast(cl), (F.col("client") == F.col("client_id")) & td.between(F.col("cl_ef"), F.col("cl_et")))
+        .drop("c_ef", "c_et", "a_ef", "a_et", "cl_ef", "cl_et", "a_account_num", "client")
+    )
+
+
+def with_terminals(base: DataFrame, terminals: DataFrame) -> DataFrame:
+    t = terminals.select(
+        "terminal_id", "terminal_city",
+        F.col("effective_from").alias("t_ef"), F.col("effective_to").alias("t_et"),
+    )
+    return base.join(
+        F.broadcast(t),
+        (t["terminal_id"] == base["terminal"])
+        & base["trans_date"].between(F.col("t_ef"), F.col("t_et")),
+    ).drop("t_ef", "t_et", "terminal_id")
+
+
+def _project_report(df: DataFrame, event_type: int, now: Column) -> DataFrame:
+    return df.select(
+        F.col("trans_date").alias("event_dt"),
+        F.col("passport_num").alias("passport"),
+        F.concat_ws(" ", "first_name", "last_name", "patronymic").alias("fio"),
+        F.col("phone").alias("phone"),
+        F.lit(event_type).alias("event_type"),
+        F.col("create_dt").cast("date").alias("report_dt"),
+        now.alias("processed_dt"),
+    )
+
+
+def rule1_bad_passport(base: DataFrame, blacklist: DataFrame, now: Column) -> DataFrame:
+    """Expired OR blacklisted passport (sql:2-24). The correlated
+    ``OR EXISTS(blacklist match AND trans_date > entry_dt)`` is rewritten
+    distributively: EXISTS(td > entry_dt for some entry of this passport)
+    ⇔ td > MIN(entry_dt) per passport — an aggregation + broadcast left
+    join instead of an ExistenceJoin, with identical 3-valued logic
+    (the EXISTS branch is never NULL)."""
+    bl = blacklist.groupBy(F.col("passport_num").alias("bl_passport")).agg(
+        F.min("entry_dt").alias("bl_min_entry")
+    )
+    joined = base.join(F.broadcast(bl), base["passport_num"] == F.col("bl_passport"), "left")
+    exists_branch = F.col("bl_passport").isNotNull() & (
+        F.col("trans_date") > F.col("bl_min_entry")
+    )
+    flagged = joined.where((F.col("trans_date") > F.col("passport_valid_to")) | exists_branch)
+    return _project_report(flagged, 1, now)
+
+
+def rule2_dead_contract(base: DataFrame, now: Column) -> DataFrame:
+    """Transaction after the account contract expired: the extra theta
+    conjunct ``trans_date > ac.valid_to`` (sql:26-44)."""
+    return _project_report(base.where(F.col("trans_date") > F.col("account_valid_to")), 2, now)
+
+
+def rule3_city_hop(base_t: DataFrame, now: Column) -> DataFrame:
+    """Different cities within one hour (sql:46-80): LAG city/date per
+    client, strict ``trans_date < prv_dt + 1 HOUR``."""
+    w = Window.partitionBy("client_id").orderBy("trans_date")
+    staged = base_t.select(
+        "*",
+        F.lag("terminal_city").over(w).alias("prv_city"),
+        F.lag("trans_date").over(w).alias("prv_dt"),
+    )
+    flagged = staged.where(
+        (F.col("terminal_city") != F.col("prv_city"))
+        & (F.col("trans_date") < F.col("prv_dt") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return _project_report(flagged, 3, now)
+
+
+def rule4_amount_guessing(base: DataFrame, now: Column) -> DataFrame:
+    """Amount-guessing (sql:82-129): per (client, card) ordered by
+    trans_date — LAG(amt), MIN(trans_date) and rejected-count over rows
+    -3..-1, then the all-decreasing flag over rows -2..0; keep SUCCESS
+    WITHDRAW/PAYMENT with 3 prior rejects inside a strict 20-minute span.
+    One shuffle: all frames share the (client_id, card_num) spec."""
+    w = Window.partitionBy("client_id", "card_num").orderBy("trans_date")
+    rejected = (
+        F.col("oper_type").isin("WITHDRAW", "PAYMENT") & (F.col("oper_result") == "REJECT")
+    )
+    inner = base.select(
+        "*",
+        F.lag("amt").over(w).alias("prv_amt"),
+        F.min("trans_date").over(w.rowsBetween(-3, -1)).alias("min_dt"),
+        F.sum(F.when(rejected, 1).otherwise(0)).over(w.rowsBetween(-3, -1)).alias("oper"),
+    )
+    outer = inner.select(
+        "*",
+        F.min(F.when(F.col("amt") < F.col("prv_amt"), 1).otherwise(0))
+        .over(w.rowsBetween(-2, 0))
+        .alias("reducion"),
+    )
+    flagged = outer.where(
+        F.col("oper_type").isin("WITHDRAW", "PAYMENT")
+        & (F.col("oper_result") == "SUCCESS")
+        & (F.col("oper") == 3)
+        & (F.col("trans_date") < F.col("min_dt") + F.expr("INTERVAL 20 MINUTES"))
+        & (F.col("reducion") == 1)
+    )
+    return _project_report(flagged, 4, now)
+
+
+def report_watermark_filter(tx: DataFrame, report: DataFrame) -> DataFrame:
+    """A1 scalar-subquery watermark (sql:22-24): keep fact rows with
+    ``create_dt > COALESCE((SELECT MAX(report_dt) FROM report),
+    '1800-01-01')``. The scalar is a 1-row aggregate broadcast into the
+    filter — Catalyst constant-folds it per stage; no driver collect."""
+    wm = report.agg(F.max("report_dt").cast("timestamp_ntz").alias("wm_report_dt"))
+    return (
+        tx.crossJoin(F.broadcast(wm))
+        .where(
+            F.col("create_dt")
+            > F.coalesce(F.col("wm_report_dt"), F.expr("TIMESTAMP_NTZ '1800-01-01 00:00:00'"))
+        )
+        .drop("wm_report_dt")
+    )
+
+
+def fraud_report(
+    tx: DataFrame,
+    cards: DataFrame,
+    accounts: DataFrame,
+    clients: DataFrame,
+    terminals: DataFrame,
+    blacklist: DataFrame,
+    report: DataFrame | None,
+    now: Column,
+) -> DataFrame:
+    """The accumulating report increment (M8): all four rules, filtered
+    to ``create_dt > COALESCE(MAX(report_dt), 1800-01-01)``, UNION ALL.
+    The watermark is a 1-row aggregate broadcast-cross-joined into the
+    fact filter — no driver-side collect."""
+    if report is not None:
+        tx = report_watermark_filter(tx, report)
+    base = temporal_base(tx, cards, accounts, clients)
+    base_t = with_terminals(base, terminals)
+    return (
+        rule1_bad_passport(base, blacklist, now)
+        .unionByName(rule2_dead_contract(base, now))
+        .unionByName(rule3_city_hop(base_t, now))
+        .unionByName(rule4_amount_guessing(base, now))
+    )

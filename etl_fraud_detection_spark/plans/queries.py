@@ -721,3 +721,174 @@ def q_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         dwh, stg, FX.SCD2_KEYS, FX.SCD2_COLS,
         src_keys=srck, now=_now_col(), today=_today_col(),
     )
+
+
+# ---------------------------------------------------------------------------
+# The four fraud rules at full reference fidelity (SURVEY §2.12) over
+# fraud-domain fixtures. Oracle = near-verbatim ANSI translation of
+# /root/reference/trsh_rep_fraud_sync.sql over the same VALUES.
+# ---------------------------------------------------------------------------
+
+from ..plans import fraud_domain as FD  # noqa: E402
+
+_TEMPORAL_JOIN_SQL = """
+        FROM ff_transactions AS tr
+        INNER JOIN ff_cards_hist AS c ON tr.card_num = c.card_num
+            AND tr.trans_date BETWEEN c.effective_from AND c.effective_to
+        INNER JOIN ff_accounts_hist AS ac ON c.account_num = ac.account_num
+            AND tr.trans_date BETWEEN ac.effective_from AND ac.effective_to
+        INNER JOIN ff_clients_hist AS cl ON ac.client = cl.client_id
+            AND tr.trans_date BETWEEN cl.effective_from AND cl.effective_to
+"""
+
+_WM_SQL = """tr.create_dt > COALESCE((SELECT MAX(report_dt) FROM ff_report),
+                                     TIMESTAMP '1800-01-01 00:00:00')"""
+
+_RULE1_SQL = f"""
+    SELECT tr.trans_date AS event_dt,
+           cl.passport_num AS passport,
+           CONCAT_WS(' ', cl.first_name, cl.last_name, cl.patronymic) AS fio,
+           cl.phone AS phone,
+           1 AS event_type,
+           CAST(tr.create_dt AS DATE) AS report_dt,
+           {_NOW_SQL} AS processed_dt
+    {_TEMPORAL_JOIN_SQL}
+    WHERE (tr.trans_date > cl.passport_valid_to
+           OR EXISTS (SELECT 1 FROM ff_blacklist AS p
+                      WHERE cl.passport_num = p.passport_num
+                        AND tr.trans_date > p.entry_dt))
+      AND {_WM_SQL}
+"""
+
+_RULE2_SQL = f"""
+    SELECT tr.trans_date AS event_dt,
+           cl.passport_num AS passport,
+           CONCAT_WS(' ', cl.first_name, cl.last_name, cl.patronymic) AS fio,
+           cl.phone AS phone,
+           2 AS event_type,
+           CAST(tr.create_dt AS DATE) AS report_dt,
+           {_NOW_SQL} AS processed_dt
+    {_TEMPORAL_JOIN_SQL}
+    WHERE tr.trans_date > ac.valid_to
+      AND {_WM_SQL}
+"""
+
+_RULE3_SQL = f"""
+    SELECT trans_date AS event_dt,
+           passport_num AS passport,
+           CONCAT_WS(' ', first_name, last_name, patronymic) AS fio,
+           phone AS phone,
+           3 AS event_type,
+           CAST(create_dt AS DATE) AS report_dt,
+           {_NOW_SQL} AS processed_dt
+    FROM (
+        SELECT cl.client_id, cl.first_name, cl.last_name, cl.patronymic,
+               cl.passport_num, cl.phone, t.terminal_city, tr.trans_date,
+               LAG(t.terminal_city) OVER (PARTITION BY cl.client_id ORDER BY tr.trans_date) AS prv_city,
+               LAG(tr.trans_date) OVER (PARTITION BY cl.client_id ORDER BY tr.trans_date) AS prv_dt,
+               tr.create_dt
+        {_TEMPORAL_JOIN_SQL}
+        INNER JOIN ff_terminals_hist AS t ON t.terminal_id = tr.terminal
+            AND tr.trans_date BETWEEN t.effective_from AND t.effective_to
+    ) AS a
+    WHERE terminal_city <> prv_city
+      AND trans_date < prv_dt + INTERVAL 1 HOUR
+      AND create_dt > COALESCE((SELECT MAX(report_dt) FROM ff_report),
+                               TIMESTAMP '1800-01-01 00:00:00')
+"""
+
+_RULE4_SQL = f"""
+    SELECT trans_date AS event_dt,
+           passport_num AS passport,
+           CONCAT_WS(' ', first_name, last_name, patronymic) AS fio,
+           phone AS phone,
+           4 AS event_type,
+           CAST(create_dt AS DATE) AS report_dt,
+           {_NOW_SQL} AS processed_dt
+    FROM (
+        SELECT *,
+               MIN(CASE WHEN amt < prv_amt THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY client_id, card_num ORDER BY trans_date
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS reducion
+        FROM (
+            SELECT cl.client_id, tr.card_num, cl.first_name, cl.last_name,
+                   cl.patronymic, cl.passport_num, cl.phone, tr.trans_date,
+                   tr.trans_id, tr.oper_type, tr.oper_result, tr.amt, tr.create_dt,
+                   LAG(tr.amt) OVER (PARTITION BY cl.client_id, tr.card_num ORDER BY tr.trans_date) AS prv_amt,
+                   MIN(tr.trans_date) OVER (PARTITION BY cl.client_id, tr.card_num ORDER BY tr.trans_date
+                                            ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS min_dt,
+                   SUM(CASE WHEN tr.oper_type IN ('WITHDRAW', 'PAYMENT')
+                             AND tr.oper_result = 'REJECT' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY cl.client_id, tr.card_num ORDER BY tr.trans_date
+                             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS oper
+            {_TEMPORAL_JOIN_SQL}
+        ) AS a
+    ) AS b
+    WHERE oper_type IN ('WITHDRAW', 'PAYMENT')
+      AND oper_result = 'SUCCESS'
+      AND oper = 3
+      AND trans_date < min_dt + INTERVAL 20 MINUTE
+      AND reducion = 1
+      AND create_dt > COALESCE((SELECT MAX(report_dt) FROM ff_report),
+                               TIMESTAMP '1800-01-01 00:00:00')
+"""
+
+
+def _fraud_inputs(spark: SparkSession):
+    t = FD.fraud_tables(spark)
+    empty_report = spark.createDataFrame([], schema="report_dt date")
+    tx = fraud.report_watermark_filter(t["ff_transactions"], empty_report)
+    base = fraud.temporal_base(tx, t["ff_cards_hist"], t["ff_accounts_hist"], t["ff_clients_hist"])
+    return t, base
+
+
+@query("q_fraud1", oracle=f"WITH {FD.fraud_tables_cte()}\n{_RULE1_SQL}")
+def q_fraud1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule 1: expired OR blacklisted passport, incl. the OR-EXISTS
+    rewrite and 3-valued NULL passport_valid_to (reference sql:2-24)."""
+    t, base = _fraud_inputs(spark)
+    return fraud.rule1_bad_passport(base, t["ff_blacklist"], _now_col())
+
+
+@query("q_fraud2", oracle=f"WITH {FD.fraud_tables_cte()}\n{_RULE2_SQL}")
+def q_fraud2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule 2: dead contract — theta conjunct on the temporal join
+    (reference sql:26-44)."""
+    _, base = _fraud_inputs(spark)
+    return fraud.rule2_dead_contract(base, _now_col())
+
+
+@query("q_fraud3", oracle=f"WITH {FD.fraud_tables_cte()}\n{_RULE3_SQL}")
+def q_fraud3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule 3: different cities inside one hour, strict bound
+    (reference sql:46-80)."""
+    t, base = _fraud_inputs(spark)
+    return fraud.rule3_city_hop(fraud.with_terminals(base, t["ff_terminals_hist"]), _now_col())
+
+
+@query("q_fraud4", oracle=f"WITH {FD.fraud_tables_cte()}\n{_RULE4_SQL}")
+def q_fraud4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule 4: amount-guessing with the exact reference constants —
+    3 rejects, strictly decreasing, < 20 minutes (reference sql:82-129)."""
+    _, base = _fraud_inputs(spark)
+    return fraud.rule4_amount_guessing(base, _now_col())
+
+
+@query(
+    "q_fraud_report",
+    oracle=(
+        f"WITH {FD.fraud_tables_cte()}\n{_RULE1_SQL}\nUNION ALL\n{_RULE2_SQL}"
+        f"\nUNION ALL\n{_RULE3_SQL}\nUNION ALL\n{_RULE4_SQL}"
+    ),
+)
+def q_fraud_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8: the full accumulating-report increment — all four rules
+    UNION ALL'd behind the report watermark (reference sql:1-129,
+    etl.py:409-414)."""
+    t = FD.fraud_tables(spark)
+    empty_report = spark.createDataFrame([], schema="report_dt date")
+    return fraud.fraud_report(
+        t["ff_transactions"], t["ff_cards_hist"], t["ff_accounts_hist"],
+        t["ff_clients_hist"], t["ff_terminals_hist"], t["ff_blacklist"],
+        empty_report, _now_col(),
+    )
