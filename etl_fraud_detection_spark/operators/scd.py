@@ -21,26 +21,49 @@ self-join-update idiom), Spark recomputes the table functionally: split
 current vs history, derive closed/new/tombstone row sets with joins, and
 union. No collect(), no driver loops — every step is a distributed plan.
 
+Implementation note: the delta sides (stg, src_keys) are joined through
+prefixed-column projections rather than DataFrame-object references, so
+callers may pass frames that share lineage (e.g. a file-fed dim whose
+stg snapshot doubles as the delete key set) without tripping Spark's
+ambiguous-self-join analysis.
+
 Scale notes (100 TB): the merge joins are all equi-joins on the business
 keys. stg (one day's delta) is orders of magnitude smaller than dwh, so
-`changes` and `inserts` resolve as broadcast joins under AQE; the one
-unavoidable wide operation is rewriting dwh partitions that contain
-changed keys. Partitioning dwh parquet by a stable hash bucket of the
-keys lets a real deployment rewrite only affected buckets.
+the joins resolve as broadcasts under AQE; the one unavoidable wide
+operation is rewriting dwh partitions that contain changed keys.
+Bucketing dwh parquet by a stable hash of the keys lets a real
+deployment rewrite only affected buckets.
 """
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..functions.core import any_col_differs, nullsafe_all_equal, sentinel_ts
+from ..functions.core import sentinel_ts
+
+_P = "__stg_"  # delta-side column prefix
 
 
-def _key_eq(left: DataFrame, right: DataFrame, keys: list[str]) -> Column:
-    cond = left[keys[0]] == right[keys[0]]
-    for k in keys[1:]:
-        cond = cond & (left[k] == right[k])
-    return cond
+def _prefixed(df: DataFrame, cols: list[str]) -> DataFrame:
+    return df.select(*[F.col(c).alias(_P + c) for c in cols])
+
+
+def _key_cond(keys: list[str]) -> Column:
+    return reduce(
+        lambda a, b: a & b, [F.col(k) == F.col(_P + k) for k in keys]
+    )
+
+
+def _all_same(cols: list[str]) -> Column:
+    """NULL-safe all-columns-equal — the reference's ``NOT EXISTS
+    (dwh-cols INTERSECT stg-cols)`` comparator (etl.py:350-352,403-405).
+    MUST be ``<=>``: plain ``=`` would silently skip NULL↔value changes."""
+    return reduce(
+        lambda a, b: a & b,
+        [F.col(c).eqNullSafe(F.col(_P + c)) for c in cols],
+    )
 
 
 def scd1_merge(
@@ -52,31 +75,27 @@ def scd1_merge(
 ) -> DataFrame:
     """SCD1: in-place overwrite semantics, recomputed functionally.
 
-    ``dwh`` schema: cols + create_dt + update_dt + processed_dt
-    ``stg`` schema: cols + create_dt (the batch date)
-    ``cols`` includes the keys (reference mapping arrays do too).
+    ``dwh`` schema: cols + create_dt + update_dt + processed_dt;
+    ``stg``: cols + create_dt (batch date); ``cols`` includes the keys.
     """
     now = now if now is not None else F.current_timestamp().cast("timestamp_ntz")
-    changed = any_col_differs(stg, dwh, cols)
+    s = _prefixed(stg, cols + ["create_dt"])
 
-    joined = dwh.alias("dwh").join(stg.alias("stg"), _key_eq(dwh, stg, keys), "left")
-    matched = F.col(f"stg.{keys[0]}").isNotNull()
-    apply_upd = matched & changed
+    joined = dwh.join(s, _key_cond(keys), "left")
+    apply_upd = F.col(_P + keys[0]).isNotNull() & ~_all_same(cols)
     updated = joined.select(
-        *[F.when(apply_upd, stg[c]).otherwise(dwh[c]).alias(c) for c in cols],
-        dwh["create_dt"].alias("create_dt"),
-        F.when(apply_upd, stg["create_dt"]).otherwise(dwh["update_dt"]).alias("update_dt"),
-        F.when(apply_upd, now).otherwise(dwh["processed_dt"]).alias("processed_dt"),
+        *[F.when(apply_upd, F.col(_P + c)).otherwise(F.col(c)).alias(c) for c in cols],
+        F.col("create_dt").alias("create_dt"),
+        F.when(apply_upd, F.col(_P + "create_dt")).otherwise(F.col("update_dt")).alias("update_dt"),
+        F.when(apply_upd, now).otherwise(F.col("processed_dt")).alias("processed_dt"),
     )
 
-    inserts = (
-        stg.join(dwh, _key_eq(stg, dwh, keys), "left_anti")
-        .select(
-            *[F.col(c) for c in cols],
-            F.col("create_dt"),
-            F.lit(None).cast("timestamp_ntz").alias("update_dt"),
-            now.alias("processed_dt"),
-        )
+    dk = dwh.select(*[F.col(k).alias(_P + k) for k in keys])
+    inserts = stg.join(dk, _key_cond(keys), "left_anti").select(
+        *[F.col(c) for c in cols],
+        F.col("create_dt"),
+        F.lit(None).cast("timestamp_ntz").alias("update_dt"),
+        now.alias("processed_dt"),
     )
     return updated.unionByName(inserts)
 
@@ -94,28 +113,26 @@ def scd2_merge(
 
     ``dwh`` schema: cols + effective_from + effective_to + deleted_flg +
     processed_dt. ``stg``: cols + create_dt. ``src_keys``: full current
-    key snapshot from the source (delete detection, reference
-    etl.py:201-208); None skips the delete phase (file-fed dims don't
-    get one in reference from_file either).
+    key snapshot for delete detection (reference etl.py:201-208); for
+    file-fed dims the daily file IS the snapshot, so callers pass
+    ``stg.select(keys)`` (reference etl.py:165). None skips deletes.
 
     Assumes stg carries at most one row per key per batch (daily grain,
     as in the reference's one-file-per-day model).
     """
     now = now if now is not None else F.current_timestamp().cast("timestamp_ntz")
-    today = (
-        today
-        if today is not None
-        else F.current_date().cast("timestamp_ntz")
-    )
+    today = today if today is not None else F.current_date().cast("timestamp_ntz")
     sentinel = sentinel_ts()
+    hist_cols = cols + ["effective_from", "effective_to", "deleted_flg", "processed_dt"]
 
     history = dwh.where(F.col("effective_to") != sentinel)
     current = dwh.where(F.col("effective_to") == sentinel)
 
     # --- delete phase (reference etl.py:297-332) -------------------------
     if src_keys is not None:
+        sk = _prefixed(src_keys, keys)
         live = current.where(~F.col("deleted_flg"))
-        gone = live.join(src_keys, _key_eq(live, src_keys, keys), "left_anti")
+        gone = live.join(sk, _key_cond(keys), "left_anti")
         closed_deleted = gone.select(
             *[F.col(c) for c in cols],
             F.col("effective_from"),
@@ -130,50 +147,49 @@ def scd2_merge(
             F.lit(True).alias("deleted_flg"),
             now.alias("processed_dt"),
         )
-        kept_current = current.join(gone.select(*keys), _key_eq(current, gone.select(*keys), keys), "left_anti")
+        gone_keys = gone.select(*[F.col(k).alias(_P + k) for k in keys])
+        kept_current = current.join(gone_keys, _key_cond(keys), "left_anti")
         history = history.unionByName(closed_deleted)
         current = kept_current.unionByName(tombstones)
 
     # --- update phase (reference etl.py:334-370) -------------------------
     # "Changed" = NOT(cols all null-safe equal AND deleted_flg == FALSE):
     # the INTERSECT lists append (dwh.deleted_flg, FALSE), so a tombstoned
-    # current version always counts as changed when its key is in stg.
-    joined = current.alias("cur").join(stg.alias("stg"), _key_eq(current, stg, keys), "left")
-    same = nullsafe_all_equal(current, stg, cols) & (current["deleted_flg"] == F.lit(False))
-    is_changed = stg[keys[0]].isNotNull() & ~same
+    # current version counts as changed when its key is in stg.
+    s = _prefixed(stg, cols + ["create_dt"])
+    joined = current.join(s, _key_cond(keys), "left")
+    same = _all_same(cols) & (F.col("deleted_flg") == F.lit(False))
+    is_changed = F.col(_P + keys[0]).isNotNull() & ~same
 
     closed = joined.where(is_changed).select(
-        *[current[c].alias(c) for c in cols],
-        current["effective_from"].alias("effective_from"),
-        (stg["create_dt"] - F.expr("INTERVAL 1 SECOND")).alias("effective_to"),
-        current["deleted_flg"].alias("deleted_flg"),
+        *[F.col(c) for c in cols],
+        F.col("effective_from"),
+        (F.col(_P + "create_dt") - F.expr("INTERVAL 1 SECOND")).alias("effective_to"),
+        F.col("deleted_flg"),
         now.alias("processed_dt"),
     )
     new_versions = joined.where(is_changed).select(
-        *[stg[c].alias(c) for c in cols],
-        stg["create_dt"].alias("effective_from"),
+        *[F.col(_P + c).alias(c) for c in cols],
+        F.col(_P + "create_dt").alias("effective_from"),
         sentinel.alias("effective_to"),
         F.lit(False).alias("deleted_flg"),
         now.alias("processed_dt"),
     )
-    untouched = joined.where(~F.coalesce(is_changed, F.lit(False))).select(
-        *[current[c].alias(c) for c in cols],
-        current["effective_from"].alias("effective_from"),
-        current["effective_to"].alias("effective_to"),
-        current["deleted_flg"].alias("deleted_flg"),
-        current["processed_dt"].alias("processed_dt"),
-    )
+    untouched = joined.where(~is_changed).select(*[F.col(c) for c in hist_cols])
 
     # --- insert phase (reference etl.py:372-388): keys new to dwh --------
-    inserts = (
-        stg.join(dwh.select(*keys).distinct(), _key_eq(stg, dwh, keys), "left_anti")
-        .select(
-            *[F.col(c) for c in cols],
-            F.col("create_dt").alias("effective_from"),
-            sentinel.alias("effective_to"),
-            F.lit(False).alias("deleted_flg"),
-            now.alias("processed_dt"),
-        )
+    dk = dwh.select(*[F.col(k).alias(_P + k) for k in keys]).distinct()
+    inserts = stg.join(dk, _key_cond(keys), "left_anti").select(
+        *[F.col(c) for c in cols],
+        F.col("create_dt").alias("effective_from"),
+        sentinel.alias("effective_to"),
+        F.lit(False).alias("deleted_flg"),
+        now.alias("processed_dt"),
     )
 
-    return history.unionByName(untouched).unionByName(closed).unionByName(new_versions).unionByName(inserts)
+    return (
+        history.unionByName(untouched)
+        .unionByName(closed)
+        .unionByName(new_versions)
+        .unionByName(inserts)
+    )
