@@ -1,0 +1,167 @@
+"""Deduplication operators: exact (hash-groupBy), word-n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Hash-function parity: every hash here is md5 over an explicitly
+constructed string (or a hex-prefix-to-bigint of one), because md5 is
+the one hash both Spark and DuckDB (the oracle) compute identically.
+MinHash uses MIN over ``md5(seed || '|' || shingle)`` strings — a valid
+random-permutation family, and string MIN is total-order deterministic.
+
+Scale notes (100 TB):
+- exact dedup is one shuffle on the fingerprint (map-side combine).
+- shingle self-join is the classic blow-up risk; minhash_lsh_pairs is
+  the scale path: signature cost is linear in shingles, candidate
+  generation joins on (band_idx, band_hash) so only colliding docs
+  meet, and verification touches candidate pairs only.
+- simhash is scan + one groupBy(doc) — near-dup buckets join on the
+  64/16-bit code, no pairwise work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+NGRAM = 3
+NUM_HASHES = 12
+BANDS = 3  # rows-per-band = NUM_HASHES // BANDS
+SIMHASH_BITS = 16
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup via hash-groupBy: one row per distinct text with the
+    smallest id as canonical and the copy count."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = NGRAM) -> DataFrame:
+    """Distinct word n-gram shingles per doc (docs with < n tokens drop,
+    mirrored in the oracle's ``len(toks) >= n`` filter)."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        ),
+    )
+    return (
+        docs.where(F.size(toks) >= n)
+        .select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def _jaccard_between(sh: DataFrame, pairs: DataFrame | None, tau: float) -> DataFrame:
+    """Jaccard over shingle sets for (a, b) doc pairs. With pairs=None
+    every co-shingled pair is considered (exact n-gram Jaccard); with a
+    candidate frame only those pairs are verified (the LSH path)."""
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    co = a.join(b, ["shingle"]).where(F.col("a") < F.col("b"))
+    if pairs is not None:
+        co = co.join(pairs, ["a", "b"], "left_semi")
+    common = co.groupBy("a", "b").agg(F.count("*").alias("n_common"))
+    jac = (
+        common.join(cnt.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), ["a"])
+        .join(cnt.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), ["b"])
+        .select(
+            "a",
+            "b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= tau)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, tau: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (baseline; quadratic in
+    co-shingled docs — use minhash_lsh_pairs at scale)."""
+    return _jaccard_between(shingles(docs), None, tau)
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """MinHash: mh_i(doc) = MIN over shingles of md5(i || '|' || shingle).
+    One groupBy pass computes all signature positions as conditional
+    aggregates (map-side combinable)."""
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    exploded = sh.select(
+        "doc_id", "shingle", F.explode(seeds).alias("seed")
+    ).withColumn(
+        "h", F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle")))
+    )
+    aggs = [
+        F.min(F.when(F.col("seed") == i, F.col("h"))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    tau: float = 0.8,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """MinHash + LSH banding: docs sharing any band bucket become
+    candidates; candidates are verified with exact Jaccard >= tau.
+    Approximate by construction (a true near-dup pair missing every
+    band is skipped) but fully deterministic."""
+    rows = num_hashes // bands
+    sh = shingles(docs)
+    sig = minhash_signatures(sh, num_hashes)
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols).select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash"))
+                for b in range(bands)
+            ])
+        ).alias("bd"),
+    ).select("doc_id", "bd.band_idx", "bd.band_hash")
+    left = banded.select(F.col("doc_id").alias("a"), "band_idx", "band_hash")
+    right = banded.select(F.col("doc_id").alias("b"), "band_idx", "band_hash")
+    candidates = (
+        left.join(right, ["band_idx", "band_hash"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return _jaccard_between(sh, candidates, tau)
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash over distinct tokens: token hash = first 8 md5 hex digits
+    as int; bit j of the signature is set when Σ(±1 per token, sign of
+    bit j) > 0. Near-dup buckets = equal signatures; the bucket size is
+    attached via a window."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    ).withColumn("h", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long"))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
+    code = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        code = term if code is None else (code + term)
+    sig = bit_sums.select("doc_id", code.cast("long").alias("simhash"))
+    w = Window.partitionBy("simhash")
+    return sig.select("doc_id", "simhash", F.count("*").over(w).alias("bucket_size"))

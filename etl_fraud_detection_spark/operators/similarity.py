@@ -1,0 +1,123 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k is the exact baseline; sign-LSH bucketing is
+the scale path (candidates only meet inside a bucket). Everything is
+built from higher-order column functions (zip_with + aggregate = a
+left-fold dot product inside codegen, float32 cast to double per
+element) — no UDFs, no collect.
+
+Float parity with the DuckDB oracle: a left fold over per-element
+products is bit-deterministic, and the oracle uses the same fold
+(list_reduce over list_transform), verified bit-exact empirically.
+
+Scale notes (100 TB): brute-force is O(Q × N); keep Q (the query set)
+bounded and broadcast it, so the big side streams once with no shuffle.
+The LSH variant shuffles on the bucket code — at 1000 executors each
+bucket's candidates co-locate, and skewed buckets split under AQE. An
+IVF refinement (k-means coarse centroids) would slot into the same
+shape: assign → shuffle on centroid id → search within cell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a, b) -> Column:
+    """Left-fold Σ a[i]·b[i] with per-element float→double casts."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    k: int = 5,
+    query_pred: str = "vec_id < 10",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: the bounded query set broadcasts against the
+    full corpus; one pass, no shuffle of the big side; ties broken by
+    candidate id so results are total-order deterministic."""
+    q = emb.where(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = emb.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "rnk", "cos")
+    )
+
+
+def sign_lsh_bucket(vec_col: str = "embedding", n_bits: int = 8) -> Column:
+    """Sign-bit LSH code: bit d set when embedding[d] >= 0 — a fixed
+    axis-aligned hyperplane family (deterministic, oracle-expressible)."""
+    code = None
+    for d in range(n_bits):
+        term = F.when(F.element_at(F.col(vec_col), d + 1) >= 0, F.lit(1 << d)).otherwise(F.lit(0))
+        code = term if code is None else (code + term)
+    return code.cast("int")
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    k: int = 3,
+    query_pred: str = "vec_id < 50",
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket. Recall < 1 by construction; cost drops from O(Q·N) to
+    O(Q·N/2^bits) expected."""
+    bucketed = emb.select(
+        F.col(id_col), F.col(vec_col), sign_lsh_bucket(vec_col, n_bits).alias("bucket")
+    )
+    q = bucketed.where(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
+    )
+    c = bucketed.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"), "bucket"
+    )
+    scored = (
+        c.join(F.broadcast(q), ["bucket"])
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "rnk", "cos")
+    )
+
+
+def cosine_near_dup_pairs(emb: DataFrame, tau: float = 0.4, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs (a < b, cosine >= tau). Quadratic
+    baseline; at scale gate it behind sign_lsh_bucket equality first."""
+    a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .where(F.col("cos") >= tau)
+    )

@@ -892,3 +892,6 @@ def q_fraud_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["ff_clients_hist"], t["ff_terminals_hist"], t["ff_blacklist"],
         empty_report, _now_col(),
     )
+
+# Extension operators (dedup / similarity / text) register on import.
+from . import queries_ext  # noqa: E402,F401

@@ -1,0 +1,404 @@
+"""Extension query catalog: the training-data-pipeline operators
+(dedup, similarity search, text analysis) as driver queries with DuckDB
+oracles, over the ``documents`` and ``embeddings`` tables.
+
+Registered into the same QUERIES dict as plans.queries (imported from
+its bottom so a single import triggers the full registry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import dedup, similarity, text
+from .queries import _t, query
+
+# ---------------------------------------------------------------------------
+# SQL building blocks shared by the oracles
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in text.STOPWORDS) + ")"
+
+_TOKS = "SELECT doc_id, text, lang, string_split(text, ' ') AS toks FROM documents"
+
+_SHINGLES = f"""
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        FROM ({_TOKS})
+        WHERE len(toks) >= 3
+    )
+"""
+
+_JACCARD_TAIL = """
+    cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+        FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        {cand_join}
+        GROUP BY 1, 2
+    )
+    SELECT a, b,
+           CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN cnt ca ON common.a = ca.doc_id
+    JOIN cnt cb ON common.b = cb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= {tau}
+"""
+
+
+def _dot_sql(a: str, b: str) -> str:
+    # Left fold, same shape as similarity.dot (verified bit-exact).
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, x) -> acc + x)"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           length(text) AS n_chars_calc,
+           length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+           CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)
+               / len(toks) AS stopword_ratio,
+           CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_tok_len
+    FROM ({_TOKS})
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + token counting: length/punct/stopword ratios as
+    pure column expressions (no shuffle, one scan)."""
+    return text.with_text_stats(_t(spark, sf_dir, "documents"))
+
+
+def _langid_oracle() -> str:
+    langs = list(text.LANG_MARKERS)
+    score_exprs = {
+        lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in ws)})))"
+        for lang, ws in text.LANG_MARKERS.items()
+    }
+    chain = []
+    for lang in langs[:-1]:
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in langs if other != lang
+        )
+        chain.append(f"WHEN {conds} THEN '{lang}'")
+    case = "CASE " + " ".join(chain) + f" ELSE '{langs[-1]}' END"
+    scores = ", ".join(f"{e} AS s_{lang}" for lang, e in score_exprs.items())
+    outs = ", ".join(f"s_{lang} AS score_{lang}" for lang in langs)
+    return f"""
+    SELECT doc_id, lang, {case} AS pred_lang, {outs}
+    FROM (SELECT doc_id, lang, {scores} FROM ({_TOKS}))
+    """
+
+
+@query("q_lang_id", oracle=_langid_oracle())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language heuristic with deterministic argmax."""
+    return text.with_lang_id(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+           ('0x' || substr(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 15))::BIGINT
+               % 1024 AS fp_bucket
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text md5 fingerprint + stable integer bucket."""
+    return text.with_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    WITH d2 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    )
+    SELECT fp, min(doc_id) AS canonical_id, count(*) AS n_copies
+    FROM (SELECT doc_id, md5(text) AS fp FROM d2)
+    GROUP BY fp
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hash-groupBy dedup. The corpus has no native exact dups, so
+    the input is documents ∪ an id-shifted copy — every text becomes a
+    2-copy group and the min-id canonical must come from the original."""
+    docs = _t(spark, sf_dir, "documents")
+    doubled = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return dedup.exact_dedup(doubled)
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"WITH {_SHINGLES},\n"
+    + _JACCARD_TAIL.format(cand_join="", tau=0.8),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs (exact, tau=0.8)."""
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), tau=0.8)
+
+
+def _minhash_oracle() -> str:
+    nh, bands = dedup.NUM_HASHES, dedup.BANDS
+    rows = nh // bands
+    mins = ", ".join(
+        f"min(CASE WHEN seed = {i} THEN h END) AS mh{i}" for i in range(nh)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(concat_ws('|', {', '.join(f'mh{b * rows + r}' for r in range(rows))})) AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    cand_join = "JOIN cand ON cand.a = x.doc_id AND cand.b = y.doc_id"
+    return (
+        f"WITH {_SHINGLES},\n"
+        f"""ex AS (
+            SELECT doc_id, shingle, seed,
+                   md5(CAST(seed AS VARCHAR) || '|' || shingle) AS h
+            FROM sh CROSS JOIN (SELECT unnest(range(0, {nh})) AS seed)
+        ),
+        sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+        banded AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM banded l JOIN banded r
+              ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+             AND l.doc_id < r.doc_id
+        ),\n"""
+        + _JACCARD_TAIL.format(cand_join=cand_join, tau=0.8)
+    )
+
+
+@query("q_dedup_minhash_lsh", oracle=_minhash_oracle())
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12) + LSH(3 bands × 4) candidate generation, exact-Jaccard
+    verification at tau=0.8 — the scale path for fuzzy dedup."""
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), tau=0.8)
+
+
+def _simhash_oracle() -> str:
+    bits = dedup.SIMHASH_BITS
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    code = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+    bs AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({code} AS BIGINT) AS simhash FROM bs)
+    SELECT doc_id, simhash,
+           COUNT(*) OVER (PARTITION BY simhash) AS bucket_size
+    FROM sig
+    """
+
+
+@query("q_dedup_simhash", oracle=_simhash_oracle())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures + near-dup bucket sizes — dedup without
+    pairwise work (bucket equality only)."""
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_dedup_embedding",
+    oracle=f"""
+    WITH a AS (SELECT vec_id AS a, embedding AS va FROM embeddings),
+         b AS (SELECT vec_id AS b, embedding AS vb FROM embeddings)
+    SELECT a, b, {_cos_sql('va', 'vb')} AS cos
+    FROM a, b
+    WHERE a < b AND {_cos_sql('va', 'vb')} >= 0.4
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (tau=0.4 on this corpus)."""
+    return similarity.cosine_near_dup_pairs(_t(spark, sf_dir, "embeddings"), tau=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (ANN)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ann_brute_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS cand_id, embedding AS c_vec FROM embeddings),
+         scored AS (
+             SELECT query_id, cand_id, {_cos_sql('q_vec', 'c_vec')} AS cos
+             FROM c, q WHERE cand_id != query_id
+         ),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, cand_id) AS rnk
+               FROM scored)
+    SELECT query_id, cand_id, rnk, cos FROM r WHERE rnk <= 5
+    """,
+)
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for a bounded query set (brute-force ANN
+    baseline: broadcast queries, stream the corpus once)."""
+    return similarity.brute_force_topk(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+def _lsh_ann_oracle() -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{d + 1}] >= 0 THEN {1 << d} ELSE 0 END)" for d in range(8)
+    )
+    return f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding, CAST({bucket} AS INTEGER) AS bucket FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS q_vec, bucket FROM bucketed WHERE vec_id < 50),
+    c AS (SELECT vec_id AS cand_id, embedding AS c_vec, bucket FROM bucketed),
+    scored AS (
+        SELECT query_id, cand_id, {_cos_sql('q_vec', 'c_vec')} AS cos
+        FROM c JOIN q USING (bucket) WHERE cand_id != query_id
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, cand_id) AS rnk
+          FROM scored)
+    SELECT query_id, cand_id, rnk, cos FROM r WHERE rnk <= 3
+    """
+
+
+@query("q_ann_lsh_topk", oracle=_lsh_ann_oracle())
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate top-3: candidates restricted to the
+    query's 8-bit sign bucket — the 100 TB-scale ANN shape."""
+    return similarity.lsh_ann_topk(_t(spark, sf_dir, "embeddings"), k=3)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (binary payload + typed metadata, mapInPandas)
+# ---------------------------------------------------------------------------
+
+MEDIA_ROWS = [
+    (1, "png", 16, 16, "89504e470d0a1a0a0000000d49484452"),
+    (2, "png", 32, 32, "89504e470d0a1a0a0000000d49484453"),
+    (3, "jpg", 64, 48, "ffd8ffe000104a46494600010100ffd9"),
+    (4, "jpg", 8, 8, "ffd8ffe1aabbccdd0011223344556677"),
+    (5, "wav", 0, 0, "52494646aabb000057415645666d7420"),
+    (6, "wav", 0, 0, "524946460000000057415645ffffffff"),
+]
+
+
+@query(
+    "q_multimodal_features",
+    oracle="""
+    SELECT media_id,
+           octet_length(from_hex(payload_hex)) AS n_bytes,
+           width, height,
+           (('0x' || substr(payload_hex, 1, 2))::INT
+            + ('0x' || substr(payload_hex, 3, 2))::INT
+            + ('0x' || substr(payload_hex, 5, 2))::INT
+            + ('0x' || substr(payload_hex, 7, 2))::INT) / (4.0 * 255.0) AS brightness
+    FROM (VALUES
+        (1, 'png', 16, 16, '89504e470d0a1a0a0000000d49484452'),
+        (2, 'png', 32, 32, '89504e470d0a1a0a0000000d49484453'),
+        (3, 'jpg', 64, 48, 'ffd8ffe000104a46494600010100ffd9'),
+        (4, 'jpg', 8, 8, 'ffd8ffe1aabbccdd0011223344556677'),
+        (5, 'wav', 0, 0, '52494646aabb000057415645666d7420'),
+        (6, 'wav', 0, 0, '524946460000000057415645ffffffff')
+    ) AS t(media_id, format, width, height, payload_hex)
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: opaque payload + typed metadata through an
+    Arrow-batched mapInPandas feature extractor (decode stubbed — see
+    operators/multimodal.py)."""
+    from ..operators.multimodal import MEDIA_SCHEMA, extract_media_features
+
+    rows = [(i, f, w, h, bytes.fromhex(x)) for i, f, w, h, x in MEDIA_ROWS]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = extract_media_features(media)
+    return out.select(
+        "media_id",
+        "n_bytes",
+        "width",
+        "height",
+        F.col("brightness").alias("brightness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming variants (SURVEY §2.10 extension)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stream_window_agg",
+    oracle="""
+    SELECT user_id,
+           date_trunc('hour', ts) AS win_start,
+           count(*) AS n_events,
+           max(value) AS max_value,
+           min(value) AS min_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h per-user streaming aggregate with event-time
+    watermark, drained via Trigger.AvailableNow — must equal the batch
+    GROUP BY (the oracle)."""
+    from ..streaming.rules import windowed_event_counts
+
+    return windowed_event_counts(spark, sf_dir)
+
+
+@query(
+    "q_stream_rule3",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, prv_type, prv_ts
+    FROM (
+        SELECT event_id, user_id, ts, event_type,
+               LAG(event_type) OVER w AS prv_type,
+               LAG(ts) OVER w AS prv_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE event_type <> prv_type AND ts < prv_ts + INTERVAL 1 HOUR
+    """,
+)
+def q_stream_rule3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule 3 as a custom stateful streaming operator
+    (applyInPandasWithState) — must equal the batch window query."""
+    from ..streaming.rules import rule3_city_hop_stream
+
+    return rule3_city_hop_stream(spark, sf_dir)

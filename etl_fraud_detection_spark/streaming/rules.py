@@ -1,0 +1,158 @@
+"""Structured Streaming variants of the fraud-rule shapes (SURVEY §2.10:
+an extension — the reference is pure daily batch, but its watermark +
+file-date pattern is exactly a file-stream with bookmark).
+
+Two shapes:
+- windowed_event_counts: tumbling-window aggregate with an event-time
+  watermark — the streaming analog of the report's per-day grain.
+- rule3_city_hop_stream: custom stateful operator via
+  applyInPandasWithState — per-user last-event state, emitting rule-3
+  hits incrementally (the streaming twin of plans.fraud.rule3).
+
+Both run with Trigger.AvailableNow against the parquet events table so
+they are testable offline and comparable to their batch twins.
+
+Scale notes: state is keyed by user_id — Spark hash-partitions state
+across executors; the watermark bounds state size (late events beyond
+1h are dropped, state for quiet users ages out with timeouts in a
+production variant).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from datetime import timedelta
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)  # ts arrives as nanos-long (see catalog._NANOS_TS_COLS)
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """Spark's file stream source requires a *directory*; the testdata
+    ships ``events.parquet`` as a single file. Build (once per sf) a
+    scratch dir holding a symlink to it."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"spark_events_stream_{tag}")
+    link = os.path.join(d, "events.parquet")
+    if not os.path.islink(link):
+        os.makedirs(d, exist_ok=True)
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import tune
+
+    tune(spark)
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(_stream_dir(sf_dir))
+    return raw.withColumn(
+        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp)")
+    )
+
+
+def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour per-user aggregate with a 1-hour watermark,
+    drained via AvailableNow into a memory sink; returns the final
+    batch-equivalent result. Aggregates chosen exact (count/min/max) so
+    the DuckDB oracle matches bitwise."""
+    events = _read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("value").alias("max_value"),
+            F.min("value").alias("min_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").cast("timestamp_ntz").alias("win_start"),
+            "n_events",
+            "max_value",
+            "min_value",
+        )
+    )
+    name = "stream_win_agg"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def rule3_city_hop_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-3 as a custom stateful streaming operator: per-user state =
+    (last_ts, last_type); emit events whose type differs from the
+    previous one within < 1 hour (trsh_rep_fraud_sync.sql:76-77
+    semantics on the events analog). Assumes per-key event-time-ordered
+    arrival within the replay (single parquet batch here); a production
+    variant buffers by watermark before comparing."""
+
+    out_schema = (
+        "event_id bigint, user_id bigint, ts timestamp, event_type string, "
+        "prv_type string, prv_ts timestamp"
+    )
+    state_schema = "last_ts timestamp, last_type string"
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        last_ts, last_type = state.get if state.exists else (None, None)
+        hits = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for r in pdf.itertuples(index=False):
+                if (
+                    last_type is not None
+                    and r.event_type != last_type
+                    and r.ts < last_ts + timedelta(hours=1)
+                ):
+                    hits.append(
+                        (r.event_id, user_id, r.ts, r.event_type, last_type, last_ts)
+                    )
+                last_ts, last_type = r.ts, r.event_type
+        state.update((last_ts, last_type))
+        if hits:
+            yield pd.DataFrame(
+                hits,
+                columns=["event_id", "user_id", "ts", "event_type", "prv_type", "prv_ts"],
+            )
+
+    events = _read_events_stream(spark, sf_dir)
+    flagged = (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+    name = "stream_rule3"
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "event_type", "prv_type",
+        F.col("prv_ts").cast("timestamp_ntz").alias("prv_ts"),
+    )
