@@ -47,8 +47,13 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n:
             " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
         ),
     )
+    # Spread the explode: a single-file scan would otherwise shingle the
+    # whole corpus in one task (at 100 TB the scan has many splits and
+    # this repartition is a no-op cost-wise relative to the explode).
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
     return (
         docs.where(F.size(toks) >= n)
+        .repartition(n_part, F.col(id_col))
         .select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
     )
 
@@ -56,7 +61,11 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n:
 def _jaccard_between(sh: DataFrame, pairs: DataFrame | None, tau: float) -> DataFrame:
     """Jaccard over shingle sets for (a, b) doc pairs. With pairs=None
     every co-shingled pair is considered (exact n-gram Jaccard); with a
-    candidate frame only those pairs are verified (the LSH path)."""
+    candidate frame only those pairs are verified (the LSH path).
+
+    ``sh`` feeds three subplans (both join sides + the per-doc counts);
+    persist it so shingling runs once, not three times."""
+    sh = sh.persist()
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")

@@ -51,13 +51,20 @@ def brute_force_topk(
     full corpus; one pass, no shuffle of the big side; ties broken by
     candidate id so results are total-order deterministic."""
     q = emb.where(query_pred).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
     )
-    c = emb.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    c = emb.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"))
+        .select(
+            "query_id", "cand_id",
+            (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
@@ -89,18 +96,24 @@ def lsh_ann_topk(
     bucket. Recall < 1 by construction; cost drops from O(Q·N) to
     O(Q·N/2^bits) expected."""
     bucketed = emb.select(
-        F.col(id_col), F.col(vec_col), sign_lsh_bucket(vec_col, n_bits).alias("bucket")
+        F.col(id_col), F.col(vec_col), sign_lsh_bucket(vec_col, n_bits).alias("bucket"),
+        norm(F.col(vec_col)).alias("nrm"),
     )
     q = bucketed.where(query_pred).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket",
+        F.col("nrm").alias("q_norm"),
     )
     c = bucketed.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"), "bucket"
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"), "bucket",
+        F.col("nrm").alias("c_norm"),
     )
     scored = (
         c.join(F.broadcast(q), ["bucket"])
         .where(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"))
+        .select(
+            "query_id", "cand_id",
+            (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
@@ -112,12 +125,26 @@ def lsh_ann_topk(
 
 def cosine_near_dup_pairs(emb: DataFrame, tau: float = 0.4, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, cosine >= tau). Quadratic
-    baseline; at scale gate it behind sign_lsh_bucket equality first."""
-    a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    baseline; at scale gate it behind sign_lsh_bucket equality first.
+
+    Norms are computed ONCE per row before the pair blow-up (N folds,
+    not N² extra) — bit-identical to folding inside the pair because the
+    expression tree per pair is unchanged: dot/(sqrt(x)·sqrt(y))."""
+    n_part = emb.sparkSession.sparkContext.defaultParallelism
+    a = emb.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    ).repartition(n_part)
+    b = emb.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
     return (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .select(
+            "a", "b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
         .where(F.col("cos") >= tau)
     )

@@ -345,7 +345,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import MEDIA_SCHEMA, extract_media_features
 
     rows = [(i, f, w, h, bytes.fromhex(x)) for i, f, w, h, x in MEDIA_ROWS]
-    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    # coalesce: don't spawn a Python worker per empty slice for a 6-row fixture
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA).coalesce(2)
     out = extract_media_features(media)
     return out.select(
         "media_id",

@@ -51,6 +51,23 @@ def _stream_dir(sf_dir: str) -> str:
     return d
 
 
+class _few_state_partitions:
+    """Run a stream with few state partitions: local state store instances
+    cost ~RocksDB/HDFS-backed overhead per partition per micro-batch; at
+    test scale 8 partitions beat 32. (On a real cluster you would size
+    this to executor count instead.)"""
+
+    def __init__(self, spark: SparkSession, n: int = 8):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.saved = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
+
+
 def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import tune
 
@@ -84,14 +101,15 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "stream_win_agg"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _few_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -142,14 +160,15 @@ def rule3_city_hop_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "stream_rule3"
-    q = (
-        flagged.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _few_state_partitions(spark):
+        q = (
+            flagged.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "event_id", "user_id",
         F.col("ts").cast("timestamp_ntz").alias("ts"),
