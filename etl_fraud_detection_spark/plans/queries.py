@@ -18,6 +18,7 @@ Oracle-parity ground rules (derived empirically, see tools/check_oracle.py):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -893,5 +894,57 @@ def q_fraud_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         empty_report, _now_col(),
     )
 
-# Extension operators (dedup / similarity / text) register on import.
+# ---------------------------------------------------------------------------
+# S1/S3/S4/S5 file ingestion, end-to-end (SURVEY §2.1; reference file.py,
+# finder.py). The query materializes a deterministic daily file — semicolon
+# separator, UTF-8 BOM, decimal-comma amounts, %d%m%Y filename date — then
+# runs the real discover -> dispatch -> read -> batch-date-stamp path.
+# ---------------------------------------------------------------------------
+
+_INGEST_ROWS = [
+    ("1", "alpha widget", "12,50"),
+    ("2", "beta;gadget", "3,07"),  # quoted field containing the separator
+    ("3", "gamma", "1100,00"),
+]
+
+
+@query(
+    "q_ingest_csv",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 'alpha widget', CAST('12.50' AS DECIMAL(18,2)), TIMESTAMP '2024-03-05 00:00:00'),
+        (2, 'beta;gadget',  CAST('3.07'  AS DECIMAL(18,2)), TIMESTAMP '2024-03-05 00:00:00'),
+        (3, 'gamma',        CAST('1100.00' AS DECIMAL(18,2)), TIMESTAMP '2024-03-05 00:00:00')
+    ) AS t(item_id, item_name, amount, create_dt)
+    """,
+)
+def q_ingest_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 delimited scan + S3 dispatch + S4 filename date + S5 glob
+    discovery (reference file.py:14-45, finder.py:14-26). Decimal-comma
+    normalization happens as a column expression (F8), not a raw-line
+    Python rewrite."""
+    import csv
+    import tempfile
+
+    from ..sources import files as src
+
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_ingest")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "items_05032024.txt")
+    with open(path, "w", encoding="utf-8-sig", newline="") as fh:
+        w = csv.writer(fh, delimiter=";", quoting=csv.QUOTE_MINIMAL)
+        w.writerow(["item_id", "item_name", "amount"])
+        w.writerows(_INGEST_ROWS)
+
+    (f,) = src.discover(d, ["items_*.txt"])
+    df = src.read_any(spark, f, decimal_comma_cols=["amount"])
+    return src.with_batch_date(df, f).select(
+        F.col("item_id").cast("int").alias("item_id"),
+        F.col("item_name"),
+        F.col("amount"),
+        F.col("create_dt"),
+    )
+
+
+# Extension operators (dedup / similarity / text / ML) register on import.
 from . import queries_ext  # noqa: E402,F401

@@ -362,6 +362,25 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# MLlib classification (north star: "DataFrame ops + MLlib classification")
+# ---------------------------------------------------------------------------
+
+
+@query("q_ml_fraud_classifier")  # iterative training: no SQL oracle, rows-only
+def q_ml_fraud_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression over the embedding vectors + label column,
+    reported as the (label, prediction, n) confusion matrix — the
+    learned counterpart of the rule-based fraud flags. Training is
+    MLlib LBFGS (distributed tree-aggregated gradients); scoring is a
+    map-only transform. See operators/ml.py."""
+    from ..operators import ml
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = ml.train_fraud_classifier(emb)
+    return ml.confusion_matrix(ml.score(model, emb))
+
+
 @query(
     "q_stream_window_agg",
     oracle="""

@@ -1,0 +1,185 @@
+"""Unit tests for the training-data-pipeline operators on tiny
+hand-built frames: dedup family, similarity search, text analysis,
+multimodal plumbing, MLlib classifier."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_fraud_detection_spark.operators import dedup, ml, similarity, text
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup_groups_identical_texts(spark):
+    d = docs_df(spark, [(1, "a b c"), (2, "a b c"), (3, "x y z")])
+    out = {r.canonical_id: r.n_copies for r in dedup.exact_dedup(d).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_shingles_drop_short_docs_and_dedupe(spark):
+    d = docs_df(spark, [(1, "a b c d"), (2, "a b"), (3, "a b a b a b a b")])
+    sh = dedup.shingles(d).collect()
+    by_doc = {}
+    for r in sh:
+        by_doc.setdefault(r.doc_id, set()).add(r.shingle)
+    assert 2 not in by_doc  # < 3 tokens
+    assert by_doc[1] == {"a b c", "b c d"}
+    assert by_doc[3] == {"a b a", "b a b"}  # distinct only
+
+
+def test_ngram_jaccard_identical_and_disjoint(spark):
+    d = docs_df(
+        spark,
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox jumps"),  # identical -> jaccard 1.0
+            (3, "completely different words here now"),
+        ],
+    )
+    rows = dedup.ngram_jaccard_pairs(d, tau=0.5).collect()
+    assert [(r.a, r.b, r.jaccard) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_minhash_lsh_finds_identical_pair(spark):
+    # Identical docs share every minhash -> every band collides.
+    d = docs_df(
+        spark,
+        [
+            (1, "one two three four five six"),
+            (2, "one two three four five six"),
+            (3, "seven eight nine ten eleven twelve"),
+        ],
+    )
+    rows = dedup.minhash_lsh_pairs(d, tau=0.9).collect()
+    assert [(r.a, r.b) for r in rows] == [(1, 2)]
+
+
+def test_simhash_identical_docs_share_bucket(spark):
+    d = docs_df(spark, [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zzz")])
+    rows = {r.doc_id: r for r in dedup.simhash(d).collect()}
+    assert rows[1].simhash == rows[2].simhash
+    assert rows[1].bucket_size == 2 or rows[3].simhash == rows[1].simhash
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+
+def emb_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_orthogonal_and_parallel(spark):
+    d = emb_df(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [2.0, 0.0])])
+    pairs = {(r.a, r.b): r.cos for r in similarity.cosine_near_dup_pairs(d, tau=-1.0).collect()}
+    assert math.isclose(pairs[(1, 3)], 1.0)
+    assert math.isclose(pairs[(1, 2)], 0.0, abs_tol=1e-12)
+
+
+def test_brute_force_topk_ranks_by_cosine(spark):
+    d = emb_df(
+        spark,
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.05])],
+    )
+    rows = similarity.brute_force_topk(d, k=2, query_pred="vec_id = 0").collect()
+    assert [(r.rnk, r.cand_id) for r in rows] == [(1, 3), (2, 1)]
+
+
+def test_lsh_ann_restricts_to_bucket(spark):
+    # vec 2 lands in a different sign bucket (negative first coord).
+    d = emb_df(
+        spark,
+        [(0, [1.0, 1.0]), (1, [0.5, 1.0]), (2, [-1.0, 1.0])],
+    )
+    rows = similarity.lsh_ann_topk(d, k=5, query_pred="vec_id = 0", n_bits=2).collect()
+    assert {r.cand_id for r in rows} == {1}
+
+
+# ---------------------------------------------------------------------------
+# text
+# ---------------------------------------------------------------------------
+
+
+def test_text_stats_exact_counts(spark):
+    d = spark.createDataFrame(
+        [(1, "the cat, the hat!", "en")], "doc_id long, text string, lang string"
+    )
+    r = text.with_text_stats(d).first()
+    assert r.n_tokens == 4
+    assert r.n_chars_calc == 17
+    assert r.n_punct == 2  # ',' and '!'
+    assert math.isclose(r.stopword_ratio, 0.5)  # 'the' twice / 4
+
+
+def test_lang_id_marker_votes(spark):
+    d = spark.createDataFrame(
+        [(1, "der hund und die katze", "de"), (2, "the dog and the cat", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r.pred_lang for r in text.with_lang_id(d).collect()}
+    assert out == {1: "de", 2: "en"}
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    d = spark.createDataFrame(
+        [(1, "Hello  World", "en"), (2, "hello world", "en"), (3, "other", "en")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r.doc_id: r for r in text.with_fingerprint(d).collect()}
+    assert rows[1].fp == rows[2].fp
+    assert rows[1].fp_bucket == rows[2].fp_bucket
+    assert rows[3].fp != rows[1].fp
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_features_byte_exact(spark):
+    from etl_fraud_detection_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+        real_decode,
+    )
+
+    payload = bytes([255, 0, 255, 0, 9, 9])
+    media = spark.createDataFrame(
+        [(7, "png", 4, 4, payload)], schema=MEDIA_SCHEMA
+    ).coalesce(1)
+    r = extract_media_features(media).first()
+    assert r.n_bytes == 6
+    assert (r.width, r.height) == (4, 4)
+    assert math.isclose(r.brightness, (255 + 0 + 255 + 0) / (4 * 255.0))
+    with pytest.raises(NotImplementedError):
+        real_decode(payload)
+
+
+# ---------------------------------------------------------------------------
+# ml
+# ---------------------------------------------------------------------------
+
+
+def test_classifier_learns_separable_labels(spark):
+    rows = [(i, [float(i % 2 * 2 - 1), 1.0], i % 2) for i in range(40)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    model = ml.train_fraud_classifier(emb)
+    scored = ml.score(model, emb)
+    acc = scored.agg(
+        F.avg((F.col("label") == F.col("prediction")).cast("double"))
+    ).first()[0]
+    assert acc == 1.0  # linearly separable by the first coordinate
+    cm = {(r.label, r.prediction): r.n for r in ml.confusion_matrix(scored).collect()}
+    assert cm == {(0, 0): 20, (1, 1): 20}
