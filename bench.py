@@ -33,11 +33,22 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, spec in QUERIES.items():
+        # Each query is timed from a clean cache so earlier queries'
+        # persisted frames don't skew later measurements.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = spec.fn(spark, SF_DIR)
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # Free memory-sink tables of drained streaming queries — a
+        # "complete"-mode sink pins its rows on the driver and skews the
+        # next query's timing.
+        for view in ("stream_win_agg", "stream_rule3"):
+            try:
+                spark.catalog.dropTempView(view)
+            except Exception:
+                pass
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -123,6 +123,69 @@ def lsh_ann_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    query_pred: str = "vec_id < 50",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest coarse centroid
+    (cosine argmax, ties by centroid id), then search only the query's
+    cell (nprobe=1).
+
+    The coarse quantizer here is deterministic — the ``n_centroids``
+    lowest-id vectors act as centroids — so the whole operator is
+    oracle-expressible; swapping in MLlib KMeans centroids changes one
+    line (the ``cen`` frame) and nothing downstream.
+
+    Scale shape (100 TB): assignment is a broadcast O(N·K) map pass; the
+    shuffle is on cell id, so each cell's candidates co-locate exactly
+    like a real IVF index; skewed cells split under AQE."""
+    w_assign = Window.partitionBy("vid").orderBy(F.col("a_cos").desc(), F.col("cid"))
+    cen = emb.where(f"{id_col} < {n_centroids}").select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cen_vec"),
+        norm(F.col(vec_col)).alias("cen_norm"),
+    )
+    base = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("vnorm"),
+    )
+    assigned = (
+        base.crossJoin(F.broadcast(cen))
+        .select(
+            "vid", "vec", "vnorm", "cid",
+            (dot(F.col("vec"), F.col("cen_vec")) / (F.col("vnorm") * F.col("cen_norm"))).alias("a_cos"),
+        )
+        .withColumn("arn", F.row_number().over(w_assign))
+        .where(F.col("arn") == 1)
+        .select("vid", "vec", "vnorm", "cid")
+    )
+    q = assigned.where(query_pred.replace(id_col, "vid")).select(
+        F.col("vid").alias("query_id"), F.col("vec").alias("q_vec"),
+        F.col("vnorm").alias("q_norm"), "cid",
+    )
+    c = assigned.select(
+        F.col("vid").alias("cand_id"), F.col("vec").alias("c_vec"),
+        F.col("vnorm").alias("c_norm"), "cid",
+    )
+    scored = (
+        c.join(F.broadcast(q), ["cid"])
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id", "cand_id",
+            (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "rnk", "cos")
+    )
+
+
 def cosine_near_dup_pairs(emb: DataFrame, tau: float = 0.4, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, cosine >= tau). Quadratic
     baseline; at scale gate it behind sign_lsh_bucket equality first.

@@ -304,6 +304,38 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(_t(spark, sf_dir, "embeddings"), k=3)
 
 
+def _ivf_oracle() -> str:
+    return f"""
+    WITH cen AS (SELECT vec_id AS cid, embedding AS cen_vec FROM embeddings WHERE vec_id < 16),
+    assign AS (
+        SELECT e.vec_id AS vid, e.embedding AS vec, cid,
+               {_cos_sql('e.embedding', 'cen_vec')} AS a_cos,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e.embedding', 'cen_vec')} DESC, cid) AS arn
+        FROM embeddings e CROSS JOIN cen
+    ),
+    cells AS (SELECT vid, vec, cid FROM assign WHERE arn = 1),
+    q AS (SELECT vid AS query_id, vec AS q_vec, cid FROM cells WHERE vid < 50),
+    c AS (SELECT vid AS cand_id, vec AS c_vec, cid FROM cells),
+    scored AS (
+        SELECT query_id, cand_id, {_cos_sql('q_vec', 'c_vec')} AS cos
+        FROM c JOIN q USING (cid) WHERE cand_id != query_id
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, cand_id) AS rnk
+          FROM scored)
+    SELECT query_id, cand_id, rnk, cos FROM r WHERE rnk <= 3
+    """
+
+
+@query("q_ann_ivf_topk", oracle=_ivf_oracle())
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: broadcast coarse-centroid assignment, then search
+    only the query's cell (nprobe=1) — shuffle keyed on cell id, the
+    same shape a real IVF index takes at 100 TB."""
+    return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"), k=3)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns (binary payload + typed metadata, mapInPandas)
 # ---------------------------------------------------------------------------

@@ -105,6 +105,18 @@ def test_lsh_ann_restricts_to_bucket(spark):
     assert {r.cand_id for r in rows} == {1}
 
 
+def test_ivf_topk_searches_own_cell_only(spark):
+    # Centroids = vecs 0 and 1 (n_centroids=2). Vec 2 joins cell 0
+    # (parallel to vec 0), vec 3 joins cell 1. Query 0 must see only
+    # cell-0 members.
+    d = emb_df(
+        spark,
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [2.0, 0.1]), (3, [0.1, 3.0])],
+    )
+    rows = similarity.ivf_topk(d, k=5, n_centroids=2, query_pred="vec_id = 0").collect()
+    assert {r.cand_id for r in rows} == {2}
+
+
 # ---------------------------------------------------------------------------
 # text
 # ---------------------------------------------------------------------------
