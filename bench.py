@@ -44,11 +44,15 @@ def main() -> None:
         # Free memory-sink tables of drained streaming queries — a
         # "complete"-mode sink pins its rows on the driver and skews the
         # next query's timing.
-        for view in ("stream_win_agg", "stream_rule3"):
+        dropped = False
+        for view in ("stream_win_agg", "stream_rule3", "stream_rule4"):
             try:
-                spark.catalog.dropTempView(view)
+                dropped = spark.catalog.dropTempView(view) or dropped
             except Exception:
                 pass
+        if dropped:
+            # reclaim the sink rows now, not during the next measurement
+            spark.sparkContext._jvm.System.gc()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -150,6 +150,43 @@ def minhash_lsh_pairs(
     return _jaccard_between(sh, candidates, tau)
 
 
+def near_dup_clusters(docs: DataFrame, tau: float = 0.8, id_col: str = "doc_id") -> DataFrame:
+    """Connected components over the near-dup pair graph: every doc gets
+    ``cluster_id`` = the minimum doc id reachable through pairs with
+    Jaccard >= tau (singletons keep their own id).
+
+    Iterative min-label propagation with a driver-side fixpoint test —
+    the Spark-idiomatic connected components: each round is one
+    edges⋈labels shuffle + groupBy-min, converging in O(cluster
+    diameter) rounds (near-dup clusters are shallow, so 2-4 rounds).
+    ``localCheckpoint`` truncates the growing lineage each round; on a
+    real cluster use ``checkpoint`` with a reliable dir instead."""
+    pairs = ngram_jaccard_pairs(docs, tau).select("a", "b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint()
+    while True:
+        nbr = (
+            edges.join(labels, edges["b"] == labels["doc_id"])
+            .groupBy("a")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        joined = labels.join(nbr, labels["doc_id"] == nbr["a"], "left")
+        n_changed = joined.where(F.col("nbr_min") < F.col("cluster_id")).count()
+        labels = joined.select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+            ).alias("cluster_id"),
+        ).localCheckpoint()
+        if n_changed == 0:
+            edges.unpersist()
+            return labels
+
+
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """SimHash over distinct tokens: token hash = first 8 md5 hex digits
     as int; bit j of the signature is set when Σ(±1 per token, sign of

@@ -82,6 +82,41 @@ def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs, single digits, single punctuation —
+# the shape GPT-style byte-pair pre-splitting produces, as one regex.
+BPE_ISH_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+
+def bpe_ish_token_count(text_col: str = "text") -> Column:
+    """Sub-word-ish token budget estimate via regexp_extract_all — far
+    closer to a real BPE count than whitespace splitting (digits and
+    punctuation tokenize separately), still pure codegen."""
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_RE), 0))
+
+
+def with_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token budgeting: whitespace count (the cheap proxy) next to the
+    BPE-ish regex count (the billing-grade proxy)."""
+    return docs.select(
+        "doc_id",
+        token_count(text_col).cast("long").alias("n_ws_tokens"),
+        bpe_ish_token_count(text_col).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def rolling_hash(text_col: str = "text", base: int = 131, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over the character codepoints (left fold
+    ``acc*base + code (mod m)`` seeded with the first code) — the
+    classic Rabin-Karp document fingerprint, entirely in codegen.
+    Intermediate values stay < mod*base + 255 << 2^63, so bigint-safe."""
+    codes = F.transform(F.split(F.col(text_col), ""), lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        F.slice(codes, 2, F.greatest(F.size(codes) - 1, F.lit(0))),
+        F.element_at(codes, 1).cast("long"),
+        lambda acc, x: (acc * base + x) % mod,
+    )
+
+
 def with_fingerprint(docs: DataFrame, text_col: str = "text", buckets: int = 1024) -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercase
     text, plus a stable integer bucket (the first 15 hex digits as a

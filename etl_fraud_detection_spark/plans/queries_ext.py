@@ -128,6 +128,38 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.with_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "q_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{text.BPE_ISH_RE}')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting: whitespace count + BPE-ish regex count
+    (letter runs / single digits / single punctuation), both codegen."""
+    return text.with_token_counts(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_rolling_hash",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)),
+                       (acc, x) -> (acc * 131 + x) % 1000000007) AS rh
+    FROM documents
+    """,
+)
+def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp polynomial rolling-hash document fingerprint — a
+    seedable alternative to md5 that supports incremental/windowed
+    variants at ingestion time."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.rolling_hash().alias("rh"))
+
+
 # ---------------------------------------------------------------------------
 # Deduplication family
 # ---------------------------------------------------------------------------
@@ -226,6 +258,29 @@ def _simhash_oracle() -> str:
            COUNT(*) OVER (PARTITION BY simhash) AS bucket_size
     FROM sig
     """
+
+
+def _clusters_oracle() -> str:
+    pairs_sql = f"WITH {_SHINGLES},\n" + _JACCARD_TAIL.format(cand_join="", tau=0.8)
+    return f"""
+    WITH RECURSIVE pairs AS (SELECT a, b FROM ({pairs_sql})),
+    edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+    reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT re.doc_id, e.b FROM reach re JOIN edges e ON re.r = e.a
+    )
+    SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+    """
+
+
+@query("q_dedup_clusters", oracle=_clusters_oracle())
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components (min-label propagation to
+    fixpoint) over the Jaccard>=0.8 pair graph; the oracle is the same
+    closure as a recursive CTE. The step that turns pairwise dedup into
+    keep-one-per-group semantics."""
+    return dedup.near_dup_clusters(_t(spark, sf_dir, "documents"), tau=0.8)
 
 
 @query("q_dedup_simhash", oracle=_simhash_oracle())
@@ -454,3 +509,37 @@ def q_stream_rule3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.rules import rule3_city_hop_stream
 
     return rule3_city_hop_stream(spark, sf_dir)
+
+
+@query(
+    "q_stream_rule4",
+    oracle="""
+    SELECT event_id, user_id, ts, value, min_ts
+    FROM (
+        SELECT event_id, user_id, ts, event_type, value, prv_value, min_ts, oper,
+               MIN(CASE WHEN value < prv_value THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS reducion
+        FROM (
+            SELECT event_id, user_id, ts, event_type, value,
+                   LAG(value) OVER w AS prv_value,
+                   MIN(ts) OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS min_ts,
+                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS oper
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+    )
+    WHERE event_type = 'purchase'
+      AND oper >= 2
+      AND ts < min_ts + INTERVAL 12 HOUR
+      AND reducion = 1
+    """,
+)
+def q_stream_rule4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule 4 (amount guessing) as a stateful streaming operator:
+    per-user last-3-events deque reproduces the batch ROWS frames —
+    must equal the batch window query (the oracle)."""
+    from ..streaming.rules import rule4_amount_guess_stream
+
+    return rule4_amount_guess_stream(spark, sf_dir)

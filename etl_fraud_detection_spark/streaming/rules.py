@@ -159,7 +159,16 @@ def rule3_city_hop_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
-    name = "stream_rule3"
+    out = _drain_append(spark, flagged, "stream_rule3")
+    return out.select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "event_type", "prv_type",
+        F.col("prv_ts").cast("timestamp_ntz").alias("prv_ts"),
+    )
+
+
+def _drain_append(spark: SparkSession, flagged: DataFrame, name: str) -> DataFrame:
     with _few_state_partitions(spark):
         q = (
             flagged.writeStream.format("memory")
@@ -169,9 +178,73 @@ def rule3_city_hop_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return spark.table(name).select(
+    return spark.table(name)
+
+
+def rule4_amount_guess_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-4 (amount guessing, trsh_rep_fraud_sync.sql:82-129 analog) as
+    a stateful streaming operator. Per-user state = the last 3 events
+    (ts, value, is_error) plus the previous row's decrease flag — enough
+    to reproduce every ROWS-frame in the batch query:
+
+      prv_value           LAG(value)                 <- deque[-1]
+      min_ts / oper       MIN(ts)/SUM(err) -3..-1    <- whole deque
+      reducion            MIN(flag) -1..current      <- prv_flag & flag
+
+    Emits events where event_type='purchase', >=2 errors in the prior 3,
+    ts < min_ts + 12h, and the last two steps both decreased — identical
+    to the batch window query (the oracle)."""
+
+    out_schema = (
+        "event_id bigint, user_id bigint, ts timestamp, value double, "
+        "min_ts timestamp"
+    )
+    state_schema = (
+        "tss array<timestamp>, vals array<double>, errs array<int>, prv_flag int"
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            tss, vals, errs, prv_flag = state.get
+            tss, vals, errs = list(tss), list(vals), list(errs)
+        else:
+            tss, vals, errs, prv_flag = [], [], [], 0
+        hits = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for r in pdf.itertuples(index=False):
+                flag = 1 if tss and r.value < vals[-1] else 0
+                reducion = min(prv_flag, flag) if tss else flag
+                if (
+                    r.event_type == "purchase"
+                    and tss
+                    and sum(errs) >= 2
+                    and r.ts < min(tss) + timedelta(hours=12)
+                    and reducion == 1
+                ):
+                    hits.append((r.event_id, user_id, r.ts, r.value, min(tss)))
+                tss.append(r.ts)
+                vals.append(r.value)
+                errs.append(1 if r.event_type == "error" else 0)
+                tss, vals, errs = tss[-3:], vals[-3:], errs[-3:]
+                prv_flag = flag
+        state.update((tss, vals, errs, prv_flag))
+        if hits:
+            yield pd.DataFrame(
+                hits, columns=["event_id", "user_id", "ts", "value", "min_ts"]
+            )
+
+    events = _read_events_stream(spark, sf_dir)
+    flagged = events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    out = _drain_append(spark, flagged, "stream_rule4")
+    return out.select(
         "event_id", "user_id",
         F.col("ts").cast("timestamp_ntz").alias("ts"),
-        "event_type", "prv_type",
-        F.col("prv_ts").cast("timestamp_ntz").alias("prv_ts"),
+        "value",
+        F.col("min_ts").cast("timestamp_ntz").alias("min_ts"),
     )
