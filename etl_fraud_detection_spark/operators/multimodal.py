@@ -40,6 +40,61 @@ def real_decode(payload: bytes) -> tuple[int, int]:  # pragma: no cover
     )
 
 
+RESIZE_SCHEMA = (
+    "media_id long, width int, height int, new_width int, new_height int, "
+    "payload binary"
+)
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame binary"
+
+
+def resize_media(media: DataFrame, max_dim: int = 16) -> DataFrame:
+    """Resize plumbing: compute target dimensions (fit-within-max_dim,
+    aspect preserved, never upscale) per blob in an Arrow batch. The
+    pixel resample itself is the stubbed codec step (``real_decode``) —
+    a real deployment replaces the payload passthrough with
+    PIL.Image.resize; the Spark contract (schema, batching, no shuffle)
+    is identical."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            longest = pdf[["width", "height"]].max(axis=1).clip(lower=1)
+            scale = (max_dim / longest).clip(upper=1.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "new_width": (pdf["width"] * scale).astype("int32"),
+                    "new_height": (pdf["height"] * scale).astype("int32"),
+                    "payload": pdf["payload"],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, frame_size: int = 4, stride: int = 2) -> DataFrame:
+    """Frame sampling for video-like payloads: treat the blob as a
+    concatenation of fixed-size frames and emit every ``stride``-th one
+    (a real container would use keyframe offsets from the demuxer — the
+    stubbed step). One input row fans out to many; still map-only, no
+    shuffle: sampling happens where the blob was read."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n = len(payload) // frame_size
+                for i in range(0, n, stride):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(payload[i * frame_size : (i + 1) * frame_size])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def extract_media_features(media: DataFrame) -> DataFrame:
     """Per-blob features via an Arrow-batched pandas iterator: byte
     count, declared dimensions, and a deterministic stand-in for a

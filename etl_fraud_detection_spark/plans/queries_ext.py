@@ -444,6 +444,68 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MEDIA_VALUES = ",\n        ".join(
+    f"({i}, '{f}', {w}, {h}, '{x}')" for i, f, w, h, x in MEDIA_ROWS
+)
+
+
+def _media_df(spark: SparkSession):
+    from ..operators.multimodal import MEDIA_SCHEMA
+
+    rows = [(i, f, w, h, bytes.fromhex(x)) for i, f, w, h, x in MEDIA_ROWS]
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).coalesce(2)
+
+
+@query(
+    "q_multimodal_resize",
+    oracle=f"""
+    SELECT media_id, width, height,
+           CAST(width * least(16.0 / greatest(greatest(width, height), 1), 1.0) AS INTEGER) AS new_width,
+           CAST(height * least(16.0 / greatest(greatest(width, height), 1), 1.0) AS INTEGER) AS new_height,
+           octet_length(from_hex(payload_hex)) AS n_bytes
+    FROM (VALUES
+        {_MEDIA_VALUES}
+    ) AS t(media_id, format, width, height, payload_hex)
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit-within-16px resize planning over binary media (aspect kept,
+    no upscale); payload passthrough where the real resample plugs in."""
+    from ..operators.multimodal import resize_media
+
+    out = resize_media(_media_df(spark), max_dim=16)
+    return out.select(
+        "media_id", "width", "height", "new_width", "new_height",
+        F.length("payload").alias("n_bytes"),
+    )
+
+
+@query(
+    "q_multimodal_frames",
+    oracle=f"""
+    WITH fr AS (
+        SELECT media_id, payload_hex,
+               unnest(range(0, length(payload_hex) // 8)) AS frame_idx
+        FROM (VALUES
+            {_MEDIA_VALUES}
+        ) AS v(media_id, format, width, height, payload_hex)
+    )
+    SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           substr(payload_hex, CAST(frame_idx * 8 + 1 AS INTEGER), 8) AS frame_hex
+    FROM fr WHERE frame_idx % 2 = 0
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-2nd 4-byte frame sampled from each payload — the
+    demuxer-driven keyframe-sampling shape, map-only fan-out."""
+    from ..operators.multimodal import sample_frames
+
+    out = sample_frames(_media_df(spark), frame_size=4, stride=2)
+    return out.select(
+        "media_id", "frame_idx", F.lower(F.hex("frame")).alias("frame_hex")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming variants (SURVEY §2.10 extension)
 # ---------------------------------------------------------------------------

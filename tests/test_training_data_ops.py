@@ -177,6 +177,56 @@ def test_multimodal_features_byte_exact(spark):
         real_decode(payload)
 
 
+def test_resize_keeps_aspect_and_never_upscales(spark):
+    from etl_fraud_detection_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_media,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "png", 64, 32, b"xx"), (2, "png", 8, 8, b"yy")], schema=MEDIA_SCHEMA
+    ).coalesce(1)
+    rows = {r.media_id: r for r in resize_media(media, max_dim=16).collect()}
+    assert (rows[1].new_width, rows[1].new_height) == (16, 8)  # scaled 1/4
+    assert (rows[2].new_width, rows[2].new_height) == (8, 8)  # no upscale
+
+
+def test_sample_frames_stride(spark):
+    from etl_fraud_detection_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+
+    payload = bytes(range(12))  # 3 frames of 4 bytes
+    media = spark.createDataFrame(
+        [(1, "vid", 0, 0, payload)], schema=MEDIA_SCHEMA
+    ).coalesce(1)
+    rows = sorted(
+        sample_frames(media, frame_size=4, stride=2).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [(r.frame_idx, bytes(r.frame)) for r in rows] == [
+        (0, bytes([0, 1, 2, 3])),
+        (2, bytes([8, 9, 10, 11])),
+    ]
+
+
+def test_near_dup_clusters_transitive(spark):
+    # a~b and b~c but never a~c directly: one cluster rooted at min id.
+    d = docs_df(
+        spark,
+        [
+            (1, "w1 w2 w3 w4 w5"),
+            (2, "w1 w2 w3 w4 w5"),   # identical to 1
+            (3, "w1 w2 w3 w4 w5 w6"),  # near 1/2 (jaccard 3/4 < .8? -> use tau .5)
+            (9, "zz yy xx ww vv"),
+        ],
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup.near_dup_clusters(d, tau=0.5).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[9] == 9
+
+
 # ---------------------------------------------------------------------------
 # ml
 # ---------------------------------------------------------------------------
