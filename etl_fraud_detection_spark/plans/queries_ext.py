@@ -507,6 +507,182 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus curation: PII redaction, quality gate, deterministic sampling,
+# grouped corpus stats, embedding normalization
+# ---------------------------------------------------------------------------
+
+# Deterministic PII injection (the synthetic corpus has none): suffix built
+# from doc_id, identical expression in both engines.
+_PII_SUFFIX_SQL = (
+    "' u' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.0.' || "
+    "CAST(doc_id % 250 AS VARCHAR) || CASE WHEN doc_id % 3 = 0 "
+    "THEN ' card 4111-1111-1111-1111' ELSE ' tel 555-123-4567' END"
+)
+
+
+def _pii_oracle() -> str:
+    steps, prev = [], "t0"
+    for i, (label, pat) in enumerate(text.PII_PATTERNS, start=1):
+        steps.append(
+            f"s{i} AS (SELECT doc_id, n_email, n_cc, n_phone, n_ip, t{i} FROM ("
+            f"SELECT * REPLACE (len(regexp_extract_all({prev}, '{pat}')) AS n_{label.lower()}), "
+            f"regexp_replace({prev}, '{pat}', '<{label}>', 'g') AS t{i} FROM s{i - 1}))"
+        )
+        prev = f"t{i}"
+    n = len(text.PII_PATTERNS)
+    return f"""
+    WITH s0 AS (
+        SELECT doc_id, text || {_PII_SUFFIX_SQL} AS t0,
+               0 AS n_email, 0 AS n_cc, 0 AS n_phone, 0 AS n_ip
+        FROM documents
+    ),
+    {", ".join(steps)}
+    SELECT doc_id, n_email, n_cc, n_phone, n_ip, t{n} AS redacted FROM s{n}
+    """
+
+
+@query("q_pii_redact", oracle=_pii_oracle())
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing before training: typed placeholder substitution
+    (email, card, phone, IPv4 — card before phone so a card tail never
+    re-matches) + per-kind counts, all regexp codegen in one scan."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" u"), F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0.0."), (F.col("doc_id") % 250).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" card 4111-1111-1111-1111"))
+            .otherwise(F.lit(" tel 555-123-4567")),
+        ).alias("text"),
+    )
+    return text.with_pii_redaction(injected)
+
+
+_STATS_SQL = f"""
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+           CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)
+               / len(toks) AS stopword_ratio,
+           CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_tok_len
+    FROM ({_TOKS})
+"""
+
+
+@query(
+    "q_quality_filter",
+    oracle=f"""
+    SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, mean_tok_len,
+           NOT (n_tokens < 5 OR n_tokens > 500 OR punct_ratio > 0.10
+                OR stopword_ratio < 0.01
+                OR mean_tok_len < 2.0 OR mean_tok_len > 12.0) AS keep,
+           concat_ws(',',
+               CASE WHEN n_tokens < 5 THEN 'too_short' END,
+               CASE WHEN n_tokens > 500 THEN 'too_long' END,
+               CASE WHEN punct_ratio > 0.10 THEN 'punct_heavy' END,
+               CASE WHEN stopword_ratio < 0.01 THEN 'low_stopword' END,
+               CASE WHEN mean_tok_len < 2.0 OR mean_tok_len > 12.0
+                    THEN 'tok_len_outlier' END) AS drop_reasons
+    FROM ({_STATS_SQL})
+    """,
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop quality gate over the text-stats features with an
+    auditable drop-reasons string; fuses with the stats scan."""
+    return text.with_quality_filter(_t(spark, sf_dir, "documents"))
+
+
+_BUCKET_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100"
+
+
+@query(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, bucket FROM (
+        SELECT doc_id, lang, {_BUCKET_SQL} AS bucket FROM documents
+    ) WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 ELSE 10 END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic percentage sample (en 50%, de 30%,
+    rest 10%): md5-bucket filter, no shuffle, reproducible across runs
+    and engines."""
+    from ..operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(
+        docs, {"en": 50, "de": 30}, stratum_col="lang", key_col="doc_id"
+    )
+    return out.select(
+        "doc_id", "lang", sampling.hash_bucket(F.col("doc_id")).alias("bucket")
+    )
+
+
+@query(
+    "q_sample_topk_hash",
+    oracle="""
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sample_key
+    FROM documents ORDER BY sample_key LIMIT 50
+    """,
+)
+def q_sample_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform-but-reproducible sample: order by md5(id),
+    take 50 — executes as per-partition top-k + driver merge
+    (TakeOrderedAndProject), never a global sort."""
+    from ..operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return sampling.hash_topk_sample(docs, k=50, key_col="doc_id")
+
+
+@query(
+    "q_agg_group_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(n_chars) AS sum_chars,
+           min(doc_id) AS min_id,
+           max(doc_id) AS max_id,
+           count(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def q_agg_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus inventory — the hash-aggregate shape (exact
+    integer aggregates only, so oracle-exact). Partial aggregation
+    map-side combines before the single shuffle on lang."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "q_embed_normalize",
+    oracle=f"""
+    SELECT vec_id,
+           sqrt({_dot_sql("embedding", "embedding")}) AS l2_norm,
+           sqrt({_dot_sql("embedding", "embedding")}) = 0.0 AS is_zero,
+           CASE WHEN sqrt({_dot_sql("embedding", "embedding")}) = 0.0 THEN NULL
+                ELSE CAST(embedding[1] AS DOUBLE) / sqrt({_dot_sql("embedding", "embedding")})
+           END AS u0
+    FROM embeddings
+    """,
+)
+def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene: L2 norm (left-fold, bit-exact vs the oracle),
+    zero-vector guard, first normalized component."""
+    return similarity.l2_normalize_features(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
 # Structured Streaming variants (SURVEY §2.10 extension)
 # ---------------------------------------------------------------------------
 
@@ -549,6 +725,18 @@ def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.rules import windowed_event_counts
 
     return windowed_event_counts(spark, sf_dir)
+
+
+@query(
+    "q_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicates over the event stream,
+    AvailableNow) — the surviving key set must equal batch DISTINCT."""
+    from ..streaming.rules import stream_dedup_keys
+
+    return stream_dedup_keys(spark, sf_dir)
 
 
 @query(

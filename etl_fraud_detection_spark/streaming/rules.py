@@ -181,6 +181,23 @@ def _drain_append(spark: SparkSession, flagged: DataFrame, name: str) -> DataFra
     return spark.table(name)
 
 
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: first-seen (user_id, event_type) pairs via
+    dropDuplicates over the event stream — the streaming twin of the
+    batch hash-groupBy dedup. Output is the key set only (which copy
+    survives is arrival-order dependent; the set is deterministic).
+
+    At scale the dedup state is hash-partitioned by key across
+    executors; a production variant bounds it with
+    dropDuplicatesWithinWatermark so keys age out after the lateness
+    horizon instead of growing forever."""
+    events = _read_events_stream(spark, sf_dir)
+    deduped = events.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return _drain_append(spark, deduped, "stream_dedup")
+
+
 def rule4_amount_guess_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule-4 (amount guessing, trsh_rep_fraud_sync.sql:82-129 analog) as
     a stateful streaming operator. Per-user state = the last 3 events

@@ -1,0 +1,96 @@
+"""Unit tests for the corpus-curation operators (PII redaction, quality
+gate, deterministic sampling, embedding normalization)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_fraud_detection_spark.operators import sampling, similarity, text
+
+
+def docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pii_redaction_all_kinds(spark):
+    d = docs(
+        spark,
+        [
+            (1, "mail me at bob.smith+x@corp.example.com today"),
+            (2, "card 1234-5678-9012-3456 expires soon"),
+            (3, "call 555-123-4567 or visit 192.168.0.1"),
+            (4, "nothing sensitive here"),
+        ],
+    )
+    out = {r.doc_id: r for r in text.with_pii_redaction(d).collect()}
+    assert out[1].n_email == 1 and "<EMAIL>" in out[1].redacted
+    assert "bob" not in out[1].redacted
+    assert out[2].n_cc == 1 and out[2].n_phone == 0  # card is NOT phone
+    assert "<CC>" in out[2].redacted
+    assert out[3].n_phone == 1 and out[3].n_ip == 1
+    assert out[3].redacted == "call <PHONE> or visit <IP>"
+    assert out[4].redacted == "nothing sensitive here"
+    assert out[4].n_email == out[4].n_cc == out[4].n_phone == out[4].n_ip == 0
+
+
+def test_pii_card_not_rematched_as_phone(spark):
+    # The card tail "1111-1111-1111" contains a phone-shaped substring;
+    # ordering (CC before PHONE) must prevent double redaction.
+    d = docs(spark, [(1, "pay 4111-1111-1111-1111 now")])
+    r = text.with_pii_redaction(d).collect()[0]
+    assert r.n_cc == 1 and r.n_phone == 0
+    assert r.redacted == "pay <CC> now"
+
+
+def test_quality_filter_reasons(spark):
+    d = docs(
+        spark,
+        [
+            (1, "too short"),  # 2 tokens
+            (2, "the " * 20 + "cat sat of a mat in is to and"),  # healthy
+            (3, "a! b? c. d; e: f, g! h? i. j;"),  # punct heavy
+        ],
+    )
+    out = {r.doc_id: r for r in text.with_quality_filter(d).collect()}
+    assert not out[1].keep and "too_short" in out[1].drop_reasons
+    assert out[2].keep and out[2].drop_reasons == ""
+    assert not out[3].keep and "punct_heavy" in out[3].drop_reasons
+
+
+def test_stratified_sample_deterministic_and_filtered(spark):
+    d = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zz") for i in range(400)],
+        "doc_id long, lang string",
+    )
+    out1 = sampling.stratified_sample(d, {"en": 50}, "lang", "doc_id", default_rate=0)
+    out2 = sampling.stratified_sample(d, {"en": 50}, "lang", "doc_id", default_rate=0)
+    ids1 = sorted(r.doc_id for r in out1.collect())
+    assert ids1 == sorted(r.doc_id for r in out2.collect())  # reproducible
+    assert all(i % 2 == 0 for i in ids1)  # zz stratum rate 0 -> dropped
+    # ~50% of the 200 en docs, within a loose tolerance
+    assert 60 <= len(ids1) <= 140
+
+
+def test_hash_topk_sample_fixed_size(spark):
+    d = spark.range(1000).withColumnRenamed("id", "doc_id")
+    out = sampling.hash_topk_sample(d, k=17, key_col="doc_id")
+    rows1 = sorted(r.doc_id for r in out.collect())
+    rows2 = sorted(
+        r.doc_id
+        for r in sampling.hash_topk_sample(
+            d.repartition(7), k=17, key_col="doc_id"
+        ).collect()
+    )
+    assert len(rows1) == 17
+    assert rows1 == rows2  # partitioning-independent
+
+
+def test_l2_normalize_zero_guard(spark):
+    emb = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = {r.vec_id: r for r in similarity.l2_normalize_features(emb).collect()}
+    assert math.isclose(out[1].l2_norm, 5.0)
+    assert math.isclose(out[1].u0, 0.6)
+    assert not out[1].is_zero
+    assert out[2].is_zero and out[2].l2_norm == 0.0

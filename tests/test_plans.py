@@ -1,0 +1,85 @@
+"""Physical-plan assertions: the properties that make the catalog hold
+up at 100 TB are locked in here so a regression is a test failure, not
+a silent 10× on the cluster.
+
+- dim joins broadcast (no shuffled sort-merge join of the fact table)
+- filters and projections reach the parquet scan (PushedFilters,
+  pruned ReadSchema)
+- order-by + limit executes as TakeOrderedAndProject, not a global sort
+- the text/curation family stays UDF-free (no BatchEvalPython /
+  ArrowEvalPython in the plan) and shuffle-free
+- rule 4's four window functions share ONE shuffle (same window spec)
+"""
+
+import re
+
+import pytest
+
+from etl_fraud_detection_spark.plans.queries import QUERIES
+
+
+def count_nodes(plan: str, node: str) -> int:
+    """Count physical nodes in a formatted explain (each node appears
+    twice: once in the tree, once as a '(n) Node' detail header)."""
+    return len(re.findall(rf"\(\d+\) {node}", plan))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode="formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def q(spark, name):
+    return QUERIES[name].fn(spark, SF_DIR)
+
+
+def test_equi_chain_broadcasts_dims(spark):
+    p = plan_of(q(spark, "q_join_equi_chain"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_temporal_join_is_hash_join_with_range_residual(spark):
+    p = plan_of(q(spark, "q_join_temporal"))
+    assert "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = plan_of(q(spark, "q_filter_pred"))
+    assert "PushedFilters: [" in p
+    # at least the status IN-list must be pushed
+    assert "o_orderstatus" in p.split("PushedFilters")[1].split("]")[0]
+
+
+def test_scan_prunes_columns(spark):
+    p = plan_of(q(spark, "q_scan_project"))
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema  # untouched wide column pruned
+    assert "l_orderkey" in read_schema
+
+
+def test_topk_sample_avoids_global_sort(spark):
+    p = plan_of(q(spark, "q_sample_topk_hash"))
+    assert "TakeOrderedAndProject" in p
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_text_stats", "q_token_count", "q_doc_fingerprint", "q_rolling_hash",
+     "q_pii_redact", "q_quality_filter", "q_sample_stratified"],
+)
+def test_text_family_is_codegen_only_single_scan(spark, name):
+    p = plan_of(q(spark, name))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Exchange" not in p  # scan-project only: no shuffle at any scale
+
+
+def test_window_frames_share_one_shuffle(spark):
+    p = plan_of(q(spark, "q_window_frames"))
+    n_exchange = count_nodes(p, "Exchange")
+    assert n_exchange == 1, f"expected 1 shuffle, saw {n_exchange}"
+    assert count_nodes(p, "Window") <= 2  # frames fused into <=2 Window execs
