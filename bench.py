@@ -45,7 +45,10 @@ def main() -> None:
         # "complete"-mode sink pins its rows on the driver and skews the
         # next query's timing.
         dropped = False
-        for view in ("stream_win_agg", "stream_rule3", "stream_rule4", "stream_dedup"):
+        for view in (
+            "stream_win_agg", "stream_rule3", "stream_rule4",
+            "stream_dedup", "stream_sessions",
+        ):
             try:
                 dropped = spark.catalog.dropTempView(view) or dropped
             except Exception:

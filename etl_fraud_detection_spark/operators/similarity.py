@@ -140,6 +140,30 @@ def lsh_ann_topk(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Train an MLlib KMeans coarse quantizer and return its centers as
+    a (cid, cen_vec, cen_norm) frame — drop-in replacement for
+    ivf_topk's deterministic lowest-id centroids. Training is Lloyd's
+    over the distributed corpus (k-means|| init, seeded)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = emb.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    spark = emb.sparkSession
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cen = spark.createDataFrame(rows, "cid int, cen_vec array<double>")
+    return cen.select("cid", "cen_vec", norm(F.col("cen_vec")).alias("cen_norm"))
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 3,
@@ -147,6 +171,7 @@ def ivf_topk(
     query_pred: str = "vec_id < 50",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest coarse centroid
     (cosine argmax, ties by centroid id), then search only the query's
@@ -159,9 +184,14 @@ def ivf_topk(
 
     Scale shape (100 TB): assignment is a broadcast O(N·K) map pass; the
     shuffle is on cell id, so each cell's candidates co-locate exactly
-    like a real IVF index; skewed cells split under AQE."""
+    like a real IVF index; skewed cells split under AQE.
+
+    Pass ``centroids`` (e.g. from kmeans_centroids) to use a trained
+    coarse quantizer instead; everything downstream is unchanged."""
     w_assign = Window.partitionBy("vid").orderBy(F.col("a_cos").desc(), F.col("cid"))
-    cen = emb.where(f"{id_col} < {n_centroids}").select(
+    cen = centroids if centroids is not None else emb.where(
+        f"{id_col} < {n_centroids}"
+    ).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cen_vec"),
         norm(F.col(vec_col)).alias("cen_norm"),
     )

@@ -8,7 +8,7 @@ its bottom so a single import triggers the full registry).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators import dedup, similarity, text
 from .queries import _t, query
@@ -683,6 +683,183 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Temporal operators (sessionization, as-of join), skew-safe join,
+# grouped quantiles
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           SUM(CASE WHEN prv_ts IS NULL OR ts > prv_ts + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    FROM (
+        SELECT event_id, user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prv_ts
+        FROM events
+    )
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min, strict-greater starts a new
+    session): lag + running sum sharing one window spec — a single
+    shuffle on user_id."""
+    from ..operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return sessionize(ev, ["user_id"], gap_minutes=30)
+
+
+@query(
+    "q_session_stats",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, ts,
+               SUM(CASE WHEN prv_ts IS NULL OR ts > prv_ts + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM (
+            SELECT event_id, user_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prv_ts
+            FROM events
+        )
+    )
+    SELECT user_id, session_seq, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rollup on top of sessionization. The groupBy keys are
+    a superset of the window's partition key, so the aggregate reuses
+    the sessionize shuffle's partitioning — no second Exchange."""
+    from ..operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return (
+        sessionize(ev, ["user_id"], gap_minutes=30)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH l AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    r AS (
+        SELECT user_id, ts, event_id, value FROM (
+            SELECT user_id, ts, event_id, value,
+                   row_number() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'click'
+        ) WHERE rn = 1
+    )
+    SELECT l.event_id, l.user_id, l.ts, l.value,
+           r.ts AS asof_ts, r.event_id AS asof_event_id, r.value AS asof_value
+    FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gains the latest preceding (inclusive)
+    click for its user — union + last(ignoreNulls) carry, one shuffle,
+    no per-key pair blow-up. Inner semantics to match DuckDB ASOF JOIN."""
+    from ..operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    right = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    out = asof_join(left, right, ["user_id"], right_value_cols=["event_id", "value"])
+    return out.where(F.col("asof_ts").isNotNull())
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           l_suppkey AS suppkey, s_name
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join: fact rows scatter over 8 deterministic
+    sub-keys (from the row id, never rand()), the dim replicates 8×, a
+    hot supplier splits across 8 partitions. Result ≡ the plain join
+    (the oracle)."""
+    from ..operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_suppkey").alias("suppkey")
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_name"
+    )
+    out = salted_join(
+        li, sup, ["suppkey"],
+        salt_source=F.col("l_orderkey") * 8 + F.col("l_linenumber"),
+    )
+    return out.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        "suppkey", "s_name",
+    )
+
+
+@query(
+    "q_group_quantiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90
+    FROM events GROUP BY event_type
+    """,
+)
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (Spark `percentile` ≡
+    DuckDB quantile_cont, verified bit-exact). At 100 TB swap for
+    percentile_approx (t-digest sketch, mergeable map-side) — same call
+    shape, bounded error instead of a full sort."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("p25"),
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.9)).alias("p90"),
+    )
+
+
+@query("q_ann_ivf_kmeans")  # KMeans training is iterative: rows-only check
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a *trained* coarse quantizer: MLlib KMeans (seeded,
+    k-means|| init) supplies the centroids; assignment/search identical
+    to q_ann_ivf_topk. No SQL oracle (Lloyd's is iterative); recall vs
+    brute force is asserted in tests/test_ann_kmeans.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cen = similarity.kmeans_centroids(emb, n_centroids=8)
+    return similarity.ivf_topk(emb, k=3, query_pred="vec_id < 50", centroids=cen)
+
+
+# ---------------------------------------------------------------------------
 # Structured Streaming variants (SURVEY §2.10 extension)
 # ---------------------------------------------------------------------------
 
@@ -725,6 +902,38 @@ def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.rules import windowed_event_counts
 
     return windowed_event_counts(spark, sf_dir)
+
+
+@query(
+    "q_stream_sessions",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, ts,
+               SUM(CASE WHEN prv_ts IS NULL OR ts >= prv_ts + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM (
+            SELECT user_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prv_ts
+            FROM events
+        )
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (built-in session_window state merge,
+    30-min gap) — must equal the batch gap-cumsum sessionization. Note
+    session_window's inclusive-gap boundary (ts == prv+30min starts a
+    NEW session) vs sessionize()'s strict-greater; the oracle uses >=."""
+    from ..streaming.rules import session_window_counts
+
+    return session_window_counts(spark, sf_dir)
 
 
 @query(

@@ -181,6 +181,78 @@ def _drain_append(spark: SparkSession, flagged: DataFrame, name: str) -> DataFra
     return spark.table(name)
 
 
+def _stream_dir_with_heartbeat(sf_dir: str) -> str:
+    """Like _stream_dir, plus a one-row far-future 'heartbeat' file
+    (user_id = -1, ts = 2100-01-01). Processed as a second micro-batch
+    (maxFilesPerTrigger=1, oldest file first), it advances the event-time
+    watermark past every real event so append-mode emits the sessions
+    still open at end-of-data — the standard heartbeat idiom for
+    flushing final windows from a bounded replay."""
+    import hashlib
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"spark_events_stream_hb_{tag}")
+    link = os.path.join(d, "events.parquet")
+    if not os.path.islink(link):
+        os.makedirs(d, exist_ok=True)
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    hb = os.path.join(d, "heartbeat.parquet")
+    if not os.path.exists(hb):
+        t_2100_nanos = 4102444800 * 10**9
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([-1], pa.int64()),
+                    "ts": pa.array([t_2100_nanos], pa.int64()),
+                    "user_id": pa.array([-1], pa.int64()),
+                    "event_type": pa.array(["heartbeat"], pa.string()),
+                    "value": pa.array([0.0], pa.float64()),
+                    "props": pa.array([""], pa.string()),
+                }
+            ),
+            hb,
+        )
+    return d
+
+
+def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min) per user via
+    F.session_window — the built-in stateful session operator (merges
+    overlapping sessions; state is per-key session ranges, bounded by
+    the watermark). Drained with AvailableNow; the heartbeat batch
+    closes the sessions still open at end-of-data."""
+    from ..session import tune
+
+    tune(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stream_dir_with_heartbeat(sf_dir))
+    )
+    events = raw.withColumn(
+        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp)")
+    )
+    agg = (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("win.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+    # Drop the heartbeat's own (still-open, never-emitted) key AFTER the
+    # drain: a filter inside the streaming plan would be pushed below the
+    # watermark node and the heartbeat row would never advance it.
+    return _drain_append(spark, agg, "stream_sessions").where(F.col("user_id") >= 0)
+
+
 def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: first-seen (user_id, event_type) pairs via
     dropDuplicates over the event stream — the streaming twin of the

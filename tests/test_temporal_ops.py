@@ -1,0 +1,92 @@
+"""Unit tests for sessionization, as-of join, salted join, and the
+KMeans-quantizer IVF variant."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from etl_fraud_detection_spark.operators.joins import salted_join
+from etl_fraud_detection_spark.operators.temporal import asof_join, sessionize
+
+
+def ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz"
+    )
+
+
+def ts(h, m=0, s=0):
+    return datetime(2025, 1, 1, h, m, s)
+
+
+def test_sessionize_gap_boundary(spark):
+    e = ev(
+        spark,
+        [
+            (1, 7, ts(10, 0)),
+            (2, 7, ts(10, 30)),      # exactly 30 min: SAME session (strict >)
+            (3, 7, ts(11, 0, 1)),    # 30 min + 1 s: new session
+            (4, 8, ts(10, 0)),       # other user: own numbering
+        ],
+    )
+    out = {r.event_id: r.session_seq for r in sessionize(e, ["user_id"]).collect()}
+    assert out[1] == out[2] == 1
+    assert out[3] == 2
+    assert out[4] == 1
+
+
+def test_asof_join_inclusive_and_unmatched(spark):
+    left = ev(spark, [(1, 7, ts(10, 0)), (2, 7, ts(12, 0)), (3, 9, ts(10, 0))])
+    right = spark.createDataFrame(
+        [(7, ts(10, 0), 100.0), (7, ts(11, 0), 200.0), (8, ts(9, 0), 300.0)],
+        "user_id long, ts timestamp_ntz, value double",
+    )
+    out = {
+        r.event_id: r
+        for r in asof_join(
+            left, right, ["user_id"], right_value_cols=["value"]
+        ).collect()
+    }
+    assert out[1].asof_ts == ts(10, 0) and out[1].asof_value == 100.0  # inclusive
+    assert out[2].asof_ts == ts(11, 0) and out[2].asof_value == 200.0  # latest
+    assert out[3].asof_ts is None and out[3].asof_value is None  # no right rows
+
+
+def test_asof_join_tolerance(spark):
+    left = ev(spark, [(1, 7, ts(12, 0))])
+    right = spark.createDataFrame(
+        [(7, ts(10, 0), 1.0)], "user_id long, ts timestamp_ntz, value double"
+    )
+    hit = asof_join(left, right, ["user_id"], right_value_cols=["value"],
+                    tolerance_minutes=180).collect()[0]
+    miss = asof_join(left, right, ["user_id"], right_value_cols=["value"],
+                     tolerance_minutes=60).collect()[0]
+    assert hit.asof_value == 1.0
+    assert miss.asof_value is None and miss.asof_ts is None
+
+
+def test_salted_join_equals_plain_join(spark):
+    # 90% of fact rows share key 1 (hot key); result must equal plain join.
+    big = spark.createDataFrame(
+        [(i, 1 if i % 10 else 2) for i in range(500)], "row_id long, k long"
+    )
+    small = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "miss")], "k long, name string")
+    salted = salted_join(big, small, ["k"], salt_source=F.col("row_id"), n_salt=8)
+    plain = big.join(small, ["k"])
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_kmeans_ivf_schema_and_recall(spark):
+    from etl_fraud_detection_spark.catalog import load_table
+    from etl_fraud_detection_spark.operators import similarity
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cen = similarity.kmeans_centroids(emb, n_centroids=4, max_iter=5)
+    approx = similarity.ivf_topk(emb, k=3, query_pred="vec_id < 20", centroids=cen)
+    exact = similarity.brute_force_topk(emb, k=3, query_pred="vec_id < 20")
+    assert approx.columns == exact.columns
+    a = {(r.query_id, r.cand_id) for r in approx.collect()}
+    e = {(r.query_id, r.cand_id) for r in exact.collect()}
+    assert len(a) > 0
+    # nprobe=1 IVF recall against exact top-3: loose floor, seeded so stable
+    assert len(a & e) / len(e) >= 0.2
