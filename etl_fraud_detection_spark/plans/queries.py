@@ -946,5 +946,38 @@ def q_ingest_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_ingest_xlsx",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('T001', 'ATM', 'Moscow',        TIMESTAMP '2024-03-05 00:00:00'),
+        ('T002', 'POS', 'St.Petersburg', TIMESTAMP '2024-03-05 00:00:00'),
+        ('T003', 'POS', 'Kazan',         TIMESTAMP '2024-03-05 00:00:00')
+    ) AS t(terminal_id, terminal_type, terminal_city, create_dt)
+    """,
+)
+def q_ingest_xlsx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 XLSX scan end-to-end (reference file.py:37-42 reads daily
+    terminal-list XLSX): fabricate the snapshot with the stdlib writer,
+    glob-discover, dispatch by extension, stamp the filename date."""
+    import tempfile
+
+    from ..sources import files as src
+
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_ingest_xlsx")
+    os.makedirs(d, exist_ok=True)
+    src.write_xlsx(
+        os.path.join(d, "terminals_05032024.xlsx"),
+        ["terminal_id", "terminal_type", "terminal_city"],
+        [
+            ["T001", "ATM", "Moscow"],
+            ["T002", "POS", "St.Petersburg"],
+            ["T003", "POS", "Kazan"],
+        ],
+    )
+    (f,) = src.discover(d, ["terminals_*.xlsx"])
+    return src.with_batch_date(src.read_any(spark, f), f)
+
+
 # Extension operators (dedup / similarity / text / ML) register on import.
 from . import queries_ext  # noqa: E402,F401

@@ -848,6 +848,22 @@ def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_sketch_distinct")  # HLL/t-digest values are engine-specific: rows-only
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates per language: HyperLogLog++ distinct counts and
+    a t-digest median — the mergeable, map-side-combining forms that
+    replace exact distinct/percentile at 100 TB (no sort, no
+    full-cardinality state). Accuracy vs exact is asserted in
+    tests/test_storage_layout.py; values are sketch-implementation
+    specific, so this entry is rows-only."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.approx_count_distinct("doc_id").alias("approx_docs"),
+        F.approx_count_distinct("source").alias("approx_sources"),
+        F.percentile_approx("n_chars", 0.5).alias("p50_chars_sketch"),
+    )
+
+
 @query("q_ann_ivf_kmeans")  # KMeans training is iterative: rows-only check
 def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a *trained* coarse quantizer: MLlib KMeans (seeded,

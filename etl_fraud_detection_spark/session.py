@@ -67,6 +67,7 @@ def get_spark(
         .config("spark.driver.host", "127.0.0.1")
         .config("spark.driver.bindAddress", "127.0.0.1")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
     )
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -2,7 +2,8 @@
 
 S1  delimited text scan: ``;``-separated, UTF-8 BOM, header row,
     decimal-comma amounts (reference file.py:29-34)
-S2  XLSX scan (reference file.py:37-42) — gated on openpyxl presence
+S2  XLSX scan (reference file.py:37-42) — stdlib SpreadsheetML parse
+    (zipfile + ElementTree), no openpyxl needed; plus a minimal writer
 S3  extension dispatch (file.py:44-45)
 S4  filename metadata: embedded %d%m%Y date -> the batch create_dt
     (file.py:14-26)
@@ -86,20 +87,116 @@ def read_delimited(
     return df
 
 
-def read_xlsx(spark: SparkSession, path: str) -> DataFrame:
-    """S2: XLSX via pandas on the driver (these files are small daily
-    dim snapshots — hundreds of rows in the reference domain). Gated:
-    openpyxl is not baked into every runtime."""
-    try:
-        import pandas as pd
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 
-        pdf = pd.read_excel(path)  # needs openpyxl
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "XLSX ingestion requires openpyxl; stage these files as "
-            "csv/parquet or install openpyxl"
-        ) from e
-    return spark.createDataFrame(pdf)
+
+def _col_index(ref: str) -> int:
+    """Cell ref column letters -> 0-based index ('A1'->0, 'BC12'->54)."""
+    idx = 0
+    for ch in ref:
+        if not ch.isalpha():
+            break
+        idx = idx * 26 + (ord(ch.upper()) - 64)
+    return idx - 1
+
+
+def read_xlsx(spark: SparkSession, path: str, **_kw) -> DataFrame:
+    """S2: XLSX scan (reference file.py:37-42) with no third-party
+    dependency — an .xlsx is a zip of SpreadsheetML; stdlib zipfile +
+    ElementTree cover the features dimension snapshots use (shared and
+    inline strings, sparse cells, first sheet). Header row = row 1, all
+    values surfaced as strings (exactly like the CSV scan — casts are
+    the caller's schema contract). Driver-side parse is the right
+    trade-off: these are small daily dim lists; the big distributed
+    scans are parquet/CSV."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall(f"{_XLSX_NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t")))
+        sheet = sorted(
+            n for n in z.namelist()
+            if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")
+        )[0]
+        rows: list[dict[int, str | None]] = []
+        for row in ET.fromstring(z.read(sheet)).iter(f"{_XLSX_NS}row"):
+            cells: dict[int, str | None] = {}
+            next_col = 0
+            for c in row.findall(f"{_XLSX_NS}c"):
+                col = _col_index(c.get("r")) if c.get("r") else next_col
+                next_col = col + 1
+                t = c.get("t")
+                if t == "s":
+                    v: str | None = shared[int(c.find(f"{_XLSX_NS}v").text)]
+                elif t == "inlineStr":
+                    v = "".join(tt.text or "" for tt in c.iter(f"{_XLSX_NS}t"))
+                else:
+                    ve = c.find(f"{_XLSX_NS}v")
+                    v = ve.text if ve is not None else None
+                cells[col] = v
+            rows.append(cells)
+    if not rows:
+        raise ValueError(f"empty worksheet in {path}")
+    width = max(max(r.keys(), default=-1) for r in rows) + 1
+    header = [rows[0].get(i) or f"_c{i}" for i in range(width)]
+    data = [[r.get(i) for i in range(width)] for r in rows[1:]]
+    return spark.createDataFrame(data, schema=", ".join(f"`{h}` string" for h in header))
+
+
+def write_xlsx(path: str, header: list[str], rows: list[list]) -> str:
+    """Minimal single-sheet XLSX writer (inline strings; numbers as
+    numeric cells) — enough to round-trip read_xlsx and to fabricate the
+    dimension-snapshot fixtures the reference ingests. Stdlib only."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    def cell(v) -> str:
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return f"<c><v>{v}</v></c>"
+        return f'<c t="inlineStr"><is><t>{escape(str(v))}</t></is></c>'
+
+    sheet_rows = "".join(
+        "<row>" + "".join(cell(v) for v in r) + "</row>"
+        for r in [list(header)] + [list(r) for r in rows]
+    )
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    pkg = {
+        "[Content_Types].xml": (
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            "</Types>"
+        ),
+        "_rels/.rels": (
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            f'<Relationship Id="rId1" Type="{rns}/officeDocument" Target="xl/workbook.xml"/>'
+            "</Relationships>"
+        ),
+        "xl/workbook.xml": (
+            f'<?xml version="1.0"?><workbook xmlns="{ns}" xmlns:r="{rns}">'
+            '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+        ),
+        "xl/_rels/workbook.xml.rels": (
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            f'<Relationship Id="rId1" Type="{rns}/worksheet" Target="worksheets/sheet1.xml"/>'
+            "</Relationships>"
+        ),
+        "xl/worksheets/sheet1.xml": (
+            f'<?xml version="1.0"?><worksheet xmlns="{ns}">'
+            f"<sheetData>{sheet_rows}</sheetData></worksheet>"
+        ),
+    }
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        for name, content in pkg.items():
+            z.writestr(name, content)
+    return path
 
 
 def read_any(spark: SparkSession, f: SourceFile, **kw) -> DataFrame:
