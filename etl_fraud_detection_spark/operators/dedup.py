@@ -69,9 +69,14 @@ def _jaccard_between(sh: DataFrame, pairs: DataFrame | None, tau: float) -> Data
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")
-    co = a.join(b, ["shingle"]).where(F.col("a") < F.col("b"))
-    if pairs is not None:
-        co = co.join(pairs, ["a", "b"], "left_semi")
+    if pairs is None:
+        co = a.join(b, ["shingle"]).where(F.col("a") < F.col("b"))
+    else:
+        # Candidate-first: fan the (small) pair set out to a's shingles,
+        # then match b's. Work is |pairs| x shingles-per-doc — the whole
+        # point of LSH — instead of the corpus-wide co-shingle self-join
+        # (which the exact branch above does by definition).
+        co = F.broadcast(pairs).join(a, ["a"]).join(b, ["b", "shingle"])
     common = co.groupBy("a", "b").agg(F.count("*").alias("n_common"))
     jac = (
         common.join(cnt.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), ["a"])
@@ -96,19 +101,15 @@ def ngram_jaccard_pairs(docs: DataFrame, tau: float = 0.8) -> DataFrame:
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
     """MinHash: mh_i(doc) = MIN over shingles of md5(i || '|' || shingle).
-    One groupBy pass computes all signature positions as conditional
-    aggregates (map-side combinable)."""
-    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
-    exploded = sh.select(
-        "doc_id", "shingle", F.explode(seeds).alias("seed")
-    ).withColumn(
-        "h", F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle")))
-    )
+    All signature positions are computed as parallel MIN aggregates over
+    per-row hash columns — no seed explode (a 12× row blow-up through
+    the shuffle), and each MIN partial-aggregates map-side, so the
+    shuffle carries one 12-column row per doc per partition."""
     aggs = [
-        F.min(F.when(F.col("seed") == i, F.col("h"))).alias(f"mh{i}")
+        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    return exploded.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -174,14 +175,17 @@ def near_dup_clusters(docs: DataFrame, tau: float = 0.8, id_col: str = "doc_id")
             .groupBy("a")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        joined = labels.join(nbr, labels["doc_id"] == nbr["a"], "left")
+        # checkpoint the joined frame ONCE, then both the fixpoint count
+        # and the next labels read the materialized result (otherwise the
+        # join executes twice per round)
+        joined = labels.join(nbr, labels["doc_id"] == nbr["a"], "left").localCheckpoint()
         n_changed = joined.where(F.col("nbr_min") < F.col("cluster_id")).count()
         labels = joined.select(
             "doc_id",
             F.least(
                 F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
             ).alias("cluster_id"),
-        ).localCheckpoint()
+        )
         if n_changed == 0:
             edges.unpersist()
             return labels
