@@ -35,3 +35,37 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
     )
     return salted_big.join(salted_small, keys + ["_salt"], how).drop("_salt")
+
+
+def range_join_binned(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Pure range join (no equi key): event rows matched to every
+    interval with ``start <= ts < end``, by time-binning.
+
+    A naive theta join is |E|x|I| — Catalyst can only nested-loop it.
+    Binning makes it an equi-join: each interval explodes into the time
+    bins it overlaps (intervals are short — a handful of bins), events
+    map to exactly one bin, the join runs hash-partitioned on the bin,
+    and the residual range predicate prunes within the bin. Each
+    (event, interval) pair meets in exactly one bin (the event's), so no
+    dedup pass is needed. Pick ``bin_seconds`` near the typical interval
+    length: shorter bins = more interval copies, longer bins = more
+    non-matching pairs passing to the residual filter."""
+    ev_bin = F.floor(F.unix_timestamp(F.col(ts_col)) / bin_seconds)
+    iv_bins = F.sequence(
+        F.floor(F.unix_timestamp(F.col(start_col)) / bin_seconds),
+        F.floor((F.unix_timestamp(F.col(end_col)) - 1) / bin_seconds),
+    )
+    e = events.withColumn("_bin", ev_bin)
+    i = intervals.withColumn("_bin", F.explode(iv_bins))
+    return (
+        e.join(i, ["_bin"])
+        .where((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
+        .drop("_bin")
+    )

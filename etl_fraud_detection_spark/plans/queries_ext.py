@@ -848,6 +848,81 @@ def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_range_join_binned",
+    oracle="""
+    WITH err AS (
+        SELECT date_trunc('hour', ts) AS h, count(*) AS n
+        FROM events WHERE event_type = 'error' GROUP BY 1
+    ),
+    inc AS (
+        SELECT h - INTERVAL 15 MINUTE AS inc_start,
+               h + INTERVAL 75 MINUTE AS inc_end
+        FROM err WHERE n >= 8
+    )
+    SELECT e.event_id, e.ts, inc.inc_start, inc.inc_end
+    FROM events e JOIN inc
+      ON e.ts >= inc.inc_start AND e.ts < inc.inc_end
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi key): purchases falling inside derived
+    'incident' windows (error-heavy hours ± slop). Executes as a
+    time-bin equi-join + residual filter — hash-partitioned, linear —
+    where the naive theta join would be a nested-loop cross product."""
+    from ..operators.joins import range_join_binned
+
+    ev = _t(spark, sf_dir, "events")
+    inc = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 8)
+        .select(
+            (F.col("h") - F.expr("INTERVAL 15 MINUTES")).alias("inc_start"),
+            (F.col("h") + F.expr("INTERVAL 75 MINUTES")).alias("inc_end"),
+        )
+    )
+    left = ev.where(F.col("event_type") == "purchase").select("event_id", "ts")
+    return range_join_binned(
+        left, inc, ts_col="ts", start_col="inc_start", end_col="inc_end"
+    )
+
+
+@query(
+    "q_rollup_cascade",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           max(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: the daily rollup is
+    computed FROM the hourly rollup, not from raw events — the pattern
+    that lets a 100 TB store answer coarse-grain queries from fine-grain
+    partials. All partials are exactly mergeable (counts, decimal sums,
+    max), so cascade ≡ direct aggregation (the oracle computes direct)."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        F.max("value").alias("mv"),
+    )
+    return hourly.groupBy(
+        F.date_trunc("day", "h").cast("date").alias("day"), "event_type"
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("sv").cast("double").alias("sum_value"),
+        F.max("mv").alias("max_value"),
+    )
+
+
 @query("q_sketch_distinct")  # HLL/t-digest values are engine-specific: rows-only
 def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates per language: HyperLogLog++ distinct counts and

@@ -76,6 +76,26 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_range_join_binned_boundaries(spark):
+    from etl_fraud_detection_spark.operators.joins import range_join_binned
+
+    events = spark.createDataFrame(
+        [(1, ts(10, 0)), (2, ts(10, 59, 59)), (3, ts(11, 0)), (4, ts(9, 59, 59))],
+        "event_id long, ts timestamp_ntz",
+    )
+    # interval [10:00, 11:00) spans one bin; [9:30, 11:30) spans three
+    iv = spark.createDataFrame(
+        [(ts(10, 0), ts(11, 0), "a"), (ts(9, 30), ts(11, 30), "b")],
+        "start timestamp_ntz, end timestamp_ntz, tag string",
+    )
+    out = sorted(
+        (r.event_id, r.tag)
+        for r in range_join_binned(events, iv, bin_seconds=3600).collect()
+    )
+    # start inclusive, end exclusive; event 3 misses 'a' but hits 'b'
+    assert out == [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "b"), (4, "b")]
+
+
 def test_kmeans_ivf_schema_and_recall(spark):
     from etl_fraud_detection_spark.catalog import load_table
     from etl_fraud_detection_spark.operators import similarity
