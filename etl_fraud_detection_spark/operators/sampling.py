@@ -48,6 +48,53 @@ def stratified_sample(
     return df.where(hash_bucket(F.col(key_col)) < rate)
 
 
+def epoch_shuffle(df: DataFrame, key_col: str) -> DataFrame:
+    """Materialize one training epoch's global shuffle order:
+    ``shuffle_pos`` = rank of md5(key) — a uniform permutation that is
+    identical across engines, retries, and partitionings (what a data
+    loader needs to resume mid-epoch deterministically).
+
+    This is the one operator here that pays for a global sort
+    (RangePartitioning by the hash). That is inherent: a materialized
+    total order IS a sort. At 100 TB you run it once per epoch spec and
+    write the result partitioned by `shuffle_pos` range, so consumers
+    stream sequentially."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.col(key_col).cast("string"))
+    w = Window.orderBy(key.asc())
+    return df.select(
+        "*", F.row_number().over(w).cast("long").alias("shuffle_pos")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    size_col: str,
+    key_col: str,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Assign documents to fixed-capacity context-window packs: stream
+    the corpus in deterministic hash order, keep a running size offset,
+    and place each doc in the pack where its start offset lands
+    (``pack_id = floor(start_offset / capacity)``).
+
+    This is the contiguous-fill packing a sequence-packing dataloader
+    does, minus the intra-pack truncation/splitting (a tokenizer-side
+    concern). One window cumsum = one sort; at scale, run per
+    date-partition to bound the sort and keep packs append-friendly."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.col(key_col).cast("string"))
+    w = Window.orderBy(key.asc()).rowsBetween(Window.unboundedPreceding, 0)
+    start = (F.sum(F.col(size_col)).over(w) - F.col(size_col)).cast("long")
+    return df.select(
+        "*",
+        start.alias("start_offset"),
+        F.floor(start / capacity).cast("long").alias("pack_id"),
+    )
+
+
 def hash_topk_sample(df: DataFrame, k: int, key_col: str) -> DataFrame:
     """Fixed-size uniform sample: order by md5(key) and take k. The hash
     order is a uniform random permutation independent of storage order,

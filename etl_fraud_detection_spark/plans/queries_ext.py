@@ -923,6 +923,68 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'k' AS INTEGER) AS prop_k,
+           CAST(props->>'k' AS INTEGER) % 10 AS k_bucket
+    FROM events
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction from the event props column via from_json
+    (schema'd, JVM-side Jackson — not a Python UDF). At 100 TB prefer
+    materializing extracted fields at ingest so downstream scans prune
+    instead of re-parsing."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k int")
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("prop_k"),
+        (parsed["k"] % 10).alias("k_bucket"),
+    )
+
+
+@query(
+    "q_epoch_shuffle",
+    oracle="""
+    SELECT doc_id,
+           row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) AS shuffle_pos
+    FROM documents
+    """,
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle order for one training epoch:
+    rank by md5(id) — reproducible across engines/retries, resumable
+    mid-epoch. The one deliberate global sort in the catalog."""
+    from ..operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return sampling.epoch_shuffle(docs, key_col="doc_id")
+
+
+@query(
+    "q_pack_sequences",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CAST(SUM(n_chars) OVER w - n_chars AS BIGINT) AS start_offset,
+           CAST(FLOOR((SUM(n_chars) OVER w - n_chars) / 4096) AS BIGINT) AS pack_id
+    FROM documents
+    WINDOW w AS (ORDER BY md5(CAST(doc_id AS VARCHAR))
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-fill sequence packing: docs stream in deterministic
+    hash order, each lands in the 4096-char pack where its start offset
+    falls — the dataloader packing shape as one window cumsum."""
+    from ..operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return sampling.pack_sequences(docs, size_col="n_chars", key_col="doc_id")
+
+
 @query("q_sketch_distinct")  # HLL/t-digest values are engine-specific: rows-only
 def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates per language: HyperLogLog++ distinct counts and

@@ -85,6 +85,28 @@ def test_hash_topk_sample_fixed_size(spark):
     assert rows1 == rows2  # partitioning-independent
 
 
+def test_epoch_shuffle_partition_independent(spark):
+    d = spark.range(200).withColumnRenamed("id", "doc_id")
+    a = {(r.doc_id, r.shuffle_pos) for r in sampling.epoch_shuffle(d, "doc_id").collect()}
+    b = {
+        (r.doc_id, r.shuffle_pos)
+        for r in sampling.epoch_shuffle(d.repartition(7), "doc_id").collect()
+    }
+    assert a == b
+    assert {p for _, p in a} == set(range(1, 201))  # a real permutation
+
+
+def test_pack_sequences_capacity(spark):
+    d = spark.createDataFrame(
+        [(i, 100) for i in range(10)], "doc_id long, n_tok long"
+    )
+    out = sampling.pack_sequences(d, size_col="n_tok", key_col="doc_id", capacity=250)
+    rows = sorted(out.collect(), key=lambda r: r.start_offset)
+    assert [r.start_offset for r in rows] == [i * 100 for i in range(10)]
+    # starts at 0,100,200 -> pack 0; 300,400 -> pack 1; ...
+    assert [r.pack_id for r in rows] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+
+
 def test_l2_normalize_zero_guard(spark):
     emb = spark.createDataFrame(
         [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<float>"
