@@ -114,6 +114,53 @@ def test_daily_pipeline_two_days(spark, tmp_path):
     assert wm.get("transactions") == datetime(2025, 1, 2)
 
 
+def test_daily_pipeline_with_xlsx_dims(spark, tmp_path):
+    """Reference fidelity: terminals + passport blacklist arrive as real
+    XLSX (reference file.py:37-42), transactions as delimited text; the
+    blacklisted passport triggers rule 1."""
+    data = tmp_path / "in"
+    wh_dir = str(tmp_path / "wh")
+    data.mkdir()
+
+    dob = datetime(1990, 1, 1)
+    valid = datetime(2026, 1, 1)
+    d0 = datetime(2024, 12, 31)
+
+    _write(data / "transactions_01012025.csv",
+           [TX_HEADER, "T1;2025-01-01 10:00:00;100,50;C1;PAYMENT;SUCCESS;TM1"])
+    fsrc.write_xlsx(
+        str(data / "terminals_01012025.xlsx"),
+        ["terminal_id", "terminal_type", "terminal_city", "terminal_address"],
+        [["TM1", "ATM", "Moscow", "Addr1"]],
+    )
+    fsrc.write_xlsx(
+        str(data / "passport_blacklist_01012025.xlsx"),
+        ["date", "passport"],
+        [["2024-12-01 00:00:00", "P1"]],  # the client's passport
+    )
+    accounts = spark.createDataFrame(
+        [("A1", valid, "CL1", d0, None)],
+        schema="account string, valid_to timestamp_ntz, client string, "
+        "create_dt timestamp_ntz, update_dt timestamp_ntz",
+    )
+    cards = spark.createDataFrame(
+        [("C1", "A1", d0, None)],
+        schema="card_num string, account string, create_dt timestamp_ntz, update_dt timestamp_ntz",
+    )
+    clients = _clients(spark, [("CL1", "Petrov", "Ivan", None, dob, "P1", valid, "+7001", d0, None)])
+    pipeline.run_daily(
+        spark, str(data), wh_dir,
+        db_tables={"clients": clients, "accounts": accounts, "cards": cards},
+        now=F.expr("TIMESTAMP_NTZ '2025-01-01 03:30:00'"),
+        today=F.expr("TIMESTAMP_NTZ '2025-01-01 00:00:00'"),
+    )
+    wh = pipeline.Warehouse(spark, wh_dir)
+    assert wh.read("dwh", "dim_terminals_hist").count() == 1
+    assert wh.read("dwh", "fact_passport_blacklist").count() == 1
+    rep = wh.read("rep", "rep_fraud").collect()
+    assert [(r["event_type"], r["passport"]) for r in rep] == [(1, "P1")]
+
+
 def test_source_file_parse_and_archive(tmp_path):
     p = tmp_path / "transactions_05032025.txt"
     p.write_text("x")
