@@ -132,7 +132,9 @@ def scd2_merge(
     if src_keys is not None:
         sk = _prefixed(src_keys, keys)
         live = current.where(~F.col("deleted_flg"))
-        gone = live.join(sk, _key_cond(keys), "left_anti")
+        # feeds closed_deleted + tombstones + the kept_current anti-join;
+        # persist so the anti-join runs once, not three times
+        gone = live.join(sk, _key_cond(keys), "left_anti").persist()
         closed_deleted = gone.select(
             *[F.col(c) for c in cols],
             F.col("effective_from"),
@@ -157,7 +159,9 @@ def scd2_merge(
     # the INTERSECT lists append (dwh.deleted_flg, FALSE), so a tombstoned
     # current version counts as changed when its key is in stg.
     s = _prefixed(stg, cols + ["create_dt"])
-    joined = current.join(s, _key_cond(keys), "left")
+    # closed / new_versions / untouched are three projections of this one
+    # join — persist it so the union's branches share a single computation
+    joined = current.join(s, _key_cond(keys), "left").persist()
     same = _all_same(cols) & (F.col("deleted_flg") == F.lit(False))
     is_changed = F.col(_P + keys[0]).isNotNull() & ~same
 

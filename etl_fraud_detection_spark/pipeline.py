@@ -74,6 +74,11 @@ class Warehouse:
         if os.path.exists(p):
             shutil.rmtree(p)
         os.replace(tmp, p)
+        # Invalidate cached plans/file listings over the swapped path:
+        # the SCD merge persists intermediates, and Spark's CacheManager
+        # would otherwise match a later run's structurally-equal plan to
+        # the now-stale cached data (FAILED_READ_FILE on old part files).
+        self.spark.catalog.refreshByPath(p)
         return n
 
     def append(self, layer: str, table: str, df: DataFrame) -> int:

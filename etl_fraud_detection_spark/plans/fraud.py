@@ -259,7 +259,12 @@ def fraud_report(
     fact filter — no driver-side collect."""
     if report is not None:
         tx = report_watermark_filter(tx, report)
-    base = temporal_base(tx, cards, accounts, clients)
+    # The four branches of the union all read the same temporal base;
+    # without a persist Spark recomputes the join chain per branch (no
+    # cross-branch common-subexpression reuse). Cache the joined base so
+    # the scan+join work runs once — the reference recomputes it 4x
+    # (sql:10-16 vs 34-41 vs 66-74 vs 113-119).
+    base = temporal_base(tx, cards, accounts, clients).persist()
     base_t = with_terminals(base, terminals)
     return (
         rule1_bad_passport(base, blacklist, now)
