@@ -79,7 +79,10 @@ def scd1_merge(
     ``stg``: cols + create_dt (batch date); ``cols`` includes the keys.
     """
     now = now if now is not None else F.current_timestamp().cast("timestamp_ntz")
-    s = _prefixed(stg, cols + ["create_dt"])
+    # the stage side is one day's delta — broadcast it rather than
+    # sort-merge-shuffling the full dwh (stats-less frames won't pick
+    # this up on their own)
+    s = F.broadcast(_prefixed(stg, cols + ["create_dt"]))
 
     joined = dwh.join(s, _key_cond(keys), "left")
     apply_upd = F.col(_P + keys[0]).isNotNull() & ~_all_same(cols)
@@ -158,7 +161,7 @@ def scd2_merge(
     # "Changed" = NOT(cols all null-safe equal AND deleted_flg == FALSE):
     # the INTERSECT lists append (dwh.deleted_flg, FALSE), so a tombstoned
     # current version counts as changed when its key is in stg.
-    s = _prefixed(stg, cols + ["create_dt"])
+    s = F.broadcast(_prefixed(stg, cols + ["create_dt"]))  # daily delta: small
     # closed / new_versions / untouched are three projections of this one
     # join — persist it so the union's branches share a single computation
     joined = current.join(s, _key_cond(keys), "left").persist()
