@@ -47,7 +47,7 @@ def main() -> None:
         dropped = False
         for view in (
             "stream_win_agg", "stream_rule3", "stream_rule4",
-            "stream_dedup", "stream_sessions",
+            "stream_dedup", "stream_sessions", "stream_asof",
         ):
             try:
                 dropped = spark.catalog.dropTempView(view) or dropped

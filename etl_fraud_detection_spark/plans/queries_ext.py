@@ -985,6 +985,85 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.pack_sequences(docs, size_col="n_chars", key_col="doc_id")
 
 
+@query(
+    "q_dq_checks",
+    oracle="""
+    SELECT 'orders_pk_dups' AS check_name,
+           count(*) - count(DISTINCT o_orderkey) AS n_violations FROM orders
+    UNION ALL
+    SELECT 'orders_null_custkey', count(*) FROM orders WHERE o_custkey IS NULL
+    UNION ALL
+    SELECT 'lineitem_fk_orphans', count(*)
+    FROM lineitem WHERE NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_negative_price', count(*)
+    FROM lineitem WHERE l_extendedprice < 0
+    UNION ALL
+    SELECT 'lineitem_discount_range', count(*)
+    FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+    """,
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint sweep — the validation report an ETL
+    engine runs before promoting a batch: primary-key uniqueness,
+    required-column nulls, referential integrity (anti-join orphan
+    count), domain ranges, cross-column ordering. Each check is one
+    aggregate; the FK check is the only join (left_anti, dim side
+    broadcastable at any scale)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def one(name: str, df) -> DataFrame:
+        return df.select(F.lit(name).alias("check_name"),
+                         F.col("n").cast("long").alias("n_violations"))
+
+    checks = [
+        one("orders_pk_dups",
+            o.agg((F.count("*") - F.countDistinct("o_orderkey")).alias("n"))),
+        one("orders_null_custkey",
+            o.where(F.col("o_custkey").isNull()).agg(F.count("*").alias("n"))),
+        one("lineitem_fk_orphans",
+            li.join(o.select("o_orderkey"),
+                    li["l_orderkey"] == o["o_orderkey"], "left_anti")
+            .agg(F.count("*").alias("n"))),
+        one("lineitem_negative_price",
+            li.where(F.col("l_extendedprice") < 0).agg(F.count("*").alias("n"))),
+        one("lineitem_discount_range",
+            li.where((F.col("l_discount") < 0) | (F.col("l_discount") > 1))
+            .agg(F.count("*").alias("n"))),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+@query(
+    "q_dedup_incremental",
+    oracle="""
+    WITH ledger AS (
+        SELECT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT doc_id, md5(text) AS fp FROM documents
+    WHERE doc_id % 2 = 1
+      AND NOT EXISTS (SELECT 1 FROM ledger WHERE ledger.fp = md5(text))
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus building: a new batch dedups against the
+    accumulated fingerprint ledger (anti-join on md5) — only genuinely
+    new content is admitted. At 100 TB the ledger is fingerprints only
+    (32 bytes/doc), bucketed by fp so the daily anti-join is co-located
+    and touches no text."""
+    docs = _t(spark, sf_dir, "documents")
+    ledger = docs.where(F.col("doc_id") % 2 == 0).select(F.md5("text").alias("fp"))
+    batch = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    return batch.join(ledger, ["fp"], "left_anti")
+
+
 @query("q_sketch_distinct")  # HLL/t-digest values are engine-specific: rows-only
 def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates per language: HyperLogLog++ distinct counts and
@@ -1087,6 +1166,33 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.rules import session_window_counts
 
     return session_window_counts(spark, sf_dir)
+
+
+@query(
+    "q_stream_asof",
+    oracle="""
+    WITH l AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+        SELECT user_id, ts, event_id, value FROM (
+            SELECT user_id, ts, event_id, value,
+                   row_number() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'click'
+        ) WHERE rn = 1
+    )
+    SELECT l.event_id, l.user_id, l.ts,
+           r.ts AS asof_ts, r.event_id AS asof_event_id, r.value AS asof_value
+    FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming as-of enrichment (O(1) per-key state: the last click)
+    — must equal the batch as-of join / DuckDB ASOF JOIN."""
+    from ..streaming.rules import asof_enrich_stream
+
+    return asof_enrich_stream(spark, sf_dir)
 
 
 @query(

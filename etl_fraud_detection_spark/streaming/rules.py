@@ -253,6 +253,59 @@ def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_append(spark, agg, "stream_sessions").where(F.col("user_id") >= 0)
 
 
+def asof_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming as-of join: each purchase is enriched with the latest
+    preceding (inclusive) click of the same user — per-key state is just
+    the last click (ts, event_id, value), the O(1)-state streaming twin
+    of operators/temporal.asof_join. Clicks at the same event time apply
+    in event_id order, so the surviving value matches the batch oracle's
+    dedupe-by-max-event_id; at equal timestamps clicks apply BEFORE
+    purchases (inclusive `>=` semantics)."""
+
+    out_schema = (
+        "event_id bigint, user_id bigint, ts timestamp, "
+        "asof_ts timestamp, asof_event_id bigint, asof_value double"
+    )
+    state_schema = "last_ts timestamp, last_id bigint, last_val double"
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        last_ts, last_id, last_val = state.get if state.exists else (None, None, None)
+        hits = []
+        for pdf in pdfs:
+            pdf = pdf.assign(_p=pdf["event_type"].eq("purchase")).sort_values(
+                ["ts", "_p", "event_id"]
+            )
+            for r in pdf.itertuples(index=False):
+                if r.event_type == "click":
+                    last_ts, last_id, last_val = r.ts, r.event_id, r.value
+                elif last_ts is not None:  # purchase with a preceding click
+                    hits.append((r.event_id, user_id, r.ts, last_ts, last_id, last_val))
+        state.update((last_ts, last_id, last_val))
+        if hits:
+            yield pd.DataFrame(
+                hits,
+                columns=["event_id", "user_id", "ts",
+                         "asof_ts", "asof_event_id", "asof_value"],
+            )
+
+    events = _read_events_stream(spark, sf_dir).where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    enriched = events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    out = _drain_append(spark, enriched, "stream_asof")
+    return out.select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.col("asof_ts").cast("timestamp_ntz").alias("asof_ts"),
+        "asof_event_id", "asof_value",
+    )
+
+
 def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: first-seen (user_id, event_type) pairs via
     dropDuplicates over the event stream — the streaming twin of the
