@@ -1064,6 +1064,48 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(ledger, ["fp"], "left_anti")
 
 
+@query(
+    "q_rollup_grouping",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+    FROM documents GROUP BY ROLLUP (lang, source)
+    """,
+)
+def q_rollup_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: per (lang, source), per lang, and grand
+    total in one pass — Spark expands the sets and still partial-
+    aggregates map-side, so the superaggregates cost one shuffle, not
+    three scans."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.rollup("lang", "source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+@query(
+    "q_pivot_counts",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type count matrix with an explicit value
+    list (no extra distinct-discovery job); missing combos coalesce to 0
+    to match SQL's FILTER-count semantics."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    wide = ev.groupBy("user_id").pivot("event_type", kinds).count()
+    return wide.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    )
+
+
 @query("q_sketch_distinct")  # HLL/t-digest values are engine-specific: rows-only
 def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates per language: HyperLogLog++ distinct counts and
