@@ -78,6 +78,34 @@ def test_text_family_is_codegen_only_single_scan(spark, name):
     assert "Exchange" not in p  # scan-project only: no shuffle at any scale
 
 
+def test_sessionize_single_shuffle(spark):
+    p = plan_of(q(spark, "q_sessionize"))
+    assert count_nodes(p, "Exchange") == 1, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_asof_operator_single_shuffle(spark):
+    # the operator itself (the catalog query adds a dedupe window with
+    # its own shuffle on the right side)
+    from pyspark.sql import functions as F
+
+    from etl_fraud_detection_spark.catalog import load_table
+    from etl_fraud_detection_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, SF_DIR, "events")
+    left = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    p = plan_of(asof_join(left, right, ["user_id"], right_value_cols=["value"]))
+    assert count_nodes(p, "Exchange") == 1, p
+
+
+def test_session_stats_reuses_sessionize_exchange(spark):
+    # groupBy(user_id, session_seq) groups by a superset of the window's
+    # partition key — no second Exchange may appear
+    p = plan_of(q(spark, "q_session_stats"))
+    assert count_nodes(p, "Exchange") == 1, p
+
+
 def test_window_frames_share_one_shuffle(spark):
     p = plan_of(q(spark, "q_window_frames"))
     n_exchange = count_nodes(p, "Exchange")
