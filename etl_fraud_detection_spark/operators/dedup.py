@@ -151,10 +151,22 @@ def minhash_lsh_pairs(
     return _jaccard_between(sh, candidates, tau)
 
 
-def near_dup_clusters(docs: DataFrame, tau: float = 0.8, id_col: str = "doc_id") -> DataFrame:
+def near_dup_clusters(
+    docs: DataFrame,
+    tau: float = 0.8,
+    id_col: str = "doc_id",
+    candidates: str = "lsh",
+) -> DataFrame:
     """Connected components over the near-dup pair graph: every doc gets
     ``cluster_id`` = the minimum doc id reachable through pairs with
     Jaccard >= tau (singletons keep their own id).
+
+    ``candidates`` picks the edge generator: ``"lsh"`` (default) builds
+    edges from the bucketed MinHash+LSH candidate join — the only shape
+    that survives 100 TB; ``"exact"`` uses the all-pairs co-shingle
+    Jaccard join, exact but quadratic in co-shingled docs — baseline /
+    small-corpus verification only. Both verify candidates with exact
+    Jaccard >= tau before clustering.
 
     Iterative min-label propagation with a driver-side fixpoint test —
     the Spark-idiomatic connected components: each round is one
@@ -162,7 +174,8 @@ def near_dup_clusters(docs: DataFrame, tau: float = 0.8, id_col: str = "doc_id")
     diameter) rounds (near-dup clusters are shallow, so 2-4 rounds).
     ``localCheckpoint`` truncates the growing lineage each round; on a
     real cluster use ``checkpoint`` with a reliable dir instead."""
-    pairs = ngram_jaccard_pairs(docs, tau).select("a", "b")
+    gen = minhash_lsh_pairs if candidates == "lsh" else ngram_jaccard_pairs
+    pairs = gen(docs, tau).select("a", "b")
     edges = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()

@@ -665,7 +665,17 @@ def q_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_scd2_versions",
+    # The outer strftime projection exists for the external driver: the
+    # 9999-12-31 open-version sentinel (reference main.ddl:154) overflows
+    # pandas ns-timestamps, so the *adapter* emits wall-clock strings and
+    # keeps the sentinel internal to the engine.
     oracle=f"""
+    SELECT client_id, name, phone,
+           strftime(effective_from, '%Y-%m-%d %H:%M:%S') AS effective_from,
+           strftime(effective_to, '%Y-%m-%d %H:%M:%S') AS effective_to,
+           deleted_flg,
+           strftime(processed_dt, '%Y-%m-%d %H:%M:%S') AS processed_dt
+    FROM (
     WITH dwh AS ({FX.values_cte(FX.SCD2_DWH_ROWS, FX.SCD2_DWH_COLS, FX.SCD2_DWH_TYPES)}),
     stg AS ({FX.values_cte(FX.SCD2_STG_ROWS, FX.SCD2_STG_COLS, FX.SCD2_STG_TYPES)}),
     srck AS ({FX.values_cte(FX.SCD2_SRC_KEYS_ROWS, FX.SCD2_SRC_KEYS_COLS, FX.SCD2_SRC_KEYS_TYPES)}),
@@ -709,18 +719,34 @@ def q_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.client_id, s.name, s.phone, s.create_dt, {_SENT_SQL}, FALSE, {_NOW_SQL}
     FROM stg s
     WHERE NOT EXISTS (SELECT 1 FROM dwh d WHERE d.client_id = s.client_id)
+    ) AS scd2_out(client_id, name, phone, effective_from, effective_to,
+                  deleted_flg, processed_dt)
     """,
 )
 def q_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2+M3+M4 SCD2 merge (reference etl.py:297-388): close-at
     create_dt-1s versioning, delete tombstones, reappearing-key revival,
-    NULL-safe change detection including deleted_flg-vs-FALSE."""
+    NULL-safe change detection including deleted_flg-vs-FALSE.
+
+    Timestamp columns are emitted as formatted strings: the engine-side
+    9999-12-31 open-version sentinel is out of range for pandas
+    ns-timestamps, and the external comparator converts via pandas."""
     dwh = FX.spark_df(spark, FX.SCD2_DWH_ROWS, FX.SCD2_DWH_COLS, FX.SCD2_DWH_TYPES)
     stg = FX.spark_df(spark, FX.SCD2_STG_ROWS, FX.SCD2_STG_COLS, FX.SCD2_STG_TYPES)
     srck = FX.spark_df(spark, FX.SCD2_SRC_KEYS_ROWS, FX.SCD2_SRC_KEYS_COLS, FX.SCD2_SRC_KEYS_TYPES)
-    return scd2_merge(
+    out = scd2_merge(
         dwh, stg, FX.SCD2_KEYS, FX.SCD2_COLS,
         src_keys=srck, now=_now_col(), today=_today_col(),
+    )
+    ts_fmt = "yyyy-MM-dd HH:mm:ss"
+    return out.select(
+        "client_id",
+        "name",
+        "phone",
+        F.date_format("effective_from", ts_fmt).alias("effective_from"),
+        F.date_format("effective_to", ts_fmt).alias("effective_to"),
+        "deleted_flg",
+        F.date_format("processed_dt", ts_fmt).alias("processed_dt"),
     )
 
 
@@ -910,11 +936,15 @@ _INGEST_ROWS = [
 
 @query(
     "q_ingest_csv",
+    # amount is parsed as DECIMAL(18,2) internally (F8 decimal-comma) but
+    # surfaced as DOUBLE: DuckDB's pandas bridge renders DECIMAL as
+    # float64 while Spark's renders it as object(Decimal), so a
+    # type-aware comparator diverges on identical values.
     oracle="""
     SELECT * FROM (VALUES
-        (1, 'alpha widget', CAST('12.50' AS DECIMAL(18,2)), TIMESTAMP '2024-03-05 00:00:00'),
-        (2, 'beta;gadget',  CAST('3.07'  AS DECIMAL(18,2)), TIMESTAMP '2024-03-05 00:00:00'),
-        (3, 'gamma',        CAST('1100.00' AS DECIMAL(18,2)), TIMESTAMP '2024-03-05 00:00:00')
+        (1, 'alpha widget', CAST(CAST('12.50' AS DECIMAL(18,2)) AS DOUBLE), TIMESTAMP '2024-03-05 00:00:00'),
+        (2, 'beta;gadget',  CAST(CAST('3.07'  AS DECIMAL(18,2)) AS DOUBLE), TIMESTAMP '2024-03-05 00:00:00'),
+        (3, 'gamma',        CAST(CAST('1100.00' AS DECIMAL(18,2)) AS DOUBLE), TIMESTAMP '2024-03-05 00:00:00')
     ) AS t(item_id, item_name, amount, create_dt)
     """,
 )
@@ -941,7 +971,7 @@ def q_ingest_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.with_batch_date(df, f).select(
         F.col("item_id").cast("int").alias("item_id"),
         F.col("item_name"),
-        F.col("amount"),
+        F.col("amount").cast("double").alias("amount"),
         F.col("create_dt"),
     )
 

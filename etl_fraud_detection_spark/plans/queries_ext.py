@@ -261,7 +261,11 @@ def _simhash_oracle() -> str:
 
 
 def _clusters_oracle() -> str:
-    pairs_sql = f"WITH {_SHINGLES},\n" + _JACCARD_TAIL.format(cand_join="", tau=0.8)
+    # Edges come from the MinHash+LSH candidate semantics (bucketed
+    # band join + exact-Jaccard verify) — the same generator the Spark
+    # operator defaults to, because the all-pairs co-shingle join is
+    # the one shape that cannot survive 100 TB.
+    pairs_sql = _minhash_oracle()
     return f"""
     WITH RECURSIVE pairs AS (SELECT a, b FROM ({pairs_sql})),
     edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
@@ -277,9 +281,11 @@ def _clusters_oracle() -> str:
 @query("q_dedup_clusters", oracle=_clusters_oracle())
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components (min-label propagation to
-    fixpoint) over the Jaccard>=0.8 pair graph; the oracle is the same
-    closure as a recursive CTE. The step that turns pairwise dedup into
-    keep-one-per-group semantics."""
+    fixpoint) over the near-dup pair graph; the oracle is the same
+    closure as a recursive CTE. Candidate edges come from the bucketed
+    MinHash+LSH generator (default) — never the quadratic co-shingle
+    self-join, which stays available as candidates="exact" for
+    small-corpus verification."""
     return dedup.near_dup_clusters(_t(spark, sf_dir, "documents"), tau=0.8)
 
 
@@ -643,7 +649,7 @@ def q_sample_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            count(*) AS n_docs,
-           sum(n_chars) AS sum_chars,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            min(doc_id) AS min_id,
            max(doc_id) AS max_id,
            count(DISTINCT source) AS n_sources
@@ -692,10 +698,10 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sessionize",
     oracle="""
     SELECT event_id, user_id, ts,
-           SUM(CASE WHEN prv_ts IS NULL OR ts > prv_ts + INTERVAL 30 MINUTE
+           CAST(SUM(CASE WHEN prv_ts IS NULL OR ts > prv_ts + INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
     FROM (
         SELECT event_id, user_id, ts,
                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prv_ts
@@ -718,10 +724,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
         SELECT user_id, ts,
-               SUM(CASE WHEN prv_ts IS NULL OR ts > prv_ts + INTERVAL 30 MINUTE
+               CAST(SUM(CASE WHEN prv_ts IS NULL OR ts > prv_ts + INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END)
                    OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         FROM (
             SELECT event_id, user_id, ts,
                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prv_ts
@@ -1067,7 +1073,8 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_rollup_grouping",
     oracle="""
-    SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM documents GROUP BY ROLLUP (lang, source)
     """,
 )

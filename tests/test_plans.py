@@ -111,3 +111,33 @@ def test_window_frames_share_one_shuffle(spark):
     n_exchange = count_nodes(p, "Exchange")
     assert n_exchange == 1, f"expected 1 shuffle, saw {n_exchange}"
     assert count_nodes(p, "Window") <= 2  # frames fused into <=2 Window execs
+
+
+def _shingle_only_join_keys(plan: str) -> list[str]:
+    """Equi-join key lists that consist of the shingle column alone —
+    the signature of the corpus-wide co-shingle self-join."""
+    bad = []
+    for side in ("Left", "Right"):
+        for m in re.finditer(rf"{side} keys \[(\d+)\]: \[([^\]]*)\]", plan):
+            if m.group(1) == "1" and "shingle" in m.group(2):
+                bad.append(m.group(2))
+    return bad
+
+
+def test_cluster_candidates_avoid_coshingle_self_join(spark):
+    """near_dup_clusters must generate candidate edges via the bucketed
+    MinHash+LSH join, never the quadratic co-shingle self-join."""
+    import inspect
+
+    from etl_fraud_detection_spark.catalog import load_table
+    from etl_fraud_detection_spark.operators import dedup
+
+    # the operator's default generator is the LSH path
+    assert inspect.signature(dedup.near_dup_clusters).parameters["candidates"].default == "lsh"
+
+    docs = load_table(spark, SF_DIR, "documents")
+    p_lsh = plan_of(dedup.minhash_lsh_pairs(docs, tau=0.8))
+    assert not _shingle_only_join_keys(p_lsh), p_lsh
+    # sanity: the detector does fire on the exact all-pairs path
+    p_exact = plan_of(dedup.ngram_jaccard_pairs(docs, tau=0.8))
+    assert _shingle_only_join_keys(p_exact)
