@@ -189,6 +189,43 @@ def ingest_table_snapshot(spark: SparkSession, wh: Warehouse, wm: WatermarkStore
     log.append(run_id, m.dwh_table, inserted=n_dwh)
 
 
+def ingest_database(spark: SparkSession, wh: Warehouse, wm: WatermarkStore,
+                    log: RunLog, name: str, url: str, table: str, run_id: int,
+                    driver: str | None = None, ts_literal=None,
+                    now=None, today=None, **jdbc_kw) -> None:
+    """DB-source batch over a real JDBC connection (reference
+    etl.py:190-209, database.py:49-68): the watermark predicate is part
+    of the source-side SQL — the database evaluates
+    ``COALESCE(update_dt, create_dt) > <watermark>`` and only the delta
+    ever crosses the wire (S6) — plus the full key snapshot (S7, keys
+    only) for delete detection. From staging on, identical to the
+    snapshot path."""
+    from .sources import jdbc as jsrc
+
+    m = MAPPINGS[name]
+    kw = dict(jdbc_kw)
+    if ts_literal is not None:
+        kw["ts_literal"] = ts_literal
+    delta = jsrc.read_incremental(
+        spark, url, table, m.stg_columns, wm.get(name), driver=driver, **kw
+    )
+    stg = _rename_to_target(delta, m)
+    wh.overwrite("stg", name, stg)
+    stg = wh.read("stg", name)
+    if m.scd == 2:
+        src_keys = jsrc.read_keys(spark, url, table, m.stg_keys, driver=driver).selectExpr(
+            *[f"{s} AS {t}" for s, t in zip(m.stg_keys, m.dwh_keys)]
+        )
+    else:
+        src_keys = None
+    n_dwh = _merge_to_dwh(wh, m, stg, src_keys, now=now, today=today)
+    new_wm = stg.agg(F.max("create_dt")).first()[0]
+    if new_wm is not None:
+        wm.advance(name, new_wm)
+    log.append(run_id, name, inserted=stg.count())
+    log.append(run_id, m.dwh_table, inserted=n_dwh)
+
+
 def mart_update(spark: SparkSession, wh: Warehouse, log: RunLog, run_id: int, now=None) -> int:
     """DWH → accumulating fraud report (reference etl.py:409-414)."""
     now = now if now is not None else F.current_timestamp().cast("timestamp_ntz")
@@ -216,9 +253,14 @@ def mart_update(spark: SparkSession, wh: Warehouse, log: RunLog, run_id: int, no
 
 def run_daily(spark: SparkSession, data_dir: str, warehouse_dir: str,
               db_tables: dict[str, DataFrame] | None = None,
+              jdbc_tables: dict[str, dict] | None = None,
               now=None, today=None, do_archive: bool = False) -> int:
     """One scheduled run (reference main.py:14-18 order: files → db
-    tables → mart). Returns the run_id."""
+    tables → mart). Returns the run_id.
+
+    ``jdbc_tables`` maps mapping-name → kwargs for ingest_database
+    (at least ``url`` and ``table``) for sources read over a live JDBC
+    connection; ``db_tables`` remains the DataFrame-snapshot form."""
     wh = Warehouse(spark, warehouse_dir)
     wm = WatermarkStore(os.path.join(warehouse_dir, "meta", "watermarks.json"))
     log = RunLog(spark, os.path.join(warehouse_dir, "meta", "run_log"))
@@ -227,5 +269,7 @@ def run_daily(spark: SparkSession, data_dir: str, warehouse_dir: str,
         ingest_file(spark, wh, wm, log, f, run_id, now=now, today=today, do_archive=do_archive)
     for name, src in (db_tables or {}).items():
         ingest_table_snapshot(spark, wh, wm, log, name, src, run_id, now=now, today=today)
+    for name, kw in (jdbc_tables or {}).items():
+        ingest_database(spark, wh, wm, log, name, run_id=run_id, now=now, today=today, **kw)
     mart_update(spark, wh, log, run_id, now=now)
     return run_id
