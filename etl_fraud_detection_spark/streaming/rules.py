@@ -5,9 +5,12 @@ file-date pattern is exactly a file-stream with bookmark).
 Two shapes:
 - windowed_event_counts: tumbling-window aggregate with an event-time
   watermark — the streaming analog of the report's per-day grain.
-- rule3_city_hop_stream: custom stateful operator via
-  applyInPandasWithState — per-user last-event state, emitting rule-3
-  hits incrementally (the streaming twin of plans.fraud.rule3).
+- rule3_city_hop_stream / rule4_amount_guess_stream / asof_enrich_stream:
+  custom stateful operators via applyInPandasWithState running over a
+  watermark-ordered replay harness (see _ordered_replay_fn): per-key
+  buffers release events to the lag logic only once the event-time
+  watermark passes them, so unordered multi-batch arrival within the
+  watermark delay is handled, not assumed away.
 
 Both run with Trigger.AvailableNow against the parquet events table so
 they are testable offline and comparable to their batch twins.
@@ -113,53 +116,163 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-def rule3_city_hop_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rule-3 as a custom stateful streaming operator: per-user state =
-    (last_ts, last_type); emit events whose type differs from the
-    previous one within < 1 hour (trsh_rep_fraud_sync.sql:76-77
-    semantics on the events analog). Assumes per-key event-time-ordered
-    arrival within the replay (single parquet batch here); a production
-    variant buffers by watermark before comparing."""
+# ---------------------------------------------------------------------------
+# Watermark-ordered replay: the harness that makes the custom stateful
+# operators (rules 3/4, as-of) correct on UNORDERED input.
+#
+# The lag-style logic of these operators is only sound over per-key
+# event-time order. Sorting inside one micro-batch is not enough when
+# events for a key straddle batches out of order, so each key buffers
+# incoming events in state and the step function consumes an event only
+# once the event-time watermark has passed it (ts < watermark — ties at
+# the watermark could still gain siblings, so they wait). Keys with a
+# non-empty buffer register an event-time timeout; when a later batch
+# advances the watermark (the far-future heartbeat file guarantees this
+# at end-of-replay), the timed-out key flushes. Disorder beyond the
+# watermark delay is dropped by Spark's late-row filter — the standard
+# streaming contract, stated instead of silently assumed.
+#
+# State per key = O(events inside the watermark window) + O(1) carry —
+# bounded, hash-partitioned across executors, exactly the shape that
+# scales to a 1000-executor cluster.
+# ---------------------------------------------------------------------------
 
-    out_schema = (
-        "event_id bigint, user_id bigint, ts timestamp, event_type string, "
-        "prv_type string, prv_ts timestamp"
-    )
-    state_schema = "last_ts timestamp, last_type string"
+_BUF_SCHEMA = (
+    "buf_ts array<timestamp>, buf_id array<bigint>, "
+    "buf_type array<string>, buf_val array<double>"
+)
+
+
+def _ordered_replay_fn(step, carry_defaults, out_cols, purchase_last=False):
+    """Build an applyInPandasWithState function that feeds ``step``
+    (user_id, carry, row) -> (carry, hit|None) the key's events in
+    event-time order, releasing only watermark-passed events."""
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        last_ts, last_type = state.get if state.exists else (None, None)
-        hits = []
+        if state.exists:
+            st = state.get
+            buf = [list(x) for x in st[:4]]
+            carry = list(st[4:])
+        else:
+            buf = [[], [], [], []]
+            carry = list(carry_defaults)
         for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for r in pdf.itertuples(index=False):
-                if (
-                    last_type is not None
-                    and r.event_type != last_type
-                    and r.ts < last_ts + timedelta(hours=1)
-                ):
-                    hits.append(
-                        (r.event_id, user_id, r.ts, r.event_type, last_type, last_ts)
-                    )
-                last_ts, last_type = r.ts, r.event_type
-        state.update((last_ts, last_type))
-        if hits:
-            yield pd.DataFrame(
-                hits,
-                columns=["event_id", "user_id", "ts", "event_type", "prv_type", "prv_ts"],
-            )
-
-    events = _read_events_stream(spark, sf_dir)
-    flagged = (
-        events.groupBy("user_id")
-        .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+            buf[0] += list(pdf["ts"])
+            buf[1] += list(pdf["event_id"])
+            buf[2] += list(pdf["event_type"])
+            buf[3] += list(pdf["value"])
+        bdf = pd.DataFrame(
+            {"ts": buf[0], "event_id": buf[1], "event_type": buf[2], "value": buf[3]}
         )
+        if purchase_last:  # ties: clicks apply before purchases (>= asof)
+            bdf = bdf.assign(_p=bdf["event_type"].eq("purchase")).sort_values(
+                ["ts", "_p", "event_id"]
+            )
+        else:
+            bdf = bdf.sort_values(["ts", "event_id"])
+        # Same release rule on data batches and timeout wakeups: only
+        # events the watermark has passed (ts < wm; ties at the wm could
+        # still gain siblings). Keys left with a buffer re-arm the
+        # timeout below, so every watermark advance flushes eventually.
+        wm_ms = state.getCurrentWatermarkMs()
+        if wm_ms > 0:
+            mask = bdf["ts"] < pd.Timestamp(wm_ms, unit="ms")
+            rel, pend = bdf[mask], bdf[~mask]
+        else:
+            rel, pend = bdf.iloc[0:0], bdf
+        hits = []
+        for r in rel.itertuples(index=False):
+            carry, hit = step(user_id, carry, r)
+            if hit is not None:
+                hits.append(hit)
+        state.update((
+            list(pend["ts"]), list(pend["event_id"]),
+            list(pend["event_type"]), list(pend["value"]), *carry,
+        ))
+        if len(pend):
+            # flush when the watermark moves past the buffered events
+            state.setTimeoutTimestamp(wm_ms + 1)
+        if hits:
+            yield pd.DataFrame(hits, columns=out_cols)
+
+    return fn
+
+
+def _run_ordered_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    step,
+    carry_defaults,
+    carry_schema: str,
+    out_schema: str,
+    out_cols: list[str],
+    name: str,
+    delay: str = "0 seconds",
+    events_dir: str | None = None,
+    purchase_last: bool = False,
+) -> DataFrame:
+    """Stream events (multi-file, one file per micro-batch, heartbeat
+    last) through an ordered-replay state function. ``delay`` is the
+    tolerated disorder across the replay; ``events_dir`` overrides the
+    source directory (tests replay shuffled copies)."""
+    from ..session import tune
+
+    tune(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir or _stream_dir_with_heartbeat(sf_dir))
     )
-    out = _drain_append(spark, flagged, "stream_rule3")
+    events = raw.withColumn(
+        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp)")
+    ).withWatermark("ts", delay)
+    fn = _ordered_replay_fn(step, carry_defaults, out_cols, purchase_last)
+    flagged = events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, _BUF_SCHEMA + ", " + carry_schema,
+        "append", GroupStateTimeout.EventTimeTimeout,
+    )
+    # heartbeat key filtered AFTER the drain — inside the plan the filter
+    # would push below EventTimeWatermark and the heartbeat would never
+    # advance it
+    return _drain_append(spark, flagged, name).where(F.col("user_id") >= 0)
+
+
+def rule3_city_hop_stream(
+    spark: SparkSession, sf_dir: str,
+    delay: str = "0 seconds", events_dir: str | None = None,
+) -> DataFrame:
+    """Rule-3 as a custom stateful streaming operator: per-user carry =
+    (last_ts, last_type); emit events whose type differs from the
+    previous one within < 1 hour (trsh_rep_fraud_sync.sql:76-77
+    semantics on the events analog). Runs over the watermark-ordered
+    replay harness, so shuffled multi-batch arrival gives the same
+    answer as the batch window query (tests/test_streaming.py)."""
+
+    def step(user_id, carry, r):
+        last_ts, last_type = carry
+        hit = None
+        if (
+            last_type is not None
+            and r.event_type != last_type
+            and r.ts < last_ts + timedelta(hours=1)
+        ):
+            hit = (r.event_id, user_id, r.ts, r.event_type, last_type, last_ts)
+        return [r.ts, r.event_type], hit
+
+    out = _run_ordered_replay(
+        spark, sf_dir, step,
+        carry_defaults=(None, None),
+        carry_schema="last_ts timestamp, last_type string",
+        out_schema=(
+            "event_id bigint, user_id bigint, ts timestamp, event_type string, "
+            "prv_type string, prv_ts timestamp"
+        ),
+        out_cols=["event_id", "user_id", "ts", "event_type", "prv_type", "prv_ts"],
+        name="stream_rule3", delay=delay, events_dir=events_dir,
+    )
     return out.select(
         "event_id", "user_id",
         F.col("ts").cast("timestamp_ntz").alias("ts"),
@@ -253,51 +366,40 @@ def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_append(spark, agg, "stream_sessions").where(F.col("user_id") >= 0)
 
 
-def asof_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def asof_enrich_stream(
+    spark: SparkSession, sf_dir: str,
+    delay: str = "0 seconds", events_dir: str | None = None,
+) -> DataFrame:
     """Streaming as-of join: each purchase is enriched with the latest
-    preceding (inclusive) click of the same user — per-key state is just
-    the last click (ts, event_id, value), the O(1)-state streaming twin
-    of operators/temporal.asof_join. Clicks at the same event time apply
-    in event_id order, so the surviving value matches the batch oracle's
-    dedupe-by-max-event_id; at equal timestamps clicks apply BEFORE
-    purchases (inclusive `>=` semantics)."""
+    preceding (inclusive) click of the same user — per-key carry is just
+    the last click (ts, event_id, value), the O(1)-carry streaming twin
+    of operators/temporal.asof_join, running over the watermark-ordered
+    replay harness. Clicks at the same event time apply in event_id
+    order (matching the batch oracle's dedupe-by-max-event_id) and
+    BEFORE purchases at equal ts (inclusive ``>=`` semantics); other
+    event types pass through the buffer as no-ops."""
 
-    out_schema = (
-        "event_id bigint, user_id bigint, ts timestamp, "
-        "asof_ts timestamp, asof_event_id bigint, asof_value double"
-    )
-    state_schema = "last_ts timestamp, last_id bigint, last_val double"
+    def step(user_id, carry, r):
+        last_ts, last_id, last_val = carry
+        hit = None
+        if r.event_type == "click":
+            carry = [r.ts, r.event_id, r.value]
+        elif r.event_type == "purchase" and last_ts is not None:
+            hit = (r.event_id, user_id, r.ts, last_ts, last_id, last_val)
+        return carry, hit
 
-    def fn(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        (user_id,) = key
-        last_ts, last_id, last_val = state.get if state.exists else (None, None, None)
-        hits = []
-        for pdf in pdfs:
-            pdf = pdf.assign(_p=pdf["event_type"].eq("purchase")).sort_values(
-                ["ts", "_p", "event_id"]
-            )
-            for r in pdf.itertuples(index=False):
-                if r.event_type == "click":
-                    last_ts, last_id, last_val = r.ts, r.event_id, r.value
-                elif last_ts is not None:  # purchase with a preceding click
-                    hits.append((r.event_id, user_id, r.ts, last_ts, last_id, last_val))
-        state.update((last_ts, last_id, last_val))
-        if hits:
-            yield pd.DataFrame(
-                hits,
-                columns=["event_id", "user_id", "ts",
-                         "asof_ts", "asof_event_id", "asof_value"],
-            )
-
-    events = _read_events_stream(spark, sf_dir).where(
-        F.col("event_type").isin("click", "purchase")
+    out = _run_ordered_replay(
+        spark, sf_dir, step,
+        carry_defaults=(None, None, None),
+        carry_schema="last_ts timestamp, last_id bigint, last_val double",
+        out_schema=(
+            "event_id bigint, user_id bigint, ts timestamp, "
+            "asof_ts timestamp, asof_event_id bigint, asof_value double"
+        ),
+        out_cols=["event_id", "user_id", "ts", "asof_ts", "asof_event_id", "asof_value"],
+        name="stream_asof", delay=delay, events_dir=events_dir,
+        purchase_last=True,
     )
-    enriched = events.groupBy("user_id").applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-    )
-    out = _drain_append(spark, enriched, "stream_asof")
     return out.select(
         "event_id", "user_id",
         F.col("ts").cast("timestamp_ntz").alias("ts"),
@@ -323,11 +425,15 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_append(spark, deduped, "stream_dedup")
 
 
-def rule4_amount_guess_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rule4_amount_guess_stream(
+    spark: SparkSession, sf_dir: str,
+    delay: str = "0 seconds", events_dir: str | None = None,
+) -> DataFrame:
     """Rule-4 (amount guessing, trsh_rep_fraud_sync.sql:82-129 analog) as
-    a stateful streaming operator. Per-user state = the last 3 events
-    (ts, value, is_error) plus the previous row's decrease flag — enough
-    to reproduce every ROWS-frame in the batch query:
+    a stateful streaming operator over the watermark-ordered replay
+    harness. Per-user carry = the last 3 events (ts, value, is_error)
+    plus the previous row's decrease flag — enough to reproduce every
+    ROWS-frame in the batch query:
 
       prv_value           LAG(value)                 <- deque[-1]
       min_ts / oper       MIN(ts)/SUM(err) -3..-1    <- whole deque
@@ -337,53 +443,38 @@ def rule4_amount_guess_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts < min_ts + 12h, and the last two steps both decreased — identical
     to the batch window query (the oracle)."""
 
-    out_schema = (
-        "event_id bigint, user_id bigint, ts timestamp, value double, "
-        "min_ts timestamp"
-    )
-    state_schema = (
-        "tss array<timestamp>, vals array<double>, errs array<int>, prv_flag int"
-    )
+    def step(user_id, carry, r):
+        tss, vals, errs, prv_flag = carry
+        tss, vals, errs = list(tss), list(vals), list(errs)
+        flag = 1 if tss and r.value < vals[-1] else 0
+        reducion = min(prv_flag, flag) if tss else flag
+        hit = None
+        if (
+            r.event_type == "purchase"
+            and tss
+            and sum(errs) >= 2
+            and r.ts < min(tss) + timedelta(hours=12)
+            and reducion == 1
+        ):
+            hit = (r.event_id, user_id, r.ts, r.value, min(tss))
+        tss.append(r.ts)
+        vals.append(r.value)
+        errs.append(1 if r.event_type == "error" else 0)
+        return [tss[-3:], vals[-3:], errs[-3:], flag], hit
 
-    def fn(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        (user_id,) = key
-        if state.exists:
-            tss, vals, errs, prv_flag = state.get
-            tss, vals, errs = list(tss), list(vals), list(errs)
-        else:
-            tss, vals, errs, prv_flag = [], [], [], 0
-        hits = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for r in pdf.itertuples(index=False):
-                flag = 1 if tss and r.value < vals[-1] else 0
-                reducion = min(prv_flag, flag) if tss else flag
-                if (
-                    r.event_type == "purchase"
-                    and tss
-                    and sum(errs) >= 2
-                    and r.ts < min(tss) + timedelta(hours=12)
-                    and reducion == 1
-                ):
-                    hits.append((r.event_id, user_id, r.ts, r.value, min(tss)))
-                tss.append(r.ts)
-                vals.append(r.value)
-                errs.append(1 if r.event_type == "error" else 0)
-                tss, vals, errs = tss[-3:], vals[-3:], errs[-3:]
-                prv_flag = flag
-        state.update((tss, vals, errs, prv_flag))
-        if hits:
-            yield pd.DataFrame(
-                hits, columns=["event_id", "user_id", "ts", "value", "min_ts"]
-            )
-
-    events = _read_events_stream(spark, sf_dir)
-    flagged = events.groupBy("user_id").applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    out = _run_ordered_replay(
+        spark, sf_dir, step,
+        carry_defaults=((), (), (), 0),
+        carry_schema=(
+            "tss array<timestamp>, vals array<double>, errs array<int>, prv_flag int"
+        ),
+        out_schema=(
+            "event_id bigint, user_id bigint, ts timestamp, value double, "
+            "min_ts timestamp"
+        ),
+        out_cols=["event_id", "user_id", "ts", "value", "min_ts"],
+        name="stream_rule4", delay=delay, events_dir=events_dir,
     )
-    out = _drain_append(spark, flagged, "stream_rule4")
     return out.select(
         "event_id", "user_id",
         F.col("ts").cast("timestamp_ntz").alias("ts"),
