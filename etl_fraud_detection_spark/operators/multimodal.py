@@ -1,18 +1,20 @@
-"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+"""Multimodal column processing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched pandas
 iterators (``mapInPandas``).
 
-The decode step is STUBBED — PIL/ffmpeg are not in this container —
-but everything Spark-side is real and tested: the schema contract,
-the batch iterator shape, and the deterministic byte-level features.
-``real_decode`` documents exactly where a codec plugs in.
+PNG payloads are decoded for real by the pure-stdlib codec in
+functions/png.py — decoded width/height/brightness come from actual
+pixels, and one fixture's declared metadata deliberately lies so a
+metadata echo cannot pass the oracle. Formats without an in-container
+codec (jpg/wav) remain opaque: byte-level features only, decoded
+dimensions NULL — the honest split between "decoded" and "declared".
 
 Scale notes (100 TB of media): mapInPandas streams Arrow batches —
 memory is bounded by batch size, not partition size; set
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` down for large blobs.
-Feature extraction is embarrassingly parallel: no shuffle at all, so
-the job scales linearly with executors; co-locate by storage block via
-input partitioning, never repartition blobs.
+Feature extraction and resizing are embarrassingly parallel: no
+shuffle at all, so the job scales linearly with executors; co-locate
+by storage block via input partitioning, never repartition blobs.
 """
 
 from __future__ import annotations
@@ -23,22 +25,16 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
+from ..functions import png
+
 MEDIA_SCHEMA = (
     "media_id long, format string, width int, height int, payload binary"
 )
 
 FEATURE_SCHEMA = (
-    "media_id long, n_bytes long, width int, height int, brightness double"
+    "media_id long, n_bytes long, width int, height int, "
+    "decoded_width int, decoded_height int, brightness double"
 )
-
-
-def real_decode(payload: bytes) -> tuple[int, int]:  # pragma: no cover
-    """Where a real image codec goes (PIL.Image.open(io.BytesIO(...)))."""
-    raise NotImplementedError(
-        "image decoding requires an imaging library not present in this "
-        "container; the pipeline uses declared metadata + byte features"
-    )
-
 
 RESIZE_SCHEMA = (
     "media_id long, width int, height int, new_width int, new_height int, "
@@ -48,26 +44,80 @@ RESIZE_SCHEMA = (
 FRAME_SCHEMA = "media_id long, frame_idx int, frame binary"
 
 
-def resize_media(media: DataFrame, max_dim: int = 16) -> DataFrame:
-    """Resize plumbing: compute target dimensions (fit-within-max_dim,
-    aspect preserved, never upscale) per blob in an Arrow batch. The
-    pixel resample itself is the stubbed codec step (``real_decode``) —
-    a real deployment replaces the payload passthrough with
-    PIL.Image.resize; the Spark contract (schema, batching, no shuffle)
-    is identical."""
+def real_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a media payload to (width, height, channels, pixels).
+    PNG is decoded by the stdlib codec; other containers raise
+    PngError and flow through the opaque-bytes path."""
+    return png.decode_png(payload)
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """Per-blob features via an Arrow-batched pandas iterator. For
+    decodable payloads (PNG): real decoded dimensions and brightness =
+    sum(samples) / (n_samples * 255) over actual pixel data. For opaque
+    payloads: decoded dims NULL and a deterministic byte-level
+    stand-in (mean of the first 4 payload bytes / 255)."""
+
+    def one(payload: bytes):
+        try:
+            w, h, ch, px = real_decode(payload)
+        except png.PngError:
+            return None, None, sum(payload[:4]) / (4.0 * 255.0)
+        return w, h, sum(px) / (len(px) * 255.0)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            longest = pdf[["width", "height"]].max(axis=1).clip(lower=1)
-            scale = (max_dim / longest).clip(upper=1.0)
+            feats = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "decoded_width": pd.array([f[0] for f in feats], dtype="Int32"),
+                    "decoded_height": pd.array([f[1] for f in feats], dtype="Int32"),
+                    "brightness": [f[2] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def resize_media(media: DataFrame, max_dim: int = 16) -> DataFrame:
+    """Fit-within-``max_dim`` resize (aspect preserved, never upscale).
+    Target dimensions come from the *decoded* size when the payload is
+    decodable — metadata is advisory only — and the payload is actually
+    resampled (nearest-neighbor) and re-encoded. Opaque payloads plan
+    against declared metadata and pass through unchanged."""
+
+    def one(declared_w: int, declared_h: int, payload: bytes):
+        try:
+            w, h, ch, px = real_decode(payload)
+        except png.PngError:
+            w, h = max(int(declared_w), 0), max(int(declared_h), 0)
+            scale = min(max_dim / max(max(w, h), 1), 1.0)
+            return int(w * scale), int(h * scale), payload
+        scale = min(max_dim / max(max(w, h), 1), 1.0)
+        nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+        if (nw, nh) == (w, h):
+            return nw, nh, payload
+        resized = png.resize_nearest(w, h, ch, px, nw, nh)
+        return nw, nh, png.encode_png(nw, nh, ch, resized)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            res = [
+                one(w, h, p)
+                for w, h, p in zip(pdf["width"], pdf["height"], pdf["payload"])
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "width": pdf["width"],
                     "height": pdf["height"],
-                    "new_width": (pdf["width"] * scale).astype("int32"),
-                    "new_height": (pdf["height"] * scale).astype("int32"),
-                    "payload": pdf["payload"],
+                    "new_width": pd.array([r[0] for r in res], dtype="Int32"),
+                    "new_height": pd.array([r[1] for r in res], dtype="Int32"),
+                    "payload": [r[2] for r in res],
                 }
             )
 
@@ -77,9 +127,10 @@ def resize_media(media: DataFrame, max_dim: int = 16) -> DataFrame:
 def sample_frames(media: DataFrame, frame_size: int = 4, stride: int = 2) -> DataFrame:
     """Frame sampling for video-like payloads: treat the blob as a
     concatenation of fixed-size frames and emit every ``stride``-th one
-    (a real container would use keyframe offsets from the demuxer — the
-    stubbed step). One input row fans out to many; still map-only, no
-    shuffle: sampling happens where the blob was read."""
+    (a real container would use keyframe offsets from the demuxer —
+    video demux stays out of scope in this container). One input row
+    fans out to many; still map-only, no shuffle: sampling happens
+    where the blob was read."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -93,27 +144,3 @@ def sample_frames(media: DataFrame, frame_size: int = 4, stride: int = 2) -> Dat
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
-
-
-def extract_media_features(media: DataFrame) -> DataFrame:
-    """Per-blob features via an Arrow-batched pandas iterator: byte
-    count, declared dimensions, and a deterministic stand-in for a
-    decoded statistic (mean of the first 4 payload bytes / 255 — the
-    place a real `brightness after decode` would compute)."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            payloads = pdf["payload"]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "width": pdf["width"],
-                    "height": pdf["height"],
-                    "brightness": payloads.map(
-                        lambda b: sum(b[:4]) / (4.0 * 255.0)
-                    ),
-                }
-            )
-
-    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)

@@ -401,53 +401,83 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Multimodal columns (binary payload + typed metadata, mapInPandas)
 # ---------------------------------------------------------------------------
 
-MEDIA_ROWS = [
-    (1, "png", 16, 16, "89504e470d0a1a0a0000000d49484452"),
-    (2, "png", 32, 32, "89504e470d0a1a0a0000000d49484453"),
-    (3, "jpg", 64, 48, "ffd8ffe000104a46494600010100ffd9"),
-    (4, "jpg", 8, 8, "ffd8ffe1aabbccdd0011223344556677"),
-    (5, "wav", 0, 0, "52494646aabb000057415645666d7420"),
-    (6, "wav", 0, 0, "524946460000000057415645ffffffff"),
-]
+def _media_px(w: int, h: int, ch: int) -> bytes:
+    """Deterministic fixture pixel pattern (ground truth the oracle
+    literals are computed from — the decode path must reproduce it)."""
+    return bytes(
+        (x * 37 + y * 101 + c * 13) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(ch)
+    )
 
 
-@query(
-    "q_multimodal_features",
-    oracle="""
-    SELECT media_id,
-           octet_length(from_hex(payload_hex)) AS n_bytes,
-           width, height,
-           (('0x' || substr(payload_hex, 1, 2))::INT
-            + ('0x' || substr(payload_hex, 3, 2))::INT
-            + ('0x' || substr(payload_hex, 5, 2))::INT
-            + ('0x' || substr(payload_hex, 7, 2))::INT) / (4.0 * 255.0) AS brightness
-    FROM (VALUES
-        (1, 'png', 16, 16, '89504e470d0a1a0a0000000d49484452'),
-        (2, 'png', 32, 32, '89504e470d0a1a0a0000000d49484453'),
-        (3, 'jpg', 64, 48, 'ffd8ffe000104a46494600010100ffd9'),
-        (4, 'jpg', 8, 8, 'ffd8ffe1aabbccdd0011223344556677'),
-        (5, 'wav', 0, 0, '52494646aabb000057415645666d7420'),
-        (6, 'wav', 0, 0, '524946460000000057415645ffffffff')
-    ) AS t(media_id, format, width, height, payload_hex)
-    """,
-)
+# real dimensions/channels of the PNG fixtures; media 2's *declared*
+# metadata deliberately lies (32x32 vs real 3x5) so a metadata echo
+# cannot pass the decoded-dimension oracle
+_MEDIA_PNG_DIMS = {1: (6, 4, 3), 2: (3, 5, 1), 3: (20, 10, 4)}
+
+
+def _media_rows():
+    from ..functions import png
+
+    rows = []
+    for mid, (w, h, ch) in _MEDIA_PNG_DIMS.items():
+        payload = png.encode_png(w, h, ch, _media_px(w, h, ch))
+        declared = (32, 32) if mid == 2 else (w, h)
+        rows.append((mid, "png", declared[0], declared[1], payload.hex()))
+    rows += [
+        (4, "jpg", 64, 48, "ffd8ffe000104a46494600010100ffd9"),
+        (5, "jpg", 8, 8, "ffd8ffe1aabbccdd0011223344556677"),
+        (6, "wav", 0, 0, "52494646aabb000057415645666d7420"),
+    ]
+    return rows
+
+
+MEDIA_ROWS = _media_rows()
+
+
+def _features_oracle() -> str:
+    """Ground-truth VALUES: decoded dims + brightness from the fixture
+    pixel definition for PNGs (independent of the decoder), byte-level
+    stand-ins for opaque formats."""
+    vals = []
+    for mid, fmt, w, h, hexs in MEDIA_ROWS:
+        payload = bytes.fromhex(hexs)
+        # brightness as an integer-over-integer double division: both
+        # engines round once, so the bits match (a decimal literal
+        # would go through DuckDB's DECIMAL parser and drift)
+        if fmt == "png":
+            rw, rh, ch = _MEDIA_PNG_DIMS[mid]
+            px = _media_px(rw, rh, ch)
+            bright = f"CAST({sum(px)} AS DOUBLE) / {len(px) * 255}"
+            dec = f"{rw}, {rh}"
+        else:
+            bright = f"CAST({sum(payload[:4])} AS DOUBLE) / 1020"
+            dec = "NULL, NULL"
+        vals.append(f"({mid}, {len(payload)}, {w}, {h}, {dec}, {bright})")
+    joined = ",\n        ".join(vals)
+    return f"""
+    SELECT * FROM (VALUES
+        {joined}
+    ) AS t(media_id, n_bytes, width, height, decoded_width, decoded_height, brightness)
+    """
+
+
+@query("q_multimodal_features", oracle=_features_oracle())
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column plumbing: opaque payload + typed metadata through an
-    Arrow-batched mapInPandas feature extractor (decode stubbed — see
-    operators/multimodal.py)."""
+    """Binary media through an Arrow-batched mapInPandas feature
+    extractor with a REAL pure-Python PNG decode (functions/png.py):
+    decoded_width/decoded_height/brightness come from actual pixels —
+    media 2's declared 32x32 metadata lies about its real 3x5 raster,
+    so only a correct decode matches the oracle. Opaque formats
+    (jpg/wav) keep byte-level features with NULL decoded dims."""
     from ..operators.multimodal import MEDIA_SCHEMA, extract_media_features
 
     rows = [(i, f, w, h, bytes.fromhex(x)) for i, f, w, h, x in MEDIA_ROWS]
     # coalesce: don't spawn a Python worker per empty slice for a 6-row fixture
     media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA).coalesce(2)
-    out = extract_media_features(media)
-    return out.select(
-        "media_id",
-        "n_bytes",
-        "width",
-        "height",
-        F.col("brightness").alias("brightness"),
-    )
+    return extract_media_features(media)
 
 
 _MEDIA_VALUES = ",\n        ".join(
@@ -462,27 +492,81 @@ def _media_df(spark: SparkSession):
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).coalesce(2)
 
 
-@query(
-    "q_multimodal_resize",
-    oracle=f"""
-    SELECT media_id, width, height,
-           CAST(width * least(16.0 / greatest(greatest(width, height), 1), 1.0) AS INTEGER) AS new_width,
-           CAST(height * least(16.0 / greatest(greatest(width, height), 1), 1.0) AS INTEGER) AS new_height,
-           octet_length(from_hex(payload_hex)) AS n_bytes
-    FROM (VALUES
-        {_MEDIA_VALUES}
-    ) AS t(media_id, format, width, height, payload_hex)
-    """,
-)
+def _resize_oracle() -> str:
+    """Ground truth for the real resize: target dims from the DECODED
+    size for PNGs (declared metadata for opaque rows) and the pixel sum
+    of the nearest-neighbor resample, recomputed here from the fixture
+    pixel definition (floor index mapping), independent of the
+    operator's codec."""
+    vals = []
+    for mid, fmt, w, h, hexs in MEDIA_ROWS:
+        if fmt == "png":
+            rw, rh, ch = _MEDIA_PNG_DIMS[mid]
+            px = _media_px(rw, rh, ch)
+            scale = min(16 / max(max(rw, rh), 1), 1.0)
+            nw, nh = max(int(rw * scale), 1), max(int(rh * scale), 1)
+            s = 0
+            for y in range(nh):
+                sy = y * rh // nh
+                for x in range(nw):
+                    sx = x * rw // nw
+                    base = (sy * rw + sx) * ch
+                    s += sum(px[base : base + ch])
+            vals.append(f"({mid}, {w}, {h}, {nw}, {nh}, CAST({s} AS BIGINT))")
+        else:
+            scale = min(16 / max(max(w, h), 1), 1.0)
+            vals.append(
+                f"({mid}, {w}, {h}, {int(w * scale)}, {int(h * scale)}, "
+                "CAST(NULL AS BIGINT))"
+            )
+    joined = ",\n        ".join(vals)
+    return f"""
+    SELECT * FROM (VALUES
+        {joined}
+    ) AS t(media_id, width, height, new_width, new_height, resized_px_sum)
+    """
+
+
+@query("q_multimodal_resize", oracle=_resize_oracle())
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fit-within-16px resize planning over binary media (aspect kept,
-    no upscale); payload passthrough where the real resample plugs in."""
+    """Fit-within-16px resize over binary media (aspect kept, no
+    upscale): PNG payloads are really resampled (nearest-neighbor) and
+    re-encoded — the adapter decodes the output payload back and sums
+    its pixels, so the oracle verifies the resampled raster itself.
+    Opaque payloads plan from declared metadata and pass through."""
+    import pandas as _pd
+
+    from ..functions import png as _png
     from ..operators.multimodal import resize_media
 
     out = resize_media(_media_df(spark), max_dim=16)
-    return out.select(
-        "media_id", "width", "height", "new_width", "new_height",
-        F.length("payload").alias("n_bytes"),
+
+    def decode_sum(it):
+        for pdf in it:
+            sums = []
+            for p in pdf["payload"]:
+                try:
+                    _, _, _, px = _png.decode_png(p)
+                    sums.append(sum(px))
+                except _png.PngError:
+                    sums.append(None)
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "new_width": pdf["new_width"],
+                    "new_height": pdf["new_height"],
+                    "resized_px_sum": _pd.array(sums, dtype="Int64"),
+                }
+            )
+
+    return out.mapInPandas(
+        decode_sum,
+        schema=(
+            "media_id long, width int, height int, new_width int, "
+            "new_height int, resized_px_sum long"
+        ),
     )
 
 

@@ -158,23 +158,39 @@ def test_fingerprint_normalizes_whitespace_and_case(spark):
 # ---------------------------------------------------------------------------
 
 
-def test_multimodal_features_byte_exact(spark):
+def test_multimodal_features_opaque_payload_byte_exact(spark):
     from etl_fraud_detection_spark.operators.multimodal import (
         MEDIA_SCHEMA,
         extract_media_features,
-        real_decode,
     )
 
-    payload = bytes([255, 0, 255, 0, 9, 9])
+    payload = bytes([255, 0, 255, 0, 9, 9])  # not a PNG: opaque path
     media = spark.createDataFrame(
-        [(7, "png", 4, 4, payload)], schema=MEDIA_SCHEMA
+        [(7, "bin", 4, 4, payload)], schema=MEDIA_SCHEMA
     ).coalesce(1)
     r = extract_media_features(media).first()
     assert r.n_bytes == 6
     assert (r.width, r.height) == (4, 4)
+    assert (r.decoded_width, r.decoded_height) == (None, None)
     assert math.isclose(r.brightness, (255 + 0 + 255 + 0) / (4 * 255.0))
-    with pytest.raises(NotImplementedError):
-        real_decode(payload)
+
+
+def test_multimodal_features_decode_real_pixels(spark):
+    from etl_fraud_detection_spark.functions.png import encode_png
+    from etl_fraud_detection_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+    )
+
+    px = bytes(range(5 * 3 * 3))  # 5x3 RGB ramp
+    payload = encode_png(5, 3, 3, px)
+    # declared metadata lies (9x9) — decoded dims must win
+    media = spark.createDataFrame(
+        [(8, "png", 9, 9, payload)], schema=MEDIA_SCHEMA
+    ).coalesce(1)
+    r = extract_media_features(media).first()
+    assert (r.decoded_width, r.decoded_height) == (5, 3)
+    assert math.isclose(r.brightness, sum(px) / (len(px) * 255.0))
 
 
 def test_resize_keeps_aspect_and_never_upscales(spark):
