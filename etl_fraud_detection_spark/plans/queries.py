@@ -920,6 +920,35 @@ def q_fraud_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         empty_report, _now_col(),
     )
 
+
+@query(
+    "q_fraud_report_sql",
+    oracle=(
+        f"WITH {FD.fraud_tables_cte()}\n{_RULE1_SQL}\nUNION ALL\n{_RULE2_SQL}"
+        f"\nUNION ALL\n{_RULE3_SQL}\nUNION ALL\n{_RULE4_SQL}"
+    ),
+)
+def q_fraud_report_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: the SAME report increment executed from the translated
+    ``.sql`` script over registered temp views (reference
+    database.py:42-46, etl.py:411) — native OR-EXISTS, scalar-subquery
+    watermark, and window frames all through ``spark.sql``. Must match
+    both the DataFrame pipeline (tests/test_fraud_rules.py) and the
+    DuckDB oracle."""
+    from ..sources.sqlscript import report_from_sql_script
+
+    t = FD.fraud_tables(spark)
+    empty_report = spark.createDataFrame([], schema="report_dt date")
+    tables = {
+        "fact_transaction": t["ff_transactions"],
+        "dim_cards_hist": t["ff_cards_hist"],
+        "dim_accounts_hist": t["ff_accounts_hist"],
+        "dim_clients_hist": t["ff_clients_hist"],
+        "dim_terminals_hist": t["ff_terminals_hist"],
+        "fact_passport_blacklist": t["ff_blacklist"],
+    }
+    return report_from_sql_script(spark, tables, empty_report, "2025-01-15 12:00:00")
+
 # ---------------------------------------------------------------------------
 # S1/S3/S4/S5 file ingestion, end-to-end (SURVEY §2.1; reference file.py,
 # finder.py). The query materializes a deterministic daily file — semicolon

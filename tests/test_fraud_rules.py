@@ -45,3 +45,37 @@ def test_report_watermark_monotone(spark):
         existing, now,
     )
     assert out.count() == 0
+
+
+def test_sql_script_report_equals_dataframe_pipeline(spark):
+    """S10: the report executed from the translated .sql file
+    (sources/sqlscript.py over sql/rep_fraud_sync.sql, native
+    OR-EXISTS included) must equal the DataFrame pipeline row for row —
+    the reference runs this report as a script (database.py:42-46,
+    etl.py:411), so both authoring surfaces are first-class."""
+    from etl_fraud_detection_spark.sources.sqlscript import report_from_sql_script
+
+    t = FD.fraud_tables(spark)
+    empty_report = spark.createDataFrame([], schema="report_dt date")
+    now = F.expr("TIMESTAMP_NTZ '2025-01-15 12:00:00'")
+    df_out = fraud.fraud_report(
+        t["ff_transactions"], t["ff_cards_hist"], t["ff_accounts_hist"],
+        t["ff_clients_hist"], t["ff_terminals_hist"], t["ff_blacklist"],
+        empty_report, now,
+    )
+    sql_out = report_from_sql_script(
+        spark,
+        {
+            "fact_transaction": t["ff_transactions"],
+            "dim_cards_hist": t["ff_cards_hist"],
+            "dim_accounts_hist": t["ff_accounts_hist"],
+            "dim_clients_hist": t["ff_clients_hist"],
+            "dim_terminals_hist": t["ff_terminals_hist"],
+            "fact_passport_blacklist": t["ff_blacklist"],
+        },
+        empty_report,
+        "2025-01-15 12:00:00",
+    )
+    assert sql_out.columns == df_out.columns
+    key = lambda r: tuple(str(v) for v in r)  # noqa: E731
+    assert sorted(map(key, sql_out.collect())) == sorted(map(key, df_out.collect()))
