@@ -1,0 +1,183 @@
+"""N-gram corpus operators for training-data curation: within-document
+repetition signals, benchmark decontamination, overlapping chunking, and
+lexical-diversity scoring.
+
+These are the pre-training hygiene passes a 100 TB corpus goes through
+before tokenization (the Gopher/C4 family of filters): repetition-heavy
+documents are low quality, eval-set n-gram overlap is contamination, and
+long documents are chunked into overlapping context windows.
+
+Scale shape:
+- chunking and diversity are map-only (zero shuffle — pure array
+  expressions in codegen);
+- repetition stats shuffle once on (doc_id, gram) then once on doc_id —
+  both keys are doc-prefixed, so skew is bounded by the longest single
+  document, not by corpus-wide gram popularity;
+- contamination shuffles on the gram itself (the standard
+  decontamination join); the benchmark side is tiny and broadcast.
+
+Exactness: every emitted ratio is one division of two exact integers, so
+the DuckDB oracles match bitwise (no float summation-order hazards).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def tokens(text_col: str = "text") -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def ngram_array(text_col: str = "text", n: int = 2) -> Column:
+    """Word n-grams as an array column, entirely in codegen.
+
+    Guard: Spark's ``sequence(1, stop)`` with ``stop < 1`` produces a
+    DESCENDING sequence (not empty like DuckDB ``generate_series``), so
+    documents shorter than ``n`` tokens must short-circuit to an empty
+    array explicitly.
+    """
+    toks = tokens(text_col)
+    stop = F.size(toks) - (n - 1)
+    idx = F.when(stop >= 1, F.sequence(F.lit(1), stop)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+
+
+def with_repetition_stats(docs: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
+    """Gopher-style within-document repetition signals: total / distinct
+    n-gram counts, the duplicate-gram fraction, and the top-gram
+    fraction (how much of the document is its single most repeated
+    n-gram). High values on either fraction mark boilerplate and
+    degenerate repetition loops.
+
+    Two aggregations, both keyed by doc_id (+gram): partial aggregation
+    combines map-side, and no key ever spans documents, so the shuffle
+    volume is bounded by per-document distinct grams."""
+    grams = docs.select("doc_id", F.explode(ngram_array(text_col, n)).alias("gram"))
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    agg = per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_grams"),
+        F.count("*").cast("long").alias("n_distinct_grams"),
+        F.max("cnt").cast("long").alias("top_gram_count"),
+    )
+    # Left join keeps sub-n-token documents (zero grams) in the output.
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_distinct_grams", F.lit(0)).alias("n_distinct_grams"),
+            F.coalesce("top_gram_count", F.lit(0)).alias("top_gram_count"),
+            (
+                (F.col("n_grams") - F.col("n_distinct_grams")).cast("double")
+                / F.col("n_grams")
+            ).alias("dup_gram_frac"),
+            (F.col("top_gram_count").cast("double") / F.col("n_grams")).alias(
+                "top_gram_frac"
+            ),
+        )
+    )
+
+
+def contamination_check(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Eval-set decontamination: for every training document sharing at
+    least one word ``n``-gram with any benchmark document, report how
+    many distinct n-grams leak and how many benchmark documents are hit.
+
+    The join key is the n-gram itself — the standard decontamination
+    shuffle. The benchmark side (distinct grams of an eval suite) is
+    orders of magnitude smaller than the corpus, so it is broadcast:
+    the 100 TB side never shuffles at all."""
+    train_grams = train.select(
+        "doc_id", F.explode(F.array_distinct(ngram_array(text_col, n))).alias("gram")
+    )
+    bench_grams = benchmark.select(
+        F.col("doc_id").alias("bench_id"),
+        F.explode(F.array_distinct(ngram_array(text_col, n))).alias("gram"),
+    )
+    hits = train_grams.join(F.broadcast(bench_grams), "gram")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").cast("long").alias("n_shared_grams"),
+            F.countDistinct("bench_id").cast("long").alias("n_bench_docs"),
+        )
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows (the
+    context-window chunking step before tokenization/embedding): chunk
+    ``k`` covers tokens ``[1 + k*stride, 1 + k*stride + chunk_tokens)``;
+    the tail chunk may be short. Map-only — explode of a per-row
+    sequence; no shuffle, trivially scales."""
+    toks = tokens(text_col)
+    out = docs.select(
+        "doc_id",
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(1), F.size(toks), F.lit(stride))).alias("start"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("start"), chunk_tokens)
+    return out.select(
+        "doc_id",
+        ((F.col("start") - 1) / stride).cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start_tok"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def with_lexical_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Lexical-diversity quality features, all map-only (zero shuffle):
+
+    - type-token ratio (distinct / total tokens) — low = repetitive;
+    - character collision probability sum(c_i^2)/len^2 (Simpson index
+      over the character distribution) — an entropy-like concentration
+      score without float-log summation-order hazards;
+    - distinct character count.
+
+    The char histogram is computed in array land (distinct chars x
+    occurrence filter): O(|alphabet| * len) per document with a bounded
+    alphabet, keeping the whole operator inside one codegen stage."""
+    toks = tokens(text_col)
+    chars = F.split(F.col(text_col), "")
+    char_sq = F.aggregate(
+        F.transform(
+            F.array_distinct(chars),
+            lambda c: F.size(F.filter(chars, lambda x: x == c)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x * x,
+    )
+    n_chars = F.length(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).cast("long").alias("n_token_types"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "type_token_ratio"
+        ),
+        F.size(F.array_distinct(chars)).cast("long").alias("n_char_types"),
+        char_sq.alias("char_sq_sum"),
+        (char_sq.cast("double") / (n_chars * n_chars).cast("double")).alias(
+            "char_collision_prob"
+        ),
+    )

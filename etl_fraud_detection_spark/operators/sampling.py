@@ -95,6 +95,46 @@ def pack_sequences(
     )
 
 
+def domain_mix_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    domain_col: str,
+    size_col: str,
+    key_col: str,
+    default_budget: int = 0,
+) -> DataFrame:
+    """Mix domains to a target token budget: within each domain, stream
+    documents in deterministic md5(key) order and keep every document
+    that STARTS before the domain's budget boundary (so the kept set
+    slightly overshoots, never undershoots, and adding corpus never
+    changes which earlier docs are kept — stable under incremental
+    builds).
+
+    This is the "sample domain X down to N tokens" step of assembling a
+    training mix. One shuffle: a window partitioned by domain ordered by
+    the hash — per-domain sort, no global order. Skew = largest single
+    domain; at 100 TB, pre-split giant domains on a hash prefix."""
+    from pyspark.sql import Window
+
+    budget = None
+    for domain, b in budgets.items():
+        branch = F.when(F.col(domain_col) == domain, F.lit(b))
+        budget = branch if budget is None else budget.when(F.col(domain_col) == domain, F.lit(b))
+    budget = F.lit(default_budget) if budget is None else budget.otherwise(F.lit(default_budget))
+
+    key = F.md5(F.col(key_col).cast("string"))
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(key.asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = (F.sum(F.col(size_col)).over(w) - F.col(size_col)).cast("long")
+    return (
+        df.select("*", start.alias("tokens_before"), budget.cast("long").alias("budget"))
+        .where(F.col("tokens_before") < F.col("budget"))
+    )
+
+
 def hash_topk_sample(df: DataFrame, k: int, key_col: str) -> DataFrame:
     """Fixed-size uniform sample: order by md5(key) and take k. The hash
     order is a uniform random permutation independent of storage order,

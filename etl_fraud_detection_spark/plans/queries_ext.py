@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..operators import dedup, similarity, text
+from ..operators import dedup, ngrams, sampling, similarity, text
 from .queries import _t, query
 
 # ---------------------------------------------------------------------------
@@ -1222,6 +1222,155 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cen = similarity.kmeans_centroids(emb, n_centroids=8)
     return similarity.ivf_topk(emb, k=3, query_pred="vec_id < 50", centroids=cen)
+
+
+# ---------------------------------------------------------------------------
+# N-gram corpus hygiene: repetition signals, decontamination, chunking,
+# lexical diversity, domain mixing (operators/ngrams.py, sampling.py)
+# ---------------------------------------------------------------------------
+
+_GRAM2 = "list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])"
+_GRAM4 = (
+    "list_transform(generate_series(1, len(toks) - 3), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])"
+)
+
+
+@query(
+    "q_repetition_stats",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, unnest({_GRAM2}) AS gram FROM ({_TOKS})
+    ),
+    c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+    a AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+                 CAST(MAX(cnt) AS BIGINT) AS top_gram_count
+          FROM c GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(a.n_grams, 0) AS n_grams,
+           COALESCE(a.n_distinct_grams, 0) AS n_distinct_grams,
+           COALESCE(a.top_gram_count, 0) AS top_gram_count,
+           CAST(a.n_grams - a.n_distinct_grams AS DOUBLE) / a.n_grams AS dup_gram_frac,
+           CAST(a.top_gram_count AS DOUBLE) / a.n_grams AS top_gram_frac
+    FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals (duplicate-2-gram
+    fraction, top-2-gram fraction): doc-prefixed aggregation keys, so
+    shuffle volume is bounded by the longest document, not corpus-wide
+    gram popularity."""
+    return ngrams.with_repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_contamination",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, unnest(list_distinct({_GRAM4})) AS gram FROM ({_TOKS})
+    ),
+    tr AS (SELECT * FROM g WHERE doc_id % 50 <> 0),
+    be AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 50 = 0)
+    SELECT tr.doc_id,
+           CAST(COUNT(DISTINCT tr.gram) AS BIGINT) AS n_shared_grams,
+           CAST(COUNT(DISTINCT be.bench_id) AS BIGINT) AS n_bench_docs
+    FROM tr JOIN be ON tr.gram = be.gram
+    GROUP BY 1
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: training docs (doc_id % 50 != 0) that
+    share a word 4-gram with the benchmark split (doc_id % 50 == 0).
+    The benchmark gram set is broadcast, so the corpus side of the
+    standard decontamination join never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngrams.contamination_check(
+        docs.where(F.col("doc_id") % 50 != 0),
+        docs.where(F.col("doc_id") % 50 == 0),
+        n=4,
+    )
+
+
+@query(
+    "q_chunk_docs",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, toks, unnest(generate_series(1, len(toks), 24)) AS start
+        FROM ({_TOKS})
+    )
+    SELECT doc_id,
+           CAST((start - 1) // 24 AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start_tok,
+           CAST(len(toks[start:start + 31]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(toks[start:start + 31], ' ') AS chunk_text
+    FROM s
+    """,
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (32-token chunks, stride 24):
+    map-only explode of a per-row start sequence — zero shuffle."""
+    return ngrams.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, stride=24
+    )
+
+
+@query(
+    "q_lexical_diversity",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_token_types,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio,
+           CAST(len(list_distinct(chars)) AS BIGINT) AS n_char_types,
+           CAST(list_sum(list_transform(
+                    list_transform(list_distinct(chars),
+                        c -> CAST(len(list_filter(chars, x -> x = c)) AS BIGINT)),
+                    x -> x * x)) AS BIGINT) AS char_sq_sum,
+           CAST(list_sum(list_transform(
+                    list_transform(list_distinct(chars),
+                        c -> CAST(len(list_filter(chars, x -> x = c)) AS BIGINT)),
+                    x -> x * x)) AS DOUBLE)
+               / (length(text) * length(text)) AS char_collision_prob
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS toks,
+                 string_split(text, '') AS chars
+          FROM documents)
+    """,
+)
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality features (type-token ratio, character
+    collision probability a.k.a. Simpson concentration): map-only array
+    expressions, zero shuffle; every ratio is one division of exact
+    integers, so no float summation-order hazard."""
+    return ngrams.with_lexical_diversity(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_domain_mix",
+    oracle="""
+    WITH o AS (
+        SELECT doc_id, source, n_chars,
+               CAST(SUM(n_chars) OVER (PARTITION BY source
+                        ORDER BY md5(CAST(doc_id AS VARCHAR))
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_chars AS BIGINT) AS tokens_before,
+               CAST(CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 3000
+                    ELSE 1500 END AS BIGINT) AS budget
+        FROM documents
+    )
+    SELECT * FROM o WHERE tokens_before < budget
+    """,
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing to a per-source token budget: deterministic
+    md5-ordered fill until each domain's budget boundary — the "sample
+    domain X down to N tokens" step of assembling a training mix. One
+    per-domain window shuffle; stable under incremental corpus growth."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return sampling.domain_mix_sample(
+        docs, {"src0": 5000, "src1": 3000}, "source", "n_chars", "doc_id",
+        default_budget=1500,
+    )
 
 
 # ---------------------------------------------------------------------------
