@@ -1490,6 +1490,27 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchases x same-user clicks in the
+    preceding hour), both sides watermarked so join state is bounded by
+    the hour range, not stream history — must equal the batch interval
+    join (the oracle)."""
+    from ..streaming.rules import stream_stream_click_purchase_join
+
+    return stream_stream_click_purchase_join(spark, sf_dir)
+
+
+@query(
     "q_stream_rule3",
     oracle="""
     SELECT event_id, user_id, ts, event_type, prv_type, prv_ts

@@ -425,6 +425,55 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_append(spark, deduped, "stream_dedup")
 
 
+def stream_stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: every purchase joined to the same
+    user's clicks in the preceding hour (inclusive), both sides
+    watermarked — Spark's built-in symmetric-hash stream-stream join.
+
+    The event-time range condition (click_ts in [purchase_ts - 1h,
+    purchase_ts]) plus the two watermarks is what lets Spark BOUND the
+    join state: each side's buffered rows are dropped once the other
+    side's watermark passes the range, so state is O(events per hour),
+    not O(stream history) — hash-partitioned by user_id across
+    executors. Inner-join matches emit immediately per micro-batch, so
+    a bounded replay needs no heartbeat flush."""
+    events = _read_events_stream(spark, sf_dir)
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    )
+    out = _drain_append(spark, joined, "stream_join")
+    return out.select(
+        "purchase_id", "user_id",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "click_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        "click_value",
+    )
+
+
 def rule4_amount_guess_stream(
     spark: SparkSession, sf_dir: str,
     delay: str = "0 seconds", events_dir: str | None = None,

@@ -135,3 +135,28 @@ def test_rule4_stream_matches_batch_on_shuffled_input(spark, shuffled_dir):
     )
     cols = ["event_id", "user_id", "ts", "value", "min_ts"]
     assert _rows(got, cols) == _rows(exp, cols)
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """The watermarked stream-stream interval join must equal the batch
+    interval join over the same events table."""
+    out = sr.stream_stream_click_purchase_join(spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"),
+        F.col("ts").alias("click_ts"), F.col("value").alias("click_value"),
+    )
+    batch = p.join(
+        c,
+        (p.user_id == c.cu)
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts", "click_value")
+    key = lambda r: (r.purchase_id, r.click_id)  # noqa: E731
+    got = sorted(map(key, out.collect()))
+    want = sorted(map(key, batch.collect()))
+    assert got == want and len(got) > 0
