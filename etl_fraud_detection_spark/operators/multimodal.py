@@ -5,9 +5,11 @@ iterators (``mapInPandas``).
 PNG payloads are decoded for real by the pure-stdlib codec in
 functions/png.py — decoded width/height/brightness come from actual
 pixels, and one fixture's declared metadata deliberately lies so a
-metadata echo cannot pass the oracle. Formats without an in-container
-codec (jpg/wav) remain opaque: byte-level features only, decoded
-dimensions NULL — the honest split between "decoded" and "declared".
+metadata echo cannot pass the oracle. WAV payloads are decoded for real
+by functions/wav.py (PCM16 samples -> rate/duration/amplitude
+features). Formats without an in-container codec (jpg; video demux)
+remain opaque: byte-level features only, decoded fields NULL — the
+honest split between "decoded" and "declared".
 
 Scale notes (100 TB of media): mapInPandas streams Arrow batches —
 memory is bounded by batch size, not partition size; set
@@ -122,6 +124,55 @@ def resize_media(media: DataFrame, max_dim: int = 16) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "media_id long, n_bytes long, sample_rate int, n_channels int, "
+    "n_frames long, duration_s double, peak_abs long, mean_abs double"
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio features from REAL decoded PCM samples (functions/wav.py):
+    sample rate / channels / frame count from the container, duration
+    and mean absolute amplitude as single exact-integer divisions (so
+    an external oracle matches bitwise). Non-WAV payloads get NULL
+    audio columns — same honest opaque split as the image path. Same
+    scale shape as the other extractors: Arrow-batched mapInPandas,
+    no shuffle."""
+    from ..functions import wav
+
+    def one(payload: bytes):
+        try:
+            rate, ch, samples = wav.decode_wav(payload)
+        except wav.WavError:
+            return (None,) * 6
+        n = len(samples)
+        if n == 0:
+            return rate, ch, 0, 0.0, 0, 0.0
+        sum_abs = sum(abs(s) for s in samples)
+        return (
+            rate, ch, n // ch, (n // ch) / rate, max(abs(s) for s in samples),
+            sum_abs / n,
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "sample_rate": pd.array([f[0] for f in feats], dtype="Int32"),
+                    "n_channels": pd.array([f[1] for f in feats], dtype="Int32"),
+                    "n_frames": pd.array([f[2] for f in feats], dtype="Int64"),
+                    "duration_s": [f[3] for f in feats],
+                    "peak_abs": pd.array([f[4] for f in feats], dtype="Int64"),
+                    "mean_abs": [f[5] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=AUDIO_SCHEMA)
 
 
 def sample_frames(media: DataFrame, frame_size: int = 4, stride: int = 2) -> DataFrame:

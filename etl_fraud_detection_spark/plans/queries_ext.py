@@ -418,8 +418,16 @@ def _media_px(w: int, h: int, ch: int) -> bytes:
 _MEDIA_PNG_DIMS = {1: (6, 4, 3), 2: (3, 5, 1), 3: (20, 10, 4)}
 
 
+# real audio fixtures: (media_id, sample_rate, channels, interleaved PCM16)
+# — deterministic ramps, amplitudes well inside int16
+_MEDIA_WAV_DEFS = {
+    6: (8000, 1, [((i * 37) % 200 - 100) * 80 for i in range(50)]),
+    7: (16000, 2, [((i * 53) % 400 - 200) * 60 for i in range(80)]),
+}
+
+
 def _media_rows():
-    from ..functions import png
+    from ..functions import png, wav
 
     rows = []
     for mid, (w, h, ch) in _MEDIA_PNG_DIMS.items():
@@ -429,8 +437,12 @@ def _media_rows():
     rows += [
         (4, "jpg", 64, 48, "ffd8ffe000104a46494600010100ffd9"),
         (5, "jpg", 8, 8, "ffd8ffe1aabbccdd0011223344556677"),
-        (6, "wav", 0, 0, "52494646aabb000057415645666d7420"),
     ]
+    for mid, (rate, ch, samples) in _MEDIA_WAV_DEFS.items():
+        rows.append((mid, "wav", 0, 0, wav.encode_wav(rate, ch, samples).hex()))
+    # declares "wav" but the RIFF header is truncated garbage — must flow
+    # through the opaque path, not crash the decoder
+    rows.append((8, "wav", 0, 0, "52494646aabb000057415645666d7420"))
     return rows
 
 
@@ -568,6 +580,49 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_height int, resized_px_sum long"
         ),
     )
+
+
+def _audio_oracle() -> str:
+    """Ground-truth VALUES computed from the fixture sample definitions
+    (independent of the codec); divisions emitted as exact
+    integer-over-integer casts so both engines round once."""
+    vals = []
+    for mid, fmt, w, h, hexs in MEDIA_ROWS:
+        n_bytes = len(hexs) // 2
+        if fmt == "wav" and mid in _MEDIA_WAV_DEFS:
+            rate, ch, samples = _MEDIA_WAV_DEFS[mid]
+            n = len(samples)
+            sum_abs = sum(abs(s) for s in samples)
+            peak = max(abs(s) for s in samples)
+            vals.append(
+                f"({mid}, {n_bytes}, {rate}, {ch}, {n // ch}, "
+                f"CAST({n // ch} AS DOUBLE) / {rate}, {peak}, "
+                f"CAST({sum_abs} AS DOUBLE) / {n})"
+            )
+        else:
+            vals.append(
+                f"({mid}, {n_bytes}, CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), "
+                "CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), "
+                "CAST(NULL AS DOUBLE))"
+            )
+    joined = ",\n        ".join(vals)
+    return f"""
+    SELECT * FROM (VALUES
+        {joined}
+    ) AS t(media_id, n_bytes, sample_rate, n_channels, n_frames,
+           duration_s, peak_abs, mean_abs)
+    """
+
+
+@query("q_multimodal_audio", oracle=_audio_oracle())
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio features from REAL decoded PCM16 samples (pure-stdlib WAV
+    codec, functions/wav.py): rate, channels, frame count, duration,
+    peak/mean absolute amplitude. Non-WAV and corrupt payloads flow
+    through the opaque path with NULL audio columns."""
+    from ..operators.multimodal import extract_audio_features
+
+    return extract_audio_features(_media_df(spark))
 
 
 @query(
