@@ -1544,6 +1544,24 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dedup_keys(spark, sf_dir)
 
 
+def _rule1_stream_oracle() -> str:
+    from .queries import _RULE1_SQL as r1  # noqa: PLC0415
+
+    from . import fraud_domain as FD  # noqa: PLC0415
+
+    return f"WITH {FD.fraud_tables_cte()}\n{r1}"
+
+
+@query("q_stream_fraud1", oracle=_rule1_stream_oracle())
+def q_stream_fraud1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule 1 over a live transaction stream: identical batch rule code
+    on a streaming source — stream-static broadcast dimension joins,
+    zero state — must equal the batch rule (the oracle)."""
+    from ..streaming.rules import rule1_stream_static
+
+    return rule1_stream_static(spark, sf_dir)
+
+
 @query(
     "q_stream_join",
     oracle="""

@@ -425,6 +425,42 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_append(spark, deduped, "stream_dedup")
 
 
+def rule1_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraud rule 1 on a LIVE transaction stream: the same batch rule
+    code (plans.fraud.temporal_base + rule1_bad_passport) applied to a
+    streaming transactions source — every dimension join is a
+    stream-STATIC broadcast join, so the rule logic is input-mode
+    agnostic: one definition, two execution modes. The report watermark
+    is applied at the source (the bookmark decides which files enter
+    the stream — exactly the reference's file-date gating).
+
+    Scale shape: the stream side never shuffles (all dims broadcast);
+    state is zero (no aggregation) — each micro-batch flags and emits
+    independently."""
+    import tempfile
+
+    from ..plans import fraud
+    from ..plans import fraud_domain as FD
+    from ..session import tune
+
+    tune(spark)
+    t = FD.fraud_tables(spark)
+    empty_report = spark.createDataFrame([], schema="report_dt date")
+    tx = fraud.report_watermark_filter(t["ff_transactions"], empty_report)
+
+    d = tempfile.mkdtemp(prefix="stream_fraud_tx_")
+    tx.coalesce(1).write.mode("overwrite").parquet(d)
+    tx_stream = spark.readStream.schema(t["ff_transactions"].schema).parquet(d)
+
+    base = fraud.temporal_base(
+        tx_stream, t["ff_cards_hist"], t["ff_accounts_hist"], t["ff_clients_hist"]
+    )
+    out = fraud.rule1_bad_passport(
+        base, t["ff_blacklist"], F.expr("TIMESTAMP_NTZ '2025-01-15 12:00:00'")
+    )
+    return _drain_append(spark, out, "stream_fraud1")
+
+
 def stream_stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: every purchase joined to the same
     user's clicks in the preceding hour (inclusive), both sides
