@@ -30,11 +30,19 @@ def run_script(
     path: str,
     views: dict[str, DataFrame] | None = None,
     args: dict | None = None,
+    broadcast: tuple[str, ...] = (),
 ) -> DataFrame:
     """Execute one SQL script: register ``views`` as temp views, strip
     the trailing statement terminator, run via ``spark.sql`` with named
-    parameters (``:name`` markers in the script)."""
+    parameters (``:name`` markers in the script).
+
+    ``broadcast`` names views to register with a broadcast hint — the
+    engine-layer knob that keeps dimension joins off the sort-merge
+    path WITHOUT polluting the user's script with pragmas (the hint
+    rides the view's logical plan into every use inside the script)."""
     for name, df in (views or {}).items():
+        if name in broadcast:
+            df = df.hint("broadcast")
         df.createOrReplaceTempView(name)
     sql = get_script(path).strip().rstrip(";")
     return spark.sql(sql, args=args or {})
@@ -52,9 +60,11 @@ def report_from_sql_script(
     dim_*_hist, fact_passport_blacklist) to DataFrames."""
     views = dict(tables)
     views["rep_fraud"] = report
+    dims = tuple(n for n in views if n != "fact_transaction")
     return run_script(
         spark,
         os.path.join(SQL_DIR, "rep_fraud_sync.sql"),
         views=views,
         args={"processed_dt": processed_dt},
+        broadcast=dims,
     )

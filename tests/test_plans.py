@@ -141,3 +141,13 @@ def test_cluster_candidates_avoid_coshingle_self_join(spark):
     # sanity: the detector does fire on the exact all-pairs path
     p_exact = plan_of(dedup.ngram_jaccard_pairs(docs, tau=0.8))
     assert _shingle_only_join_keys(p_exact)
+
+
+def test_sql_script_report_broadcasts_dims(spark):
+    """The .sql-file execution path must reach the same physical shape
+    as the DataFrame pipeline: every dimension join broadcast, no
+    sort-merge join of the fact table (the hint rides the registered
+    views, not the user's script)."""
+    p = plan_of(q(spark, "q_fraud_report_sql"))
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
