@@ -1,0 +1,130 @@
+"""Byte-pair-encoding tokenizer: the real subword step between corpus
+hygiene and training, replacing the BPE-ish regex *estimate* in
+operators/text.py with an actual learned merge table.
+
+Split of labor at 100 TB (the standard production shape):
+- TRAINING runs on a bounded deterministic sample (hash_topk_sample →
+  driver): tokenizer vocabularies are built from samples, not the full
+  corpus, so the iterative merge loop is a driver-side concern — never
+  a per-round distributed job over 100 TB.
+- ENCODING runs distributed: the learned merge table broadcasts with
+  the closure and every document encodes independently inside an
+  Arrow-batched ``mapInPandas`` — map-only, no shuffle, linear in
+  corpus size. Python-side by necessity (iterative per-word merging is
+  not expressible in codegen), which is exactly the documented
+  Pandas-UDF escape hatch.
+
+Algorithm: classic word-level BPE (Sennrich et al. 2016, public):
+words split to characters + terminal marker; repeatedly merge the
+most frequent adjacent symbol pair (count ties broken lexicographically
+for determinism); encoding replays merges in learned order.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+WORD_END = "</w>"
+
+
+def _word_symbols(word: str) -> tuple[str, ...]:
+    return tuple(word) + (WORD_END,)
+
+
+def train_bpe(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` merge rules from whitespace-split words.
+    Deterministic: pair-count ties break lexicographically."""
+    vocab = Counter()
+    for t in texts:
+        for w in t.split():
+            if w:
+                vocab[_word_symbols(w)] += 1
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, cnt in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += cnt
+        if not pairs:
+            break
+        # highest count first, ties to the lexicographically smallest pair
+        best = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        merges.append(best)
+        vocab = Counter(
+            {_apply_merge(syms, best): cnt for syms, cnt in vocab.items()}
+        )
+    return merges
+
+
+def _apply_merge(syms: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Replay the merge list in learned order over one word."""
+    syms = _word_symbols(word)
+    for pair in merges:
+        if len(syms) < 2:
+            break
+        syms = _apply_merge(syms, pair)
+    return list(syms)
+
+
+def encode_text(text: str, merges: list[tuple[str, str]]) -> list[str]:
+    toks: list[str] = []
+    for w in text.split():
+        if w:
+            toks += encode_word(w, merges)
+    return toks
+
+
+def encode_documents(
+    docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+) -> DataFrame:
+    """Distributed BPE encode: merge table broadcast via closure, each
+    Arrow batch encoded independently (map-only). Emits the token array
+    and the billing-grade token count."""
+    # per-word memoization: corpus words repeat heavily, so encoding
+    # each distinct word once per batch beats re-merging every copy
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+
+        def enc(text: str) -> list[str]:
+            out: list[str] = []
+            for w in text.split():
+                if not w:
+                    continue
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = encode_word(w, merges)
+                out += got
+            return out
+
+        for pdf in it:
+            toks = [enc(t) for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "bpe_tokens": toks,
+                    "n_bpe_tokens": pd.array(
+                        [len(t) for t in toks], dtype="int64"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(
+        batches, schema="doc_id long, bpe_tokens array<string>, n_bpe_tokens long"
+    )

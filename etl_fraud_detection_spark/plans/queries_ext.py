@@ -1544,6 +1544,49 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dedup_keys(spark, sf_dir)
 
 
+# ---------------------------------------------------------------------------
+# BPE tokenization (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+# Fixed merge table for the oracle-paired encode fixture (training is
+# exercised in tests/test_bpe.py); the expected tokenizations below are
+# HAND-derived from the merge replay, independent of the implementation.
+_BPE_MERGES = [("l", "o"), ("lo", "w"), ("low", "</w>"), ("e", "r"), ("er", "</w>")]
+_BPE_DOCS = [
+    (1, "low lower lowest"),
+    (2, "er lo"),
+    (3, ""),
+    (4, "lower lower"),
+]
+
+
+@query(
+    "q_bpe_encode",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 'low</w> low er</w> low e s t </w>', 8),
+        (2, 'er</w> lo </w>', 3),
+        (3, '', 0),
+        (4, 'low er</w> low er</w>', 4)
+    ) AS t(doc_id, bpe_text, n_bpe_tokens)
+    """,
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE subword encode (learned-merge replay) through the
+    Arrow-batched distributed encoder — the merge table broadcasts with
+    the closure, each document encodes independently (map-only). The
+    oracle is a HAND-derived tokenization of the fixture corpus under a
+    fixed merge list, so only a correct merge replay matches. Tokens
+    surface space-joined (lossless: input words are whitespace-split)."""
+    from ..operators import bpe
+
+    docs = spark.createDataFrame(_BPE_DOCS, "doc_id long, text string").coalesce(1)
+    out = bpe.encode_documents(docs, _BPE_MERGES)
+    return out.select(
+        "doc_id", F.array_join("bpe_tokens", " ").alias("bpe_text"), "n_bpe_tokens"
+    )
+
+
 def _rule1_stream_oracle() -> str:
     from .queries import _RULE1_SQL as r1  # noqa: PLC0415
 

@@ -1,0 +1,45 @@
+"""BPE tokenizer: deterministic training, merge-replay encoding, and
+the distributed encoder's equivalence to the driver-side reference."""
+
+from etl_fraud_detection_spark.operators import bpe
+
+
+def test_train_learns_frequent_pairs_deterministically():
+    # 'ab' appears in every word and must merge first; ties then break
+    # lexicographically, so repeated training is bit-identical.
+    corpus = ["abab abc", "abd abab"]
+    m1 = bpe.train_bpe(corpus, 3)
+    m2 = bpe.train_bpe(corpus, 3)
+    assert m1 == m2
+    assert m1[0] == ("a", "b")
+
+
+def test_encode_replays_merges_in_order():
+    merges = [("l", "o"), ("lo", "w"), ("low", "</w>"), ("e", "r"), ("er", "</w>")]
+    assert bpe.encode_word("low", merges) == ["low</w>"]
+    assert bpe.encode_word("lower", merges) == ["low", "er</w>"]
+    assert bpe.encode_word("lowest", merges) == ["low", "e", "s", "t", "</w>"]
+    assert bpe.encode_text("er lo", merges) == ["er</w>", "lo", "</w>"]
+    assert bpe.encode_text("", merges) == []
+
+
+def test_trained_encoder_compresses_training_words():
+    corpus = ["the quick the lazy the end"] * 3
+    merges = bpe.train_bpe(corpus, 8)
+    # 'the' is the most frequent word: it must end up a single token
+    assert bpe.encode_word("the", merges) == ["the</w>"]
+    # unseen words still round-trip to characters + marker
+    assert "".join(bpe.encode_word("zq", merges)) == "zq</w>"
+
+
+def test_distributed_encode_matches_driver_reference(spark):
+    docs_pdf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sample = [r.text for r in docs_pdf.limit(50).collect()]
+    merges = bpe.train_bpe(sample, 20)
+    out = {
+        r.doc_id: (list(r.bpe_tokens), r.n_bpe_tokens)
+        for r in bpe.encode_documents(docs_pdf.limit(50), merges).collect()
+    }
+    for r in docs_pdf.limit(50).collect():
+        want = bpe.encode_text(r.text, merges)
+        assert out[r.doc_id] == (want, len(want))

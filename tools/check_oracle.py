@@ -69,14 +69,14 @@ def _canon_pandas(v):
 
     import pandas as pd
 
-    if v is None or (not isinstance(v, (list, tuple)) and pd.isna(v)):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_canon_pandas(x) for x in v) + "]"
+    if v is None or pd.isna(v):
         return "NULL"
     if isinstance(v, float):
         return repr(v)
     if isinstance(v, (pd.Timestamp, _dt.datetime, _dt.date)):
         return pd.Timestamp(v).isoformat()
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return "[" + ",".join(_canon_pandas(x) for x in v) + "]"
     return str(v)
 
 
