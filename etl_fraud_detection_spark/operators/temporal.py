@@ -49,6 +49,46 @@ def sessionize(
     return events.withColumn("session_seq", seq.cast("long"))
 
 
+def resample_ffill(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    interval: str = "1 HOUR",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Regularize an irregular event series onto a fixed time grid with
+    forward-fill (the hypertable gapfill + locf operator): per key, one
+    slot per ``interval`` from the floor of its first event to the floor
+    of its last, each slot sampling the latest observation at-or-before
+    the slot instant (NULL when none yet — the first slot can precede
+    the first event).
+
+    Composition, not a new engine path: grid = per-key bounds aggregate
+    + ``sequence`` explode (one shuffle, then map-only fan-out), fill =
+    the existing union+last(ignoreNulls) as-of join (one more shuffle
+    on the same keys). Ties at one instant resolve to the greatest
+    ``order_col`` — mirrored by arg_max in an external oracle."""
+    iv = F.expr(f"INTERVAL {interval}")
+    trunc_unit = interval.split()[-1].lower().rstrip("s")
+    bounds = events.groupBy(*key_cols).agg(
+        F.date_trunc(trunc_unit, F.min(ts_col)).alias("_t0"),
+        F.date_trunc(trunc_unit, F.max(ts_col)).alias("_t1"),
+    )
+    grid = bounds.select(
+        *key_cols,
+        F.explode(F.sequence(F.col("_t0"), F.col("_t1"), iv)).alias("slot_ts"),
+    )
+    # one observation per (key, instant): latest order_col wins
+    obs = events.groupBy(*key_cols, ts_col).agg(
+        F.max_by(value_col, order_col).alias(value_col)
+    )
+    return asof_join(
+        grid, obs, key_cols, left_ts="slot_ts", right_ts=ts_col,
+        right_value_cols=[value_col],
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -939,6 +939,39 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_resample_ffill",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, ts, arg_max(value, event_id) AS value
+        FROM events GROUP BY user_id, ts
+    ),
+    bounds AS (
+        SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+               date_trunc('hour', max(ts)) AS t1
+        FROM events GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 6 HOUR)) AS slot_ts
+        FROM bounds
+    )
+    SELECT g.user_id, g.slot_ts,
+           ev.ts AS asof_ts, ev.value AS asof_value
+    FROM grid g ASOF LEFT JOIN ev
+      ON g.user_id = ev.user_id AND g.slot_ts >= ev.ts
+    """,
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: 6-hour grid per user from first to
+    last event, forward-filled with the latest at-or-before observation
+    (gapfill + locf). Grid = bounds aggregate + sequence explode; fill
+    reuses the as-of join — two shuffles, both on the user key."""
+    from ..operators.temporal import resample_ffill
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    return resample_ffill(ev, ["user_id"], interval="6 HOURS")
+
+
+@query(
     "q_join_salted",
     oracle="""
     SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,

@@ -110,3 +110,31 @@ def test_kmeans_ivf_schema_and_recall(spark):
     assert len(a) > 0
     # nprobe=1 IVF recall against exact top-3: loose floor, seeded so stable
     assert len(a & e) / len(e) >= 0.2
+
+
+def test_resample_ffill_gapfill_and_ties(spark):
+    from etl_fraud_detection_spark.operators.temporal import resample_ffill
+
+    rows = [
+        # user 1: events at 00:30, 00:45 (tie instant via two event_ids
+        # at 03:00), then silence until 06:10
+        (1, 1, ts(0, 30), 10.0),
+        (2, 1, ts(0, 45), 20.0),
+        (3, 1, ts(3, 0), 30.0),
+        (4, 1, ts(3, 0), 40.0),  # same instant, higher event_id wins
+        (5, 1, ts(6, 10), 50.0),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, value double"
+    )
+    out = {
+        r.slot_ts: (r.asof_ts, r.asof_value)
+        for r in resample_ffill(e, ["user_id"], interval="1 HOUR").collect()
+    }
+    # grid: 00:00 .. 06:00 hourly = 7 slots
+    assert len(out) == 7
+    assert out[ts(0)] == (None, None)          # before first observation
+    assert out[ts(1)] == (ts(0, 45), 20.0)     # latest at-or-before 01:00
+    assert out[ts(2)] == (ts(0, 45), 20.0)     # gap forward-fills
+    assert out[ts(3)] == (ts(3, 0), 40.0)      # tie -> max event_id
+    assert out[ts(6)] == (ts(3, 0), 40.0)      # 06:10 is after the slot
