@@ -1006,6 +1006,59 @@ def q_ingest_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ingest_quarantine",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 'widget', CAST(2.5 AS DOUBLE), 'ok', CAST(NULL AS VARCHAR)),
+        (4, 'thing', CAST(9.25 AS DOUBLE), 'ok', CAST(NULL AS VARCHAR)),
+        (CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+         'quarantined', 'abc;gadget;1.0'),
+        (CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+         'quarantined', '2;gizmo'),
+        (CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+         'quarantined', '3;doohickey;4.0;EXTRA')
+    ) AS t(item_id, item_name, amount, status, raw_line)
+    """,
+)
+def q_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 robustness: one PERMISSIVE scan routes malformed rows (bad
+    int token, missing field, extra field) to an auditable quarantine
+    while good rows land — the batch never fails on dirty input."""
+    import tempfile
+
+    from ..sources import files as src
+
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_ingest_q")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "items_05032024.txt")
+    with open(path, "w", encoding="utf-8-sig", newline="") as fh:
+        fh.write(
+            "item_id;item_name;amount\n"
+            "1;widget;2.5\n"
+            "abc;gadget;1.0\n"
+            "2;gizmo\n"
+            "3;doohickey;4.0;EXTRA\n"
+            "4;thing;9.25\n"
+        )
+    good, bad = src.read_delimited_validated(
+        spark, path, "item_id int, item_name string, amount double"
+    )
+    ok = good.select(
+        "item_id", "item_name", "amount",
+        F.lit("ok").alias("status"),
+        F.lit(None).cast("string").alias("raw_line"),
+    )
+    quar = bad.select(
+        F.lit(None).cast("int").alias("item_id"),
+        F.lit(None).cast("string").alias("item_name"),
+        F.lit(None).cast("double").alias("amount"),
+        F.lit("quarantined").alias("status"),
+        "raw_line",
+    )
+    return ok.unionByName(quar)
+
+
+@query(
     "q_ingest_xlsx",
     oracle="""
     SELECT * FROM (VALUES

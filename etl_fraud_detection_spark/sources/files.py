@@ -87,6 +87,40 @@ def read_delimited(
     return df
 
 
+def read_delimited_validated(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    sep: str = ";",
+) -> tuple[DataFrame, DataFrame]:
+    """S1 robustness: schema-enforced PERMISSIVE scan that ROUTES
+    malformed rows (bad tokens, too few/many fields) to a quarantine
+    side output instead of failing the batch — the operational contract
+    a daily ingest needs: good rows land, bad rows stay auditable with
+    their raw line. Returns (good, quarantine); both derive from ONE
+    scan (the corrupt-record column is populated by the parser, so no
+    second pass over the file)."""
+    df = (
+        spark.read.option("sep", sep)
+        .option("header", True)
+        .option("encoding", "UTF-8")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .schema(schema + ", _corrupt string")
+        .csv(path)
+    )
+    # Spark disallows plans whose scan references ONLY the corrupt
+    # column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN);
+    # caching the parsed batch is the documented contract — and the
+    # right call anyway, since both branches share the single scan.
+    df = df.cache()
+    good = df.where(F.col("_corrupt").isNull()).drop("_corrupt")
+    bad = df.where(F.col("_corrupt").isNotNull()).select(
+        F.col("_corrupt").alias("raw_line")
+    )
+    return good, bad
+
+
 _XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 
 
