@@ -86,6 +86,32 @@ class Warehouse:
         df.write.mode("append").parquet(self.path(layer, table))
         return n
 
+    def compact(self, layer: str, table: str, target_mb: int = 128) -> int:
+        """Small-file compaction: rewrite the table into
+        ceil(bytes / target_mb) files via the same swap-on-overwrite
+        path. Daily appends (and per-batch streaming sinks) accrete
+        small files that tax scan planning and the file-listing step at
+        scale; periodic compaction to ~HDFS-block-sized files restores
+        scan efficiency. Returns the new file count."""
+        import math
+
+        p = self.path(layer, table)
+        total = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+        df = self.spark.read.parquet(p).coalesce(n_files)
+        self.overwrite(layer, table, df)
+        return sum(
+            1
+            for root, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
 
 def _rename_to_target(df: DataFrame, m: TableMapping) -> DataFrame:
     """P2 positional source→target rename (reference etl.py:286-295)."""

@@ -169,3 +169,20 @@ def test_source_file_parse_and_archive(tmp_path):
     dest = fsrc.archive(f)
     assert dest.endswith("archive/transactions_05032025.txt.backup")
     assert not p.exists() and os.path.exists(dest)
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Many small appended files compact to few, contents unchanged."""
+    from etl_fraud_detection_spark.pipeline import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    for i in range(6):
+        wh.append("stg", "items", spark.range(i * 10, i * 10 + 10))
+    before = spark.read.parquet(wh.path("stg", "items"))
+    rows_before = sorted(r.id for r in before.collect())
+    assert before.rdd.getNumPartitions() > 1
+
+    n_files = wh.compact("stg", "items", target_mb=128)
+    after = spark.read.parquet(wh.path("stg", "items"))
+    assert n_files == 1  # tiny table -> one block-sized file
+    assert sorted(r.id for r in after.collect()) == rows_before
