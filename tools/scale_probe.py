@@ -1,0 +1,134 @@
+"""Measured scaling evidence: run selected heavyweight queries at 1x
+and Nx data volume and report the wall-clock ratio per query.
+
+The Nx corpus is built by unioning N deterministically-perturbed copies
+of the real testdata into /tmp (doc/vec/event ids offset per copy; text
+gets a per-copy marker token so near-dup structure is preserved instead
+of collapsing into exact duplicates). bench.py stays on the pristine
+testdata — this tool exists ONLY to answer "does the operator's cost
+curve bend?" with numbers instead of prose; results are recorded in
+SCALE.md.
+
+Usage: python tools/scale_probe.py [--factor 5] [--sf /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+# heavyweight, shuffle-bearing queries whose scaling curve matters
+PROBES = [
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_sessionize",
+    "q_session_stats",
+    "q_asof_join",
+    "q_agg_group_stats",
+    "q_contamination",
+    "q_repetition_stats",
+    "q_ann_lsh_topk",
+    "q_ann_ivf_topk",
+    "q_window_frames",
+    "q_resample_ffill",
+]
+
+OFF = 1_000_000_000
+
+
+def build_scaled(spark, sf_dir: str, out_dir: str, factor: int) -> None:
+    from etl_fraud_detection_spark.catalog import load_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = load_table(spark, sf_dir, "events")
+
+    def rep(df, build):
+        parts = [build(df, k) for k in range(factor)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    rep(
+        docs,
+        lambda d, k: d.select(
+            (F.col("doc_id") + k * OFF).alias("doc_id"),
+            # marker token keeps copies NEAR-duplicate, not exact
+            F.concat(F.col("text"), F.lit(f" rep{k}")).alias("text"),
+            "lang", "source",
+            (F.col("n_chars") + len(f" rep{0}")).alias("n_chars"),
+        ),
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+
+    rep(
+        emb,
+        lambda d, k: d.select(
+            (F.col("vec_id") + k * OFF).alias("vec_id"), "embedding", "label"
+        ),
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+
+    rep(
+        ev,
+        lambda d, k: d.select(
+            (F.col("event_id") + k * OFF).alias("event_id"),
+            "ts",
+            (F.col("user_id") + k * OFF).alias("user_id"),
+            "event_type", "value", "props",
+        ),
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=5)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+
+    from etl_fraud_detection_spark.catalog import load_table  # noqa: F401
+    from etl_fraud_detection_spark.plans.queries import QUERIES
+    from etl_fraud_detection_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    scaled_dir = os.path.join("/tmp", f"spark_graft_scale_{args.factor}x")
+    # events stream dir symlinks etc. aren't needed: probes are batch-only
+    build_scaled(spark, args.sf, scaled_dir, args.factor)
+    # the scaled events.parquet is a DIRECTORY; catalog.load_table reads
+    # it fine (spark.read handles dirs), streaming queries are excluded.
+
+    import statistics
+
+    print(f"# probe: {args.sf} vs {scaled_dir} ({args.factor}x), median of {args.runs}")
+    print(f"| query | t_1x (s) | t_{args.factor}x (s) | ratio |")
+    print("|---|---|---|---|")
+    for name in PROBES:
+        fn = QUERIES[name].fn
+        ts = {}
+        for tag, d in (("1x", args.sf), (f"{args.factor}x", scaled_dir)):
+            samples = []
+            for _ in range(args.runs):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, d).count()
+                samples.append(time.perf_counter() - t0)
+            ts[tag] = statistics.median(samples)
+        r = ts[f"{args.factor}x"] / ts["1x"]
+        print(f"| {name} | {ts['1x']:.2f} | {ts[f'{args.factor}x']:.2f} | {r:.2f}x |")
+
+    shutil.rmtree(scaled_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
