@@ -939,6 +939,28 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_length_buckets",
+    oracle="""
+    SELECT doc_id, n_chars,
+           ntile(10) OVER (ORDER BY n_chars, doc_id) AS len_bucket
+    FROM documents
+    """,
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-percentile bucketing for padding-efficient batching: docs
+    of similar length batch together, so per-batch padding waste drops.
+    ntile over (n_chars, doc_id) is deterministic (unique tie-break).
+    A global ntile is a range-partitioned sort — acceptable because the
+    output IS a total ordering artifact (same class as epoch_shuffle);
+    at 100 TB you'd bucket within date partitions instead."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id", "n_chars", F.ntile(10).over(w).alias("len_bucket")
+    )
+
+
+@query(
     "q_resample_ffill",
     oracle="""
     WITH ev AS (
