@@ -1600,6 +1600,161 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Classic TPC-H analytics over the provided tables (public spec,
+# adapted to the driver's column subset). Float policy: every revenue
+# expression is bit-identical per-row in both engines, summed through
+# DECIMAL(18,2) (exact, order-independent), and SURFACED as DOUBLE so
+# pandas dtype kinds agree.
+# ---------------------------------------------------------------------------
+
+# Money policy: double -> DECIMAL casts round HALF_UP in Spark but
+# half-even in DuckDB, so tie rows drift by a cent. Integer CENTS via
+# floor(x*100 + 0.5) instead: multiply, add, floor are bit-identical
+# IEEE double ops in both engines, the cent sums are exact BIGINTs, and
+# one final division surfaces dollars as DOUBLE.
+_REV_CENTS_SQL = (
+    "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
+)
+
+
+def _cents(col: "F.Column"):
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
+def _rev_cents():
+    return _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+
+
+@query(
+    "q_tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+               AS sum_qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+               AS sum_base_price,
+           CAST(SUM({_REV_CENTS_SQL}) AS DOUBLE) / 100 AS sum_disc_price,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                               * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_charge,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary (public spec, column subset): one scan,
+    map-side partial aggregation, single shuffle on the 2-value group
+    keys. Sums go through DECIMAL so they are order-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(_cents(F.col("l_quantity"))).cast("double") / 100).alias("sum_qty"),
+            (F.sum(_cents(F.col("l_extendedprice"))).cast("double") / 100).alias("sum_base_price"),
+            (F.sum(_rev_cents()).cast("double") / 100).alias("sum_disc_price"),
+            (
+                F.sum(
+                    _cents(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * (1 + F.col("l_tax"))
+                    )
+                ).cast("double")
+                / 100
+            ).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q3",
+    oracle=f"""
+    SELECT o_orderkey,
+           CAST(SUM({_REV_CENTS_SQL}) AS DOUBLE) / 100 AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority (column subset: o_orderpriority for
+    the absent o_shippriority): customer filter broadcast into the
+    orders join, top-10 via TakeOrderedAndProject (no global sort);
+    deterministic tie-break on o_orderkey."""
+    cu = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    od = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    return (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(F.broadcast(cu), od["o_custkey"] == cu["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(_rev_cents()).cast("double") / 100).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q_tpch_q5",
+    oracle=f"""
+    SELECT n_name, CAST(SUM({_REV_CENTS_SQL}) AS DOUBLE) / 100 AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local supplier volume: the 6-way join with the
+    customer-nation = supplier-nation co-location condition; every
+    dimension (customer, supplier, nation, region) broadcast so the
+    fact tables shuffle only for their own equi-join."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(F.broadcast(cu), od["o_custkey"] == cu["c_custkey"])
+        .join(
+            F.broadcast(su),
+            (li["l_suppkey"] == su["s_suppkey"])
+            & (cu["c_nationkey"] == su["s_nationkey"]),
+        )
+        .join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+        .join(F.broadcast(re), na["n_regionkey"] == re["r_regionkey"])
+        .groupBy("n_name")
+        .agg((F.sum(_rev_cents()).cast("double") / 100).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # BPE tokenization (operators/bpe.py)
 # ---------------------------------------------------------------------------
 

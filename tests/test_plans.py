@@ -151,3 +151,15 @@ def test_sql_script_report_broadcasts_dims(spark):
     p = plan_of(q(spark, "q_fraud_report_sql"))
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_tpch_q3_is_topk_not_global_sort(spark):
+    p = plan_of(q(spark, "q_tpch_q3"))
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_tpch_q5_broadcasts_all_dims(spark):
+    p = plan_of(q(spark, "q_tpch_q5"))
+    assert count_nodes(p, "BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in p
