@@ -27,7 +27,10 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
-from ..functions import png
+from ..functions import jpeg, png
+
+# every decodable-container error that routes a payload to the opaque path
+_DECODE_ERRORS = (png.PngError, jpeg.JpegError)
 
 MEDIA_SCHEMA = (
     "media_id long, format string, width int, height int, payload binary"
@@ -47,10 +50,14 @@ FRAME_SCHEMA = "media_id long, frame_idx int, frame binary"
 
 
 def real_decode(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a media payload to (width, height, channels, pixels).
-    PNG is decoded by the stdlib codec; other containers raise
-    PngError and flow through the opaque-bytes path."""
-    return png.decode_png(payload)
+    """Decode a media payload to (width, height, channels, pixels):
+    PNG first (functions/png.py), then baseline JPEG
+    (functions/jpeg.py). Undecodable containers raise one of
+    ``_DECODE_ERRORS`` and flow through the opaque-bytes path."""
+    try:
+        return png.decode_png(payload)
+    except png.PngError:
+        return jpeg.decode_jpeg(payload)
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:
@@ -63,7 +70,7 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     def one(payload: bytes):
         try:
             w, h, ch, px = real_decode(payload)
-        except png.PngError:
+        except _DECODE_ERRORS:
             return None, None, sum(payload[:4]) / (4.0 * 255.0)
         return w, h, sum(px) / (len(px) * 255.0)
 
@@ -95,7 +102,7 @@ def resize_media(media: DataFrame, max_dim: int = 16) -> DataFrame:
     def one(declared_w: int, declared_h: int, payload: bytes):
         try:
             w, h, ch, px = real_decode(payload)
-        except png.PngError:
+        except _DECODE_ERRORS:
             w, h = max(int(declared_w), 0), max(int(declared_h), 0)
             scale = min(max_dim / max(max(w, h), 1), 1.0)
             return int(w * scale), int(h * scale), payload
@@ -104,6 +111,8 @@ def resize_media(media: DataFrame, max_dim: int = 16) -> DataFrame:
         if (nw, nh) == (w, h):
             return nw, nh, payload
         resized = png.resize_nearest(w, h, ch, px, nw, nh)
+        # thumbnails re-encode as PNG regardless of source container:
+        # lossless, so downstream verification stays bit-exact
         return nw, nh, png.encode_png(nw, nh, ch, resized)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

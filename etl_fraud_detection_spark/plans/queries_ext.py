@@ -425,6 +425,19 @@ _MEDIA_WAV_DEFS = {
     7: (16000, 2, [((i * 53) % 400 - 200) * 60 for i in range(80)]),
 }
 
+# real baseline-JPEG fixtures (grayscale): patterns VERIFIED to
+# round-trip exactly under unit quantization, so the oracle's ground
+# truth is the original pixel definition, independent of the codec
+# (tests/test_jpeg_codec.py pins the exactness)
+_MEDIA_JPEG_DIMS = {9: (20, 13), 10: (5, 9)}
+
+
+def _media_jpeg_px(mid: int) -> bytes:
+    w, h = _MEDIA_JPEG_DIMS[mid]
+    if mid == 9:
+        return bytes([(x * 7 + y * 11) % 256 for y in range(h) for x in range(w)])
+    return bytes([(x * 13 + y * 29) % 256 for y in range(h) for x in range(w)])
+
 
 def _media_rows():
     from ..functions import png, wav
@@ -443,6 +456,11 @@ def _media_rows():
     # declares "wav" but the RIFF header is truncated garbage — must flow
     # through the opaque path, not crash the decoder
     rows.append((8, "wav", 0, 0, "52494646aabb000057415645666d7420"))
+    from ..functions import jpeg
+
+    for mid, (w, h) in _MEDIA_JPEG_DIMS.items():
+        payload = jpeg.encode_jpeg(w, h, 1, _media_jpeg_px(mid))
+        rows.append((mid, "jpg", w, h, payload.hex()))
     return rows
 
 
@@ -462,6 +480,13 @@ def _features_oracle() -> str:
         if fmt == "png":
             rw, rh, ch = _MEDIA_PNG_DIMS[mid]
             px = _media_px(rw, rh, ch)
+            bright = f"CAST({sum(px)} AS DOUBLE) / {len(px) * 255}"
+            dec = f"{rw}, {rh}"
+        elif mid in _MEDIA_JPEG_DIMS:
+            # unit-quant baseline JPEG round-trips these fixtures
+            # exactly, so the ORIGINAL pixels are the ground truth
+            rw, rh = _MEDIA_JPEG_DIMS[mid]
+            px = _media_jpeg_px(mid)
             bright = f"CAST({sum(px)} AS DOUBLE) / {len(px) * 255}"
             dec = f"{rw}, {rh}"
         else:
@@ -512,9 +537,15 @@ def _resize_oracle() -> str:
     operator's codec."""
     vals = []
     for mid, fmt, w, h, hexs in MEDIA_ROWS:
-        if fmt == "png":
-            rw, rh, ch = _MEDIA_PNG_DIMS[mid]
-            px = _media_px(rw, rh, ch)
+        decodable = fmt == "png" or mid in _MEDIA_JPEG_DIMS
+        if decodable:
+            if fmt == "png":
+                rw, rh, ch = _MEDIA_PNG_DIMS[mid]
+                px = _media_px(rw, rh, ch)
+            else:
+                rw, rh = _MEDIA_JPEG_DIMS[mid]
+                ch = 1
+                px = _media_jpeg_px(mid)  # exact round-trip fixture
             scale = min(16 / max(max(rw, rh), 1), 1.0)
             nw, nh = max(int(rw * scale), 1), max(int(rh * scale), 1)
             s = 0
@@ -554,13 +585,15 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = resize_media(_media_df(spark), max_dim=16)
 
     def decode_sum(it):
+        from ..operators.multimodal import _DECODE_ERRORS, real_decode
+
         for pdf in it:
             sums = []
             for p in pdf["payload"]:
                 try:
-                    _, _, _, px = _png.decode_png(p)
+                    _, _, _, px = real_decode(p)
                     sums.append(sum(px))
-                except _png.PngError:
+                except _DECODE_ERRORS:
                     sums.append(None)
             yield _pd.DataFrame(
                 {
