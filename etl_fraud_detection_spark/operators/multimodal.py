@@ -184,6 +184,65 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=AUDIO_SCHEMA)
 
 
+MJPEG_FRAME_SCHEMA = (
+    "media_id long, frame_idx int, frame_width int, frame_height int, "
+    "frame_brightness double"
+)
+
+
+def extract_mjpeg_frames(media: DataFrame, stride: int = 1) -> DataFrame:
+    """REAL video-frame extraction for MJPEG payloads (a video stream of
+    concatenated baseline JPEGs — the classic IP-camera/AVI-MJPG
+    format): split the blob on SOI..EOI marker boundaries, decode every
+    ``stride``-th frame with the pure-stdlib JPEG codec, and emit
+    decoded dimensions + pixel-mean brightness per frame.
+
+    Map-only fan-out like the byte-level sampler, but the frames are
+    actual decoded rasters, not byte windows. Undecodable segments and
+    non-MJPEG payloads yield no rows (the honest opaque split)."""
+
+    def frames_of(payload: bytes):
+        idx = 0
+        start = payload.find(b"\xff\xd8")
+        out = []
+        while start != -1:
+            end = payload.find(b"\xff\xd9", start + 2)
+            if end == -1:
+                break
+            seg = payload[start : end + 2]
+            if idx % stride == 0:
+                try:
+                    w, h, ch, px = jpeg.decode_jpeg(seg)
+                    out.append((idx, w, h, sum(px) / (len(px) * 255.0)))
+                except jpeg.JpegError:
+                    pass
+            idx += 1
+            start = payload.find(b"\xff\xd8", end + 2)
+        return out
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, ws, hs, brs = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for idx, w, h, br in frames_of(bytes(payload)):
+                    ids.append(mid)
+                    idxs.append(idx)
+                    ws.append(w)
+                    hs.append(h)
+                    brs.append(br)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "frame_width": ws,
+                    "frame_height": hs,
+                    "frame_brightness": brs,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=MJPEG_FRAME_SCHEMA)
+
+
 def sample_frames(media: DataFrame, frame_size: int = 4, stride: int = 2) -> DataFrame:
     """Frame sampling for video-like payloads: treat the blob as a
     concatenation of fixed-size frames and emit every ``stride``-th one

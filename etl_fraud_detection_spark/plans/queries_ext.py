@@ -658,6 +658,59 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_features(_media_df(spark))
 
 
+# MJPEG "video" fixture: 4 concatenated grayscale JPEG frames, each a
+# pattern verified to round-trip exactly under unit quantization
+_MJPEG_W, _MJPEG_H, _MJPEG_NFRAMES = 12, 10, 4
+
+
+def _mjpeg_frame_px(f: int) -> bytes:
+    return bytes(
+        [(x * 7 + y * 11 + f * 16) % 256 for y in range(_MJPEG_H) for x in range(_MJPEG_W)]
+    )
+
+
+def _mjpeg_payload() -> bytes:
+    from ..functions import jpeg as _jpeg
+
+    return b"".join(
+        _jpeg.encode_jpeg(_MJPEG_W, _MJPEG_H, 1, _mjpeg_frame_px(f))
+        for f in range(_MJPEG_NFRAMES)
+    )
+
+
+def _mjpeg_oracle() -> str:
+    vals = []
+    for f in range(0, _MJPEG_NFRAMES, 2):  # stride 2
+        px = _mjpeg_frame_px(f)
+        vals.append(
+            f"(30, {f}, {_MJPEG_W}, {_MJPEG_H}, "
+            f"CAST({sum(px)} AS DOUBLE) / {len(px) * 255})"
+        )
+    joined = ",\n        ".join(vals)
+    return f"""
+    SELECT * FROM (VALUES
+        {joined}
+    ) AS t(media_id, frame_idx, frame_width, frame_height, frame_brightness)
+    """
+
+
+@query("q_multimodal_mjpeg", oracle=_mjpeg_oracle())
+def q_multimodal_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-frame extraction: an MJPEG payload (concatenated
+    baseline JPEGs) split on SOI/EOI boundaries, every 2nd frame decoded
+    by the pure-stdlib codec — decoded dims + pixel-mean brightness per
+    frame, ground truth from the original frame pixel definitions. A
+    corrupt second payload must yield no rows."""
+    from ..operators.multimodal import MEDIA_SCHEMA, extract_mjpeg_frames
+
+    rows = [
+        (30, "mjpeg", _MJPEG_W, _MJPEG_H, _mjpeg_payload()),
+        (31, "mjpeg", 0, 0, b"\xff\xd8garbage\xff\xd9"),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA).coalesce(1)
+    return extract_mjpeg_frames(media, stride=2)
+
+
 @query(
     "q_multimodal_frames",
     oracle=f"""

@@ -81,3 +81,25 @@ def test_byte_stuffing_survives():
             assert out == px or _psnr(px, out) > 45
             return
     pytest.skip("no stuffed byte produced in 40 seeds")
+
+
+def test_mjpeg_frame_extraction(spark):
+    from etl_fraud_detection_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_mjpeg_frames,
+    )
+    from etl_fraud_detection_spark.plans.queries_ext import (
+        _MJPEG_NFRAMES,
+        _mjpeg_payload,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "mjpeg", 12, 10, _mjpeg_payload())], schema=MEDIA_SCHEMA
+    )
+    all_frames = extract_mjpeg_frames(media, stride=1).collect()
+    assert [r.frame_idx for r in sorted(all_frames, key=lambda r: r.frame_idx)] == list(
+        range(_MJPEG_NFRAMES)
+    )
+    assert all((r.frame_width, r.frame_height) == (12, 10) for r in all_frames)
+    # frames differ (brightness ramps with the per-frame offset)
+    assert len({round(r.frame_brightness, 6) for r in all_frames}) > 1
