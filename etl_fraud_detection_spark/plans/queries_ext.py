@@ -1840,6 +1840,110 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_tpch_q10",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           CAST(SUM({_REV_CENTS_SQL}) AS DOUBLE) / 100 AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting (column subset): customers who
+    returned the most revenue in a half-year window — returnflag filter
+    pushed to the lineitem scan, customer/nation broadcast, top-20 via
+    TakeOrderedAndProject with a deterministic tie-break."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    na = _t(spark, sf_dir, "nation")
+    return (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(F.broadcast(cu), od["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((F.sum(_rev_cents()).cast("double") / 100).alias("revenue"))
+        .select(
+            "c_custkey", "c_name", "revenue",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"), "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q_window_suite",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank() OVER wp AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER wp AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           first_value(o_orderkey) OVER w AS first_key,
+           lead(o_orderkey) OVER w AS next_key,
+           CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_custkey < 500
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wp AS (PARTITION BY o_custkey ORDER BY o_orderpriority)
+    """,
+)
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/navigation window-function suite (row_number, rank,
+    dense_rank, ntile, first_value, lead, partition count) — two window
+    specs over the same partition key, so Catalyst plans ONE exchange
+    and two Window nodes."""
+    od = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 500)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return od.select(
+        "o_custkey", "o_orderkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(wp).cast("long").alias("rnk"),
+        F.dense_rank().over(wp).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+        F.count("*").over(Window.partitionBy("o_custkey")).alias("n_orders"),
+    )
+
+
+@query(
+    "q_set_ops",
+    oracle="""
+    WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+         b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    SELECT 'both' AS which, o_custkey FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+    UNION ALL
+    SELECT 'only_f', o_custkey FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers with both finished and open orders
+    (INTERSECT) vs only-finished (EXCEPT) — distinct set semantics,
+    executed as aggregate + joins by Catalyst."""
+    od = _t(spark, sf_dir, "orders")
+    a = od.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = od.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.intersect(b).select(F.lit("both").alias("which"), "o_custkey").unionByName(
+        a.subtract(b).select(F.lit("only_f").alias("which"), "o_custkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE tokenization (operators/bpe.py)
 # ---------------------------------------------------------------------------
