@@ -3,12 +3,13 @@ story (PNG: functions/png.py, WAV: functions/wav.py, JPEG: here). No
 imaging libraries; only ``struct``/``math``.
 
 Scope (the baseline-sequential interchange subset):
-- encoder: 8-bit grayscale or RGB, 4:4:4 (no chroma subsampling),
+- encoder: 8-bit grayscale or RGB, 4:4:4 or 4:2:0 (subsample=True),
   ITU-T81 Annex K standard Huffman tables, configurable quantization
-  (default all-ones = near-lossless);
-- decoder: baseline sequential DCT (SOF0), 1 or 3 components, 4:4:4,
-  no restart markers / no progressive — anything else raises JpegError
-  and flows through the opaque-bytes path.
+  (default all-ones = near-lossless at 4:4:4);
+- decoder: baseline sequential DCT (SOF0), 1 or 3 components, any
+  sampling factors in {1,2} (covers 4:4:4, 4:2:2, 4:2:0 — what real
+  files use), no restart markers / no progressive — anything else
+  raises JpegError and flows through the opaque-bytes path.
 
 The DCT is the textbook separable float 8-point DCT-II/III; encoding is
 lossy by nature, so tests assert exact header dims, exact round-trip of
@@ -280,27 +281,57 @@ def encode_jpeg(
     channels: int,
     pixels: bytes,
     quant_luma: list[int] | None = None,
+    subsample: bool = False,
 ) -> bytes:
-    """Encode 8-bit grayscale (channels=1) or RGB (channels=3) pixels as
-    a baseline 4:4:4 JFIF JPEG. Default quantization is all-ones
-    (near-lossless)."""
+    """Encode 8-bit grayscale (channels=1) or RGB (channels=3) pixels
+    as a baseline JFIF JPEG — 4:4:4 by default, 4:2:0 (2x2 luma, 2x2
+    chroma averaging) with ``subsample=True``. Default quantization is
+    all-ones (near-lossless at 4:4:4)."""
     if channels not in (1, 3):
         raise JpegError("encoder supports 1 or 3 channels")
     if len(pixels) != width * height * channels:
         raise JpegError("pixel buffer size mismatch")
     ql = quant_luma or [1] * 64
     qc = ql  # one shared table keeps the fixture simple
-    planes = [[] for _ in range(channels)]
+    full = [[] for _ in range(channels)]
     for i in range(width * height):
         if channels == 1:
-            planes[0].append(float(pixels[i]))
+            full[0].append(float(pixels[i]))
         else:
             y, cb, cr = _rgb_to_ycbcr(
                 pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
             )
-            planes[0].append(y)
-            planes[1].append(cb)
-            planes[2].append(cr)
+            full[0].append(y)
+            full[1].append(cb)
+            full[2].append(cr)
+
+    sub = subsample and channels == 3
+    samp = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * channels
+    hmax = max(h for h, v in samp)
+    vmax = max(v for h, v in samp)
+
+    # per-component planes at their own resolution (chroma averaged 2x2)
+    planes, dims = [], []
+    for ci, (h, v) in enumerate(samp):
+        cw = -(-width * h // hmax)
+        chh = -(-height * v // vmax)
+        if (cw, chh) == (width, height):
+            planes.append(full[ci])
+        else:
+            p = []
+            for y in range(chh):
+                for x in range(cw):
+                    acc, n = 0.0, 0
+                    for dy in range(vmax // v):
+                        for dx in range(hmax // h):
+                            sy = y * (vmax // v) + dy
+                            sx = x * (hmax // h) + dx
+                            if sy < height and sx < width:
+                                acc += full[ci][sy * width + sx]
+                                n += 1
+                    p.append(acc / n)
+            planes.append(p)
+        dims.append((cw, chh))
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -313,7 +344,8 @@ def encode_jpeg(
     ncomp = channels
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp)
     for ci in range(ncomp):
-        out += struct.pack("BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+        h, v = samp[ci]
+        out += struct.pack("BBB", ci + 1, (h << 4) | v, 0 if ci == 0 else 1)
     # DHT
     for cls, tid, (bits, vals) in (
         (0, 0, _DC_LUMA), (1, 0, _AC_LUMA), (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA),
@@ -336,19 +368,24 @@ def encode_jpeg(
 
     w = _BitWriter()
     preds = [0] * channels
-    bw, bh = (width + 7) // 8, (height + 7) // 8
-    for by in range(bh):
-        for bx in range(bw):
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             for ci in range(channels):
-                block = []
-                for y in range(8):
-                    for x in range(8):
-                        sx = min(bx * 8 + x, width - 1)
-                        sy = min(by * 8 + y, height - 1)
-                        block.append(planes[ci][sy * width + sx])
-                preds[ci] = _encode_block(
-                    block, quants[ci], dcs[ci], acs[ci], preds[ci], w
-                )
+                h, v = samp[ci]
+                cw, chh = dims[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        block = []
+                        for y in range(8):
+                            for x in range(8):
+                                sx = min(mx * 8 * h + bx * 8 + x, cw - 1)
+                                sy = min(my * 8 * v + by * 8 + y, chh - 1)
+                                block.append(planes[ci][sy * cw + sx])
+                        preds[ci] = _encode_block(
+                            block, quants[ci], dcs[ci], acs[ci], preds[ci], w
+                        )
     w.flush()
     out += w.out
     out += b"\xff\xd9"  # EOI
@@ -397,8 +434,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             for ci in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
                 h, v = hv >> 4, hv & 0xF
-                if (h, v) != (1, 1):
-                    raise JpegError("only 4:4:4 sampling supported")
+                if h not in (1, 2) or v not in (1, 2):
+                    raise JpegError("sampling factors beyond 2 unsupported")
                 comps.append((cid, h, v, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise JpegError("only baseline sequential (SOF0) supported")
@@ -434,57 +471,81 @@ def _decode_scan(data, pos, width, height, comps, scan_comps, quant, huff):
     if ncomp not in (1, 3):
         raise JpegError("1 or 3 components only")
     r = _BitReader(data, pos)
-    bw, bh = (width + 7) // 8, (height + 7) // 8
-    planes = [[0.0] * (bw * 8 * bh * 8) for _ in range(ncomp)]
-    preds = [0] * ncomp
+    samp = {cid: (h, v) for cid, h, v, _ in comps}
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    # per-component plane (own resolution, padded to the MCU grid)
+    pdims = {}
+    planes = {}
+    for cid, h, v, _ in comps:
+        pw, ph = mcus_x * 8 * h, mcus_y * 8 * v
+        pdims[cid] = (pw, ph)
+        planes[cid] = [0.0] * (pw * ph)
+    preds = {cid: 0 for cid, _, _, _ in comps}
     comp_q = {cid: quant[tq] for cid, _, _, tq in comps}
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for cid, dc_id, ac_id in scan_comps:
                 dc_tab = huff.get((0, dc_id))
                 ac_tab = huff.get((1, ac_id))
                 if dc_tab is None or ac_tab is None:
                     raise JpegError("missing Huffman table")
+                h, v = samp[cid]
                 q = comp_q[cid]
-                zz = [0] * 64
-                size = r.huff(dc_tab)
-                diff = _extend(r.bits(size), size) if size else 0
-                preds[ci] += diff
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    rs = r.huff(ac_tab)
-                    run, size = rs >> 4, rs & 0xF
-                    if rs == 0x00:
-                        break
-                    if rs == 0xF0:
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise JpegError("AC index out of range")
-                    zz[k] = _extend(r.bits(size), size)
-                    k += 1
-                coef = [0.0] * 64
-                for i in range(64):
-                    coef[ZIGZAG[i]] = zz[i] * q[ZIGZAG[i]]
-                blk = _idct(coef)
-                row_w = bw * 8
-                for y in range(8):
-                    base = (by * 8 + y) * row_w + bx * 8
-                    for x in range(8):
-                        planes[ci][base + x] = blk[y * 8 + x] + 128.0
+                pw, _ph = pdims[cid]
+                for by in range(v):
+                    for bx in range(h):
+                        zz = [0] * 64
+                        size = r.huff(dc_tab)
+                        diff = _extend(r.bits(size), size) if size else 0
+                        preds[cid] += diff
+                        zz[0] = preds[cid]
+                        k = 1
+                        while k < 64:
+                            rs = r.huff(ac_tab)
+                            run, size = rs >> 4, rs & 0xF
+                            if rs == 0x00:
+                                break
+                            if rs == 0xF0:
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise JpegError("AC index out of range")
+                            zz[k] = _extend(r.bits(size), size)
+                            k += 1
+                        coef = [0.0] * 64
+                        for i in range(64):
+                            coef[ZIGZAG[i]] = zz[i] * q[ZIGZAG[i]]
+                        blk = _idct(coef)
+                        ox = mx * 8 * h + bx * 8
+                        oy = my * 8 * v + by * 8
+                        for y in range(8):
+                            base = (oy + y) * pw + ox
+                            for x in range(8):
+                                planes[cid][base + x] = blk[y * 8 + x] + 128.0
     out = bytearray()
+    cids = [cid for cid, _, _, _ in comps]
     for y in range(height):
         for x in range(width):
-            i = y * bw * 8 + x
             if ncomp == 1:
-                out.append(max(0, min(255, int(round(planes[0][i])))))
+                pw, _ = pdims[cids[0]]
+                out.append(
+                    max(0, min(255, int(round(planes[cids[0]][y * pw + x]))))
+                )
             else:
-                yy, cb, cr = planes[0][i], planes[1][i] - 128, planes[2][i] - 128
+                vals = []
+                for cid in cids:
+                    h, v = samp[cid]
+                    pw, _ = pdims[cid]
+                    # replication upsample from the component's grid
+                    vals.append(planes[cid][(y * v // vmax) * pw + (x * h // hmax)])
+                yy, cb, cr = vals[0], vals[1] - 128, vals[2] - 128
                 rr = yy + 1.402 * cr
                 gg = yy - 0.344136 * cb - 0.714136 * cr
                 bb = yy + 1.772 * cb
-                for v in (rr, gg, bb):
-                    out.append(max(0, min(255, int(round(v)))))
+                for val in (rr, gg, bb):
+                    out.append(max(0, min(255, int(round(val)))))
     return width, height, ncomp, bytes(out)

@@ -103,3 +103,30 @@ def test_mjpeg_frame_extraction(spark):
     assert all((r.frame_width, r.frame_height) == (12, 10) for r in all_frames)
     # frames differ (brightness ramps with the per-frame offset)
     assert len({round(r.frame_brightness, 6) for r in all_frames}) > 1
+
+
+def test_420_smooth_high_psnr_nonmultiple_of_16():
+    w, h = 21, 11
+    px = bytes([min(255, x * 8 + c * 10) for y in range(h) for x in range(w) for c in range(3)])
+    gw, gh, ch, out = jpeg.decode_jpeg(jpeg.encode_jpeg(w, h, 3, px, subsample=True))
+    assert (gw, gh, ch) == (w, h, 3)
+    assert _psnr(px, out) > 45
+
+
+def test_420_declares_sampling_factors():
+    payload = jpeg.encode_jpeg(16, 16, 3, bytes(16 * 16 * 3), subsample=True)
+    sof = payload.find(b"\xff\xc0")
+    # component 1 (luma) hv byte must be 0x22, chroma 0x11
+    assert payload[sof + 11] == 0x22
+    assert payload[sof + 14] == 0x11
+
+
+def test_sampling_factor_3_rejected():
+    # hand-build an SOF0 with h=3 (unsupported) and expect a clean error
+    import struct as _s
+
+    payload = bytearray(jpeg.encode_jpeg(8, 8, 1, bytes(64)))
+    sof = payload.find(b"\xff\xc0")
+    payload[sof + 11] = 0x31  # h=3, v=1
+    with pytest.raises(jpeg.JpegError):
+        jpeg.decode_jpeg(bytes(payload))
