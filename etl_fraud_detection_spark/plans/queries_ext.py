@@ -1840,6 +1840,102 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pipeline_oracle() -> str:
+    """The full corpus-build pipeline as layered CTEs: inject -> stats
+    -> quality gate -> PII redact chain -> exact dedup -> BPE-ish token
+    count -> 512-token contiguous packing."""
+    steps, prev = [], "t0"
+    for i, (label, pat) in enumerate(text.PII_PATTERNS, start=1):
+        steps.append(
+            f"s{i} AS (SELECT doc_id, regexp_replace({prev}, '{pat}', '<{label}>', 'g') AS t{i} FROM s{i - 1})"
+        )
+        prev = f"t{i}"
+    n = len(text.PII_PATTERNS)
+    return f"""
+    WITH injected AS (
+        SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents
+    ),
+    tk AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM injected),
+    st AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                   / length(text) AS punct_ratio,
+               CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)
+                   / len(toks) AS stopword_ratio,
+               CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_tok_len
+        FROM tk
+    ),
+    s0 AS (
+        SELECT tk.doc_id, tk.text AS t0 FROM tk JOIN st ON tk.doc_id = st.doc_id
+        WHERE NOT (n_tokens < 5 OR n_tokens > 500 OR punct_ratio > 0.10
+                   OR stopword_ratio < 0.01
+                   OR mean_tok_len < 2.0 OR mean_tok_len > 12.0)
+    ),
+    {", ".join(steps)},
+    fp AS (SELECT doc_id, t{n} AS redacted, md5(t{n}) AS fp FROM s{n}),
+    uniq AS (
+        SELECT doc_id, redacted, fp FROM (
+            SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fp
+        ) WHERE rn = 1
+    ),
+    tok AS (
+        SELECT doc_id, fp,
+               CAST(len(regexp_extract_all(redacted, '{text.BPE_ISH_RE}')) AS BIGINT) AS n_bpe_tokens
+        FROM uniq
+    )
+    SELECT doc_id, fp, n_bpe_tokens,
+           CAST(SUM(n_bpe_tokens) OVER w - n_bpe_tokens AS BIGINT) AS start_offset,
+           CAST(FLOOR((SUM(n_bpe_tokens) OVER w - n_bpe_tokens) / 512) AS BIGINT) AS pack_id
+    FROM tok
+    WINDOW w AS (ORDER BY md5(CAST(doc_id AS VARCHAR))
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+
+@query("q_corpus_pipeline", oracle=_pipeline_oracle())
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus build as ONE Catalyst plan: PII-bearing
+    input -> quality gate (single-scan stats) -> typed PII redaction ->
+    exact dedup on the redacted fingerprint -> BPE-ish token budget ->
+    512-token contiguous packing. Composition is the point: each stage
+    is the same operator the standalone queries use, and Catalyst fuses
+    the scan-side stages into a single pass over the corpus."""
+    from ..operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" u"), F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0.0."), (F.col("doc_id") % 250).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" card 4111-1111-1111-1111"))
+            .otherwise(F.lit(" tel 555-123-4567")),
+        ).alias("text"),
+    )
+    quality = text.with_quality_filter(injected)
+    kept = injected.join(quality.where(F.col("keep")).select("doc_id"), "doc_id")
+    red = text.with_pii_redaction(kept).select("doc_id", "redacted")
+    fp = red.select("doc_id", "redacted", F.md5("redacted").alias("fp"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    uniq = (
+        fp.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    )
+    tok = uniq.select(
+        "doc_id", "fp",
+        F.size(F.regexp_extract_all("redacted", F.lit(text.BPE_ISH_RE), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+    packed = sampling.pack_sequences(
+        tok, size_col="n_bpe_tokens", key_col="doc_id", capacity=512
+    )
+    return packed.select(
+        "doc_id", "fp", "n_bpe_tokens", "start_offset", "pack_id"
+    )
+
+
 @query(
     "q_tpch_q10",
     oracle=f"""
