@@ -1840,6 +1840,51 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_group_normalize",
+    oracle="""
+    SELECT vec_id, label,
+           CASE WHEN mx = mn THEN 0.0
+                ELSE (CAST(n AS DOUBLE) - mn) / (mx - mn) END AS n_chars_scaled
+    FROM (
+        SELECT e.vec_id, e.label, d.n_chars AS n,
+               CAST(MIN(d.n_chars) OVER (PARTITION BY e.label) AS DOUBLE) AS mn,
+               CAST(MAX(d.n_chars) OVER (PARTITION BY e.label) AS DOUBLE) AS mx
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    )
+    """,
+)
+def q_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature scaling through ``applyInPandas`` (the grouped-
+    map pattern): each label group arrives as ONE pandas frame and
+    min-max normalizes locally — the escape hatch for group-local logic
+    Catalyst can't express. Min/max + one division keep it bit-exact
+    vs the window-function oracle. State is bounded by the largest
+    group; for skewed groups the window formulation (the oracle) is the
+    scale path — this query exists to pin the grouped-map surface."""
+    import pandas as _pd
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "n_chars"
+    )
+    joined = emb.join(docs, "vec_id")
+
+    def scale(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        mn, mx = float(pdf["n_chars"].min()), float(pdf["n_chars"].max())
+        if mx == mn:
+            scaled = [0.0] * len(pdf)
+        else:
+            scaled = [(float(v) - mn) / (mx - mn) for v in pdf["n_chars"]]
+        return _pd.DataFrame(
+            {"vec_id": pdf["vec_id"], "label": pdf["label"], "n_chars_scaled": scaled}
+        )
+
+    return joined.groupBy("label").applyInPandas(
+        scale, schema="vec_id long, label int, n_chars_scaled double"
+    )
+
+
 def _pipeline_oracle() -> str:
     """The full corpus-build pipeline as layered CTEs: inject -> stats
     -> quality gate -> PII redact chain -> exact dedup -> BPE-ish token
