@@ -156,6 +156,24 @@ QUALITY_RULES: tuple[tuple[str, "Callable[[], Column]"], ...] = (
 )
 
 
+def quality_keep(text_col: str = "text") -> Column:
+    """The keep/drop decision as ONE inline column expression — no
+    separate stats pass, no self-join: lets a pipeline fuse the quality
+    gate into the same scan as its downstream stages (same thresholds
+    as QUALITY_RULES)."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), "[.,;:!?]", ""))
+    punct_ratio = n_punct.cast("double") / n_chars
+    stop_ratio = _count_in(toks, STOPWORDS).cast("double") / n_tok
+    mtl = (n_chars - (n_tok - F.lit(1))).cast("double") / n_tok
+    return ~(
+        (n_tok < 5) | (n_tok > 500) | (punct_ratio > 0.10)
+        | (stop_ratio < 0.01) | (mtl < 2.0) | (mtl > 12.0)
+    )
+
+
 def with_quality_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Keep/drop decision composed from the text-stats features, with an
     auditable reasons string (CASE-per-rule folded through concat_ws, so

@@ -1959,8 +1959,9 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(" tel 555-123-4567")),
         ).alias("text"),
     )
-    quality = text.with_quality_filter(injected)
-    kept = injected.join(quality.where(F.col("keep")).select("doc_id"), "doc_id")
+    # the gate is an inline predicate — fuses into the SAME scan as the
+    # redaction instead of a stats self-join (plan-pinned: one scan)
+    kept = injected.where(text.quality_keep())
     red = text.with_pii_redaction(kept).select("doc_id", "redacted")
     fp = red.select("doc_id", "redacted", F.md5("redacted").alias("fp"))
     w = Window.partitionBy("fp").orderBy("doc_id")

@@ -163,3 +163,11 @@ def test_tpch_q5_broadcasts_all_dims(spark):
     p = plan_of(q(spark, "q_tpch_q5"))
     assert count_nodes(p, "BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in p
+
+
+def test_corpus_pipeline_single_scan(spark):
+    """The end-to-end pipeline must read the corpus ONCE: the quality
+    gate is an inline predicate fused into the redaction scan, not a
+    stats self-join."""
+    p = plan_of(q(spark, "q_corpus_pipeline"))
+    assert p.count("documents.parquet") == 1
