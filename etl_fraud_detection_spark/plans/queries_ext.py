@@ -2027,6 +2027,437 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QTY_CENTS_SQL = "CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)"
+_PRICE_CENTS_SQL = "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+_BAL_CENTS_SQL = "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)"
+
+
+@query(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking (adapted: the testdata subset
+    has no commit/receipt dates, so "late" = any line shipped after the
+    order date). The correlated EXISTS is a LEFT SEMI join with a
+    non-equi conjunct — one shuffle on the order key, the quarter
+    filter pushed to the orders scan."""
+    od = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        od.join(
+            li,
+            (od["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > od["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q_tpch_q6",
+    oracle="""
+    SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting-revenue change: pure scan + filter +
+    single-group aggregate — every predicate pushed to the parquet
+    scan, map-side partial sums, one exchange carrying one row per
+    partition."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (
+                F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount")))
+                .cast("double")
+                / 100
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q_tpch_q7",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(rev) AS DOUBLE) / 100 AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+             {_REV_CENTS_SQL} AS rev
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping between two nations: lineitem/orders
+    shuffle once on the order key; supplier, customer, and BOTH nation
+    aliases broadcast, so the bidirectional nation-pair disjunction is
+    evaluated map-side with no extra exchange."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    od = _t(spark, sf_dir, "orders")
+    su = _t(spark, sf_dir, "supplier")
+    cu = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+        .join(F.broadcast(cu), od["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(n1), su["s_nationkey"] == F.col("n1_key"))
+        .join(F.broadcast(n2), cu["c_nationkey"] == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg((F.sum(_rev_cents()).cast("double") / 100).alias("revenue"))
+    )
+
+
+@query(
+    "q_tpch_q13",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer-order distribution (adapted: the priority
+    exclusion stands in for the comment filter): LEFT OUTER join with
+    the exclusion inside the join condition so customers with zero
+    qualifying orders survive with count 0, then a second tiny
+    aggregation builds the histogram."""
+    cu = _t(spark, sf_dir, "customer").select("c_custkey")
+    od = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    return (
+        cu.join(
+            od,
+            (cu["c_custkey"] == od["o_custkey"])
+            & (od["o_orderpriority"] != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@query(
+    "q_tpch_q14",
+    oracle=f"""
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_CENTS_SQL} ELSE 0 END)
+                AS DOUBLE) * 100
+           / CAST(SUM({_REV_CENTS_SQL}) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: month filter pushed to the lineitem
+    scan, part broadcast, both conditional and total revenue computed
+    in ONE aggregate pass (exact integer cents; the percentage division
+    is the single floating op, identical expression shape on both
+    sides)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
+    )
+    pa = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(pa), li["l_partkey"] == pa["p_partkey"])
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", _rev_cents()).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                ).cast("double")
+                * 100
+                / F.sum(_rev_cents()).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q_tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, SUM({_REV_CENTS_SQL}) AS total_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_cents AS DOUBLE) / 100 AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_cents = (SELECT MAX(total_cents) FROM revenue)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: the revenue "view" aggregates once on
+    l_suppkey; the scalar-subquery MAX is a 1-row broadcast cross join
+    against that same aggregate (no driver collect, no second scan of
+    lineitem), supplier broadcast for the name lookup."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev_cents()).alias("total_cents")
+    )
+    mx = revenue.agg(F.max("total_cents").alias("mx_cents"))
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(mx))
+        .where(F.col("total_cents") == F.col("mx_cents"))
+        .join(F.broadcast(su), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_cents").cast("double") / 100).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q17",
+    oracle=f"""
+    WITH agg AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM({_QTY_CENTS_SQL}) AS BIGINT) AS sum_qc,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM({_PRICE_CENTS_SQL}) AS DOUBLE) / 100 / 7.0 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey JOIN agg ON pk = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND {_QTY_CENTS_SQL} * n * 5 < sum_qc
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: the correlated
+    per-part AVG becomes a grouped aggregate joined back on the part
+    key. The brand filter broadcasts into lineitem FIRST, so the
+    per-part stats aggregate only the brand's lines (identical values
+    — part keys are unique — but the 100-TB scan narrows before any
+    shuffle). The avg comparison is cross-multiplied into exact BIGINT
+    arithmetic: qty*n*5 < sum, no floating divide."""
+    pa = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13").select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    lp = li.join(F.broadcast(pa), li["l_partkey"] == pa["p_partkey"]).select(
+        "l_partkey",
+        _cents(F.col("l_quantity")).alias("qc"),
+        _cents(F.col("l_extendedprice")).alias("pc"),
+    )
+    stats = lp.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qc").alias("sum_qc"), F.count("*").alias("n")
+    )
+    return (
+        lp.join(F.broadcast(stats), lp["l_partkey"] == stats["pk"])
+        .where(F.col("qc") * F.col("n") * 5 < F.col("sum_qc"))
+        .agg((F.sum("pc").cast("double") / 100 / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q_tpch_q18",
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM({_QTY_CENTS_SQL}) AS DOUBLE) / 100 AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM({_QTY_CENTS_SQL}) > 30000
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customer: the IN-subquery and the outer
+    SUM group on the SAME key, so the plan aggregates lineitem ONCE
+    (per-order quantity), filters the >300 threshold, and joins the
+    surviving orders — no second pass over lineitem. Top-100 via
+    TakeOrderedAndProject with a deterministic tie-break."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_cents(F.col("l_quantity"))).alias("qc"))
+        .where(F.col("qc") > 30000)
+    )
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        od.join(qty, od["o_orderkey"] == qty["l_orderkey"])
+        .join(F.broadcast(cu), od["o_custkey"] == cu["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            (F.col("qc").cast("double") / 100).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q19",
+    oracle=f"""
+    SELECT CAST(SUM({_REV_CENTS_SQL}) AS DOUBLE) / 100 AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue: the classic disjunctive join
+    predicate. Part broadcasts; the OR-of-ANDs mixes columns from both
+    sides so it evaluates as a map-side post-join filter — no shuffle
+    at all beyond the final 1-row aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+
+    def _arm(brand: str, size_hi: int, q_lo: int, q_hi: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+
+    return (
+        li.join(F.broadcast(pa), li["l_partkey"] == pa["p_partkey"])
+        .where(
+            _arm("Brand#12", 15, 1, 11)
+            | _arm("Brand#23", 25, 10, 20)
+            | _arm("Brand#34", 35, 20, 30)
+        )
+        .agg((F.sum(_rev_cents()).cast("double") / 100).alias("revenue"))
+    )
+
+
+@query(
+    "q_tpch_q22",
+    oracle=f"""
+    WITH pos AS (
+      SELECT CAST(SUM({_BAL_CENTS_SQL}) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM({_BAL_CENTS_SQL}) AS DOUBLE) / 100 AS totacctbal
+    FROM customer, pos
+    WHERE {_BAL_CENTS_SQL} * pos.n > pos.s
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity (adapted: no phone column, so
+    grouping is by nation and "dormant" = no orders since 1999):
+    above-average balance via a 1-row broadcast of the positive-balance
+    SUM/COUNT (cross-multiplied to exact BIGINTs, no floating AVG),
+    dormancy as a LEFT ANTI join with the date filter pushed to the
+    orders scan."""
+    cu = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", _cents(F.col("c_acctbal")).alias("bc")
+    )
+    pos = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.sum(_cents(F.col("c_acctbal"))).alias("s"),
+            F.count("*").alias("n"),
+        )
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    return (
+        cu.join(recent, cu["c_custkey"] == recent["o_custkey"], "left_anti")
+        .join(F.broadcast(pos))
+        .where(F.col("bc") * F.col("n") > F.col("s"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum("bc").cast("double") / 100).alias("totacctbal"),
+        )
+    )
+
+
 @query(
     "q_window_suite",
     oracle="""

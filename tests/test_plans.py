@@ -165,6 +165,33 @@ def test_tpch_q5_broadcasts_all_dims(spark):
     assert "SortMergeJoin" not in p
 
 
+def test_tpch_q18_aggregates_lineitem_once(spark):
+    """Q18's IN-subquery groups on the same key as the outer SUM, so
+    the rewritten plan must scan/aggregate lineitem ONCE and use top-k,
+    not a global sort."""
+    p = plan_of(q(spark, "q_tpch_q18"))
+    assert p.count("lineitem.parquet") == 1
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_tpch_q4_semi_join(spark):
+    """The EXISTS in Q4 must plan as a semi join (no row multiplication
+    from the many-lines-per-order fan-out)."""
+    p = plan_of(q(spark, "q_tpch_q4"))
+    assert "LeftSemi" in p
+
+
+def test_tpch_q17_brand_filter_before_stats(spark):
+    """Q17's per-part stats must aggregate only the brand's lines: the
+    part filter broadcasts into lineitem before any aggregation, so no
+    full-table lineitem agg appears (both lineitem reads join the
+    filtered part first)."""
+    p = plan_of(q(spark, "q_tpch_q17"))
+    assert "SortMergeJoin" not in p
+    assert count_nodes(p, "BroadcastHashJoin") >= 2
+
+
 def test_corpus_pipeline_single_scan(spark):
     """The end-to-end pipeline must read the corpus ONCE: the quality
     gate is an inline predicate fused into the redaction scan, not a
