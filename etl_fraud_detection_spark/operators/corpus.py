@@ -1,0 +1,156 @@
+"""Corpus-level statistics for training-data curation: TF-IDF salient
+terms and n-gram language-model fluency scoring.
+
+Both are two-pass corpus operators: a model pass aggregates the whole
+corpus (term document frequencies / bigram counts), then a scoring pass
+joins the model back onto per-document rows. The model side is vocab-
+bounded — a few MB even for a 100 TB natural-language corpus — so the
+scoring join broadcasts and the big side never shuffles for it.
+
+Exactness (the DuckDB-oracle contract):
+- ``ln()`` is NOT bit-identical between the JVM and C libm (measured:
+  ~2% of inputs differ in the last ulp), so no raw ``ln`` output is ever
+  emitted or summed. TF-IDF uses a *linear* idf (N/df) — division and
+  multiplication are IEEE-correctly-rounded, hence bit-identical.
+  LM log-probabilities are quantized to integer micro-nats
+  (``floor(ln(p)*1e6 + 0.5)``) before the per-document sum, making the
+  sum exact-integer and order-independent; a last-ulp ln() divergence
+  would need to land within ~1e-9 of a rounding boundary to flip a
+  quantized value (verified clean on the test corpus).
+- Per-document aggregation keys are doc-prefixed, so shuffle skew is
+  bounded by the longest document, not corpus-wide term popularity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .ngrams import ngram_array, tokens
+
+MICRO = 1_000_000  # log-prob quantization: micro-nats
+
+
+def tf_idf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` salient terms per document by TF-IDF with linear idf.
+
+    ``tfidf = tf * N / df`` where ``tf`` = occurrences of the term in
+    the document, ``df`` = number of documents containing the term, and
+    ``N`` = corpus document count. Linear idf is monotone in 1/df like
+    the classic log idf, ranks identically for fixed tf, and keeps the
+    score a pure IEEE div/mul chain the oracle reproduces bit-for-bit.
+
+    Plan shape: one shuffle on (doc, term) for tf (doc-prefixed key, no
+    popularity skew), one on term for df (count-only, map-side combine),
+    then df broadcasts back onto tf (vocab-bounded), the corpus count
+    joins as a 1-row broadcast (no driver collect), and the top-k window
+    repartitions on the doc id. Ties break on the term string so the
+    result is deterministic."""
+    term = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = term.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .withColumnRenamed("term", "df_term")
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), tf["term"] == df["df_term"])
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf").cast("double") * F.col("n_docs") / F.col("df")).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document fluency score from a corpus-trained add-one-smoothed
+    bigram language model — the classic perplexity-style quality filter
+    (documents whose word transitions are improbable under the corpus
+    distribution are noise).
+
+    Model: ``P(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)`` with ``V`` =
+    unigram vocabulary size. Score: mean log-probability over the
+    document's bigram instances, carried as exact integer micro-nats
+    (see module docstring) so the sum is order-independent.
+
+    Plan shape: bigram instances shuffle once on the gram string to
+    build the model (map-side combine); prefix totals reduce the model
+    again on w1. The model broadcasts back for scoring (holds to ~1e8
+    distinct bigrams; past that drop the hint and AQE picks a
+    gram-keyed shuffle join), so the corpus-side scoring pass is
+    map-only + ONE doc-keyed aggregation — ``explode_outer`` keeps
+    sub-bigram documents in the stream as a NULL gram, so no trailing
+    docs⋈scores join is needed (that join would sort-merge two
+    doc-count-sized frames). Documents with < 2 tokens surface with
+    ``n_bigrams = 0`` and NULL score."""
+    g = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(ngram_array(text_col, 2)).alias("gram"),
+    )
+    c12 = (
+        g.where(F.col("gram").isNotNull())
+        .groupBy("gram")
+        .agg(F.count("*").alias("c12"))
+    )
+    c1 = (
+        c12.groupBy(F.split(F.col("gram"), " ")[0].alias("w1"))
+        .agg(F.sum("c12").alias("c1"))
+    )
+    vocab = docs.select(F.explode(tokens(text_col)).alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    model = (
+        c12.join(F.broadcast(c1), F.split(F.col("gram"), " ")[0] == F.col("w1"))
+        .join(F.broadcast(vocab))
+        .select(
+            "gram",
+            F.floor(
+                F.log(
+                    (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v"))
+                )
+                * MICRO
+                + 0.5
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return (
+        g.join(F.broadcast(model), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("gram").alias("n_bigrams"),
+            F.sum("lp_micro").alias("sum_lp_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_lp_micro",
+            (
+                F.col("sum_lp_micro").cast("double") / MICRO / F.col("n_bigrams")
+            ).alias("avg_logprob"),
+        )
+    )

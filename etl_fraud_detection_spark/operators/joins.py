@@ -69,3 +69,35 @@ def range_join_binned(
         .where((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
         .drop("_bin")
     )
+
+
+def fuzzy_blocked_pairs(
+    names: DataFrame,
+    name_col: str,
+    max_dist: int = 2,
+    block: Column | None = None,
+) -> DataFrame:
+    """Fuzzy self-match: pairs of distinct ``name_col`` values within
+    edit distance ``max_dist``, found via blocking — the standard record-
+    linkage shape (entity resolution across vendor feeds, near-identical
+    product names, typo'd identifiers).
+
+    All-pairs levenshtein is |N|² and plans as a nested-loop join; the
+    blocking key turns it into an equi-join so only candidates sharing a
+    block ever meet, and the edit-distance filter runs on those pairs
+    alone. Default block = the name's last whitespace token (the head
+    noun in noun-phrase names); any deterministic expression over the
+    name works — length buckets, first-k chars, soundex. Recall is bounded
+    by the block (edits inside the blocked token can escape it — the
+    documented blocking trade-off); precision is exact. ``a < b``
+    canonicalizes pair order."""
+    blk = block if block is not None else F.element_at(F.split(F.col("_n"), " "), -1)
+    d = names.select(F.col(name_col).alias("_n")).distinct().withColumn("_blk", blk)
+    a = d.select(F.col("_n").alias("name_a"), F.col("_blk").alias("blk_a"))
+    b = d.select(F.col("_n").alias("name_b"), F.col("_blk").alias("blk_b"))
+    return (
+        a.join(b, (F.col("blk_a") == F.col("blk_b")) & (F.col("name_a") < F.col("name_b")))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= max_dist)
+        .select("name_a", "name_b", "dist")
+    )

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..operators import dedup, ngrams, sampling, similarity, text
+from ..operators import corpus, dedup, joins, ngrams, sampling, similarity, text
 from .queries import _t, query
 
 # ---------------------------------------------------------------------------
@@ -1539,6 +1539,86 @@ def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions, zero shuffle; every ratio is one division of exact
     integers, so no float summation-order hazard."""
     return ngrams.with_lexical_diversity(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_tfidf_topterms",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(toks) AS term FROM ({_TOKS})),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+           FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, df, tfidf FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf.tf AS DOUBLE) * n.n_docs / df.df DESC,
+                            tf.term) AS rn
+        FROM tf JOIN df USING (term), n
+    ) WHERE rn <= 3
+    """,
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (linear idf = N/df, a pure IEEE
+    div/mul chain — ln() is not bit-identical across engines, measured).
+    Model side (df, N) broadcasts; tf's shuffle key is doc-prefixed so
+    term popularity never skews it."""
+    return corpus.tf_idf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+@query(
+    "q_lm_score",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, unnest({_GRAM2}) AS gram FROM ({_TOKS})),
+    c12 AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c12 FROM g GROUP BY 1),
+    c1 AS (SELECT string_split(gram, ' ')[1] AS w1,
+                  CAST(SUM(c12) AS BIGINT) AS c1
+           FROM c12 GROUP BY 1),
+    v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+          FROM (SELECT unnest(toks) AS tok FROM ({_TOKS}))),
+    model AS (SELECT gram,
+                     CAST(FLOOR(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v.v))
+                                * 1000000 + 0.5) AS BIGINT) AS lp_micro
+              FROM c12 JOIN c1 ON string_split(gram, ' ')[1] = c1.w1, v),
+    pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                  CAST(SUM(lp_micro) AS BIGINT) AS sum_lp_micro
+           FROM g JOIN model USING (gram) GROUP BY 1)
+    SELECT d.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+           pd.sum_lp_micro,
+           CAST(pd.sum_lp_micro AS DOUBLE) / 1000000 / pd.n_bigrams
+               AS avg_logprob
+    FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+    """,
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-one bigram LM fluency score per document.
+    Log-probs are quantized to integer micro-nats before the per-doc sum
+    (exact, order-independent — raw ln sums would be summation-order- and
+    libm-dependent). The vocab-bounded model broadcasts back for scoring,
+    so the corpus side is map-only + one doc-keyed aggregation."""
+    return corpus.bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_fuzzy_join",
+    oracle="""
+    WITH d AS (SELECT DISTINCT p_name AS n FROM part)
+    SELECT a.n AS name_a, b.n AS name_b,
+           CAST(levenshtein(a.n, b.n) AS INTEGER) AS dist
+    FROM d a JOIN d b
+      ON string_split(a.n, ' ')[-1] = string_split(b.n, ' ')[-1]
+     AND a.n < b.n
+    WHERE levenshtein(a.n, b.n) <= 2
+    """,
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage fuzzy self-match over part names: blocking on the
+    head noun turns the |N|² nested-loop levenshtein scan into an
+    equi-join where only same-block candidates meet."""
+    return joins.fuzzy_blocked_pairs(_t(spark, sf_dir, "part"), "p_name", max_dist=2)
 
 
 @query(

@@ -198,3 +198,30 @@ def test_corpus_pipeline_single_scan(spark):
     stats self-join."""
     p = plan_of(q(spark, "q_corpus_pipeline"))
     assert p.count("documents.parquet") == 1
+
+
+def test_tfidf_model_broadcasts(spark):
+    """TF-IDF's df table and corpus count must broadcast back onto tf —
+    the corpus-side frame never sort-merge-joins the vocab model."""
+    p = plan_of(q(spark, "q_tfidf_topterms"))
+    assert count_nodes(p, "BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in p or count_nodes(p, "BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_lm_score_model_broadcasts(spark):
+    """The bigram model (vocab-bounded) must broadcast for scoring; the
+    corpus-side gram stream never shuffles for the model join."""
+    p = plan_of(q(spark, "q_lm_score"))
+    assert count_nodes(p, "BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_fuzzy_join_is_blocked_equi_join(spark):
+    """Blocking must turn the levenshtein self-match into a hash
+    equi-join — an unblocked plan degenerates to a nested-loop
+    cross-product of all name pairs."""
+    p = plan_of(q(spark, "q_fuzzy_join"))
+    assert "CartesianProduct" not in p
+    assert count_nodes(p, "BroadcastHashJoin") + count_nodes(p, "SortMergeJoin") >= 1
+    assert "BroadcastNestedLoopJoin" not in p
