@@ -225,3 +225,22 @@ def test_fuzzy_join_is_blocked_equi_join(spark):
     assert "CartesianProduct" not in p
     assert count_nodes(p, "BroadcastHashJoin") + count_nodes(p, "SortMergeJoin") >= 1
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q8_single_fact_shuffle(spark):
+    """Q8's 8-way join must keep lineitem⋈orders as the only shuffled
+    join — part/customer/supplier/nation/region all broadcast."""
+    p = plan_of(q(spark, "q_tpch_q8"))
+    assert "SortMergeJoin" not in p
+    assert count_nodes(p, "BroadcastHashJoin") >= 5
+
+
+def test_tpch_q21_semi_anti_one_key(spark):
+    """Q21's EXISTS / NOT EXISTS must plan as semi + anti hash joins on
+    the order key (with the supplier/lateness conjuncts as join
+    residuals), never as a row-multiplying inner self-join."""
+    p = plan_of(q(spark, "q_tpch_q21"))
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
