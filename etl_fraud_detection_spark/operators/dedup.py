@@ -228,3 +228,65 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS, id_col: str = "doc_id", t
     sig = bit_sums.select("doc_id", code.cast("long").alias("simhash"))
     w = Window.partitionBy("simhash")
     return sig.select("doc_id", "simhash", F.count("*").over(w).alias("bucket_size"))
+
+
+SEG_TOKENS = 8
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    seg_tokens: int = SEG_TOKENS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Segment-level corpus dedup (the C4 trick, at paragraph rather
+    than document granularity): split every document into fixed
+    ``seg_tokens``-token segments, fingerprint each, keep only the
+    corpus-wide FIRST occurrence of every fingerprint ((doc_id, pos)
+    order), and rebuild each document from its surviving segments.
+
+    Two shuffles total and no joins: the first-occurrence decision is a
+    row_number window on the fingerprint (md5 — the hash both engines
+    share), and the rebuild aggregates on the doc id with dropped
+    segments carried as NULLs through ``collect_list`` (which skips
+    them) — so fully-deduped documents still surface with
+    ``text_clean = ''`` instead of needing a trailing doc-sized join.
+    At 100 TB both shuffle keys are fine: fingerprints are uniform by
+    construction, and the rebuild key is the doc id."""
+    toks = F.split(F.col(text_col), " ")
+    n_segs = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
+    segs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_segs, F.lit(1))),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, (i - 1) * seg_tokens + 1, seg_tokens)
+                ),
+            )
+        ).alias("pos", "seg"),
+    )
+    w = Window.partitionBy(F.md5(F.col("seg"))).orderBy("doc_id", "pos")
+    kept = segs.withColumn(
+        "kept", (F.row_number().over(w) == 1).cast("int")
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum("kept").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept") == 1, F.struct("pos", "seg")
+                            )
+                        )
+                    ),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+    )

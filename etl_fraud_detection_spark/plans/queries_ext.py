@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..operators import corpus, dedup, joins, ngrams, sampling, similarity, text
+from ..operators import corpus, dedup, joins, ngrams, pysurface, sampling, similarity, text
 from .queries import _t, query
 
 # ---------------------------------------------------------------------------
@@ -1348,6 +1348,84 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.md5("text").alias("fp")
     )
     return batch.join(ledger, ["fp"], "left_anti")
+
+
+@query(
+    "q_dedup_paragraphs",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(toks[(i-1)*8+1 : least(len(toks), i*8)], ' ') AS seg
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1,
+                         greatest(CAST(ceil(len(toks) / 8.0) AS BIGINT), 1))) AS i
+              FROM ({_TOKS}))
+    ),
+    k AS (
+        SELECT doc_id, pos, seg,
+               CASE WHEN ROW_NUMBER() OVER (PARTITION BY md5(seg)
+                                            ORDER BY doc_id, pos) = 1
+                    THEN 1 ELSE 0 END AS kept
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN kept = 1 THEN seg END, ' '
+                               ORDER BY pos), '') AS text_clean
+    FROM k GROUP BY doc_id
+    """,
+)
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level (paragraph) corpus dedup, C4-style: fixed 8-token
+    segments, md5 fingerprint, corpus-wide first occurrence wins,
+    documents rebuilt from surviving segments. Two shuffles, no joins —
+    dropped segments ride as NULLs through collect_list so fully-deduped
+    docs still surface with empty text."""
+    return dedup.paragraph_dedup(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_udaf_norm_stats",
+    oracle=f"""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(FLOOR(sqrt({_dot_sql('embedding', 'embedding')})
+                               * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_norm_micro,
+           CAST(SUM(CAST(FLOOR(sqrt({_dot_sql('embedding', 'embedding')})
+                               * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000 / COUNT(*) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def q_udaf_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDAF surface pin: per-label mean embedding
+    norm, Arrow-batched, left-fold squared sums, micro-quantized before
+    the cross-row sum (see operators/pysurface.py — the relational ops
+    in operators/similarity.py are the production path; this query locks
+    the UDAF escape hatch's registration, batch shape, and exactness)."""
+    return pysurface.label_norm_stats(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "q_udtf_chunks",
+    oracle="""
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+           array_to_string(toks[(i-1)*6+1 : least(len(toks), i*6)], ' ') AS chunk
+    FROM (SELECT doc_id, toks,
+                 unnest(generate_series(1,
+                     greatest(CAST(ceil(len(toks) / 6.0) AS BIGINT), 1))) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+    """,
+)
+def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface pin: LATERAL table-function expansion of each
+    document into 6-token chunks (operators/pysurface.py ChunkSplitter).
+    q_chunk_docs is the relational production path; this locks UDTF
+    registration + lateral-join column passthrough."""
+    return pysurface.chunk_with_udtf(spark, _t(spark, sf_dir, "documents"))
 
 
 @query(

@@ -244,3 +244,28 @@ def test_tpch_q21_semi_anti_one_key(spark):
     assert "LeftAnti" in p
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_dedup_paragraphs_no_joins(spark):
+    """Paragraph dedup must be explode → fp-window → doc-rebuild: two
+    exchanges, zero joins (fully-deduped docs ride through collect_list
+    as NULLs, not via a trailing join)."""
+    p = plan_of(q(spark, "q_dedup_paragraphs"))
+    assert count_nodes(p, "Exchange") <= 2
+    for node in ("Join", "CartesianProduct"):
+        assert node not in p
+
+
+def test_udaf_is_arrow_grouped_agg(spark):
+    """The UDAF surface pin must actually plan as an Arrow grouped
+    aggregation (not row-at-a-time Python)."""
+    p = plan_of(q(spark, "q_udaf_norm_stats"))
+    assert "ArrowAggregatePython" in p or "AggregateInPandas" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_udtf_is_lateral_python_generate(spark):
+    """The UDTF must expand laterally in the executor Python worker with
+    doc_id passed through by the lateral join, not re-computed."""
+    p = plan_of(q(spark, "q_udtf_chunks"))
+    assert "Generate" in p or "PythonUDTF" in p or "EvalPythonUDTF" in p
