@@ -2795,6 +2795,295 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The testdata subset has no partsupp table, so the four queries that
+# need one (Q2/Q11/Q16/Q20) derive the supply relation from the
+# distinct (l_partkey, l_suppkey) pairs observed in lineitem, and Q9's
+# ps_supplycost becomes the part's retail price. The plan SHAPES —
+# decorrelated per-part MIN, global-total scalar threshold,
+# count-distinct grouping, aggregate-derived semi-join — are the
+# reference semantics being pinned; constants are tuned to the
+# synthetic domain. Unit cost = floor(extprice/qty*100+0.5): divide,
+# multiply, add, floor are bit-identical IEEE double ops both engines.
+_UNIT_COST_CENTS_SQL = (
+    "CAST(FLOOR(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "q_tpch_q2",
+    oracle=f"""
+    WITH supply AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN({_UNIT_COST_CENTS_SQL}) AS cost_c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    eur AS (
+      SELECT ps_partkey, cost_c, s_name, s_acctbal, n_name
+      FROM supply JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
+           p_partkey, p_name,
+           CAST(cost_c AS DOUBLE) / 100 AS supply_cost
+    FROM (SELECT *, MIN(cost_c) OVER (PARTITION BY ps_partkey) AS min_c
+          FROM eur) e
+    JOIN part ON p_partkey = ps_partkey
+    WHERE cost_c = min_c AND p_type = 'STANDARD' AND p_size <= 25
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier (adapted: supply relation derived
+    from lineitem's distinct part-supplier pairs, unit cost = observed
+    extendedprice/quantity). The correlated MIN-cost subquery
+    decorrelates into a per-part window MIN over the region's suppliers
+    — the (partkey, suppkey) aggregate shuffles once, the window
+    re-uses one more exchange on the part key, and supplier/nation/
+    region/filtered-part all broadcast. Top-100 via
+    TakeOrderedAndProject with a full deterministic tie-break."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        _cents(F.col("l_extendedprice") / F.col("l_quantity")).alias("uc"),
+    )
+    supply = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min("uc").alias("cost_c"))
+    su = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eur = (
+        supply.join(F.broadcast(su), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("ps_partkey", "cost_c", "s_name", "s_acctbal", "n_name")
+    )
+    pa = _t(spark, sf_dir, "part").where(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 25)
+    ).select("p_partkey", "p_name")
+    w = Window.partitionBy("ps_partkey")
+    return (
+        eur.withColumn("min_c", F.min("cost_c").over(w))
+        .where(F.col("cost_c") == F.col("min_c"))
+        .join(F.broadcast(pa), F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            (F.col("cost_c").cast("double") / 100).alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q9",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)
+                                - p_retailprice * l_quantity) * 100 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 100 AS sum_profit
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit (adapted: ps_supplycost becomes the
+    part's retail price — no partsupp in the subset). The part-name
+    filter broadcasts into lineitem FIRST so only matching lines reach
+    the one true shuffle (the orders join on the order key);
+    supplier+nation broadcast. Profit is quantized to cents pre-sum
+    (floor of a negative profit is bit-identical both engines), so the
+    aggregate is exact BIGINT arithmetic."""
+    pa = _t(spark, sf_dir, "part").where(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey", "p_retailprice")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit_c = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(profit_c).cast("double") / 100).alias("sum_profit"))
+    )
+
+
+@query(
+    "q_tpch_q11",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey AS ps_partkey,
+             SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS val_c
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY 1
+    ), tot AS (SELECT SUM(val_c) AS t FROM v)
+    SELECT ps_partkey, CAST(val_c AS DOUBLE) / 100 AS value
+    FROM v, tot
+    WHERE val_c * 1500 > t
+    ORDER BY value DESC, ps_partkey
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock (adapted: part value = the nation's
+    suppliers' shipped extended price, standing in for
+    supplycost*availqty). The nation's suppliers broadcast into the
+    lineitem scan, one shuffle aggregates per-part value, and the
+    HAVING-fraction-of-total scalar subquery is a 1-row broadcast cross
+    join, cross-multiplied to exact BIGINTs — no driver collect, no
+    floating threshold."""
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", _cents(F.col("l_extendedprice")).alias("pc")
+    )
+    v = (
+        li.join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum("pc").alias("val_c"))
+    )
+    tot = v.agg(F.sum("val_c").alias("t"))
+    return (
+        v.join(F.broadcast(tot))
+        .where(F.col("val_c") * 1500 > F.col("t"))
+        .select(
+            "ps_partkey", (F.col("val_c").cast("double") / 100).alias("value")
+        )
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
+@query(
+    "q_tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 part-supplier relationship count (adapted: the supply
+    relation comes from lineitem pairs, and "complaint" suppliers — the
+    reference's s_comment LIKE guard — become negative-balance
+    suppliers, the only exclusion signal in the column subset). The
+    excluded-supplier set is a broadcast ANTI join (never a NOT IN
+    against a shuffled side), the filtered part table broadcasts, and
+    COUNT(DISTINCT) runs as Spark's two-phase distinct-aggregate — the
+    partial de-dup happens map-side before the group-key shuffle."""
+    pa = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q_tpch_q20",
+    oracle="""
+    SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'red%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_partkey, l_suppkey
+        HAVING SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) > 2500)
+    ORDER BY s_name
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential part promotion (adapted: "has excess stock"
+    becomes "shipped >25 units of a red part in 1997" — availqty isn't
+    in the subset, so the threshold moves to the shipped-quantity
+    aggregate, keeping the shape: an aggregate-derived IN-subquery
+    consumed as a SEMI join). The part filter broadcasts into the
+    dated lineitem scan, the (part, supplier) aggregate is the one
+    shuffle, and the surviving supplier keys semi-join the
+    nation-filtered supplier table."""
+    pa = _t(spark, sf_dir, "part").where(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("l_partkey", "l_suppkey", _cents(F.col("l_quantity")).alias("qc"))
+    heavy = (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qc").alias("sq"))
+        .where(F.col("sq") > 2500)
+        .select("l_suppkey")
+    )
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(
+            F.broadcast(heavy),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
 @query(
     "q_window_suite",
     oracle="""

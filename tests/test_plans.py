@@ -246,6 +246,50 @@ def test_tpch_q21_semi_anti_one_key(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
+def test_tpch_q2_decorrelated_window_min(spark):
+    """Q2's correlated MIN-cost subquery must decorrelate into ONE
+    window over the part key (2 exchanges total: pair agg + window),
+    with every dimension broadcast and top-100 as TakeOrdered."""
+    p = plan_of(q(spark, "q_tpch_q2"))
+    assert count_nodes(p, "Window") == 1
+    assert count_nodes(p, "Exchange") <= 2
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_tpch_q9_single_shuffle(spark):
+    """Q9: part/supplier/nation (and orders at this SF) broadcast; the
+    only exchange is the final group-by."""
+    p = plan_of(q(spark, "q_tpch_q9"))
+    assert count_nodes(p, "BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q11_scalar_threshold_is_broadcast(spark):
+    """Q11's fraction-of-total threshold must be a 1-row broadcast
+    cross join (BroadcastNestedLoopJoin), never a driver collect."""
+    p = plan_of(q(spark, "q_tpch_q11"))
+    assert count_nodes(p, "BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in p
+
+
+def test_tpch_q16_broadcast_anti_exclusion(spark):
+    """Q16's excluded-supplier NOT IN must plan as a broadcast anti
+    join against the tiny negative-balance set."""
+    p = plan_of(q(spark, "q_tpch_q16"))
+    assert "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_tpch_q20_semi_join_broadcasts_heavy_set(spark):
+    """Q20's aggregate-derived IN-subquery must consume as a broadcast
+    LEFT SEMI join (the post-HAVING key set is bounded by supplier
+    cardinality)."""
+    p = plan_of(q(spark, "q_tpch_q20"))
+    assert "LeftSemi" in p
+    assert "SortMergeJoin" not in p
+
+
 def test_dedup_paragraphs_no_joins(spark):
     """Paragraph dedup must be explode → fp-window → doc-rebuild: two
     exchanges, zero joins (fully-deduped docs ride through collect_list
