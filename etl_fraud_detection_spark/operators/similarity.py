@@ -233,6 +233,57 @@ def ivf_topk(
     )
 
 
+def semantic_dedup_cells(
+    emb: DataFrame,
+    tau: float = 0.3,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic pruning: within each cell, drop every
+    vector whose cosine to a LOWER-ID cell-mate reaches ``tau`` —
+    whether or not that mate itself survives (the standard greedy
+    rank-order semantics, so the decision per vector is independent
+    and needs no iterative closure). Emits every input row with an
+    ``is_kept`` verdict rather than silently filtering.
+
+    The pair join is quadratic ONLY within a cell — the cell is the
+    scale bound. Here the cell is the provided label; at 100 TB it is
+    the KMeans cluster id from the IVF quantizer (operators/ml.py
+    kmeans + assign_cells), giving the usual SemDeDup shape:
+    cluster → within-cluster pairs → prune. One shuffle on the cell
+    key for the self-join; the dropped-id set is far smaller than the
+    corpus and broadcasts back for the verdict flag. Norms are
+    hoisted per row before the pair blow-up (bit-identical to folding
+    inside the pair — same expression tree)."""
+    a = emb.select(
+        F.col(cell_col).alias("cell"),
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    )
+    b = emb.select(
+        F.col(cell_col).alias("cell"),
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("a") < F.col("b"))
+        .where(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) >= tau
+        )
+        .select(F.col("b").alias("_did"))
+        .distinct()
+    )
+    return emb.join(
+        F.broadcast(dropped), emb[id_col] == F.col("_did"), "left"
+    ).select(
+        id_col, cell_col, F.col("_did").isNull().alias("is_kept")
+    )
+
+
 def cosine_near_dup_pairs(emb: DataFrame, tau: float = 0.4, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, cosine >= tau). Quadratic
     baseline; at scale gate it behind sign_lsh_bucket equality first.

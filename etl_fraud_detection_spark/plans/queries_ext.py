@@ -10,7 +10,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..operators import corpus, dedup, joins, ngrams, pysurface, sampling, similarity, text
+from ..operators import (
+    corpus,
+    dedup,
+    eventflow,
+    joins,
+    ngrams,
+    pysurface,
+    sampling,
+    similarity,
+    text,
+)
 from .queries import _t, query
 
 # ---------------------------------------------------------------------------
@@ -1426,6 +1436,96 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_chunk_docs is the relational production path; this locks UDTF
     registration + lateral-join column passthrough."""
     return pysurface.chunk_with_udtf(spark, _t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH w1 AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+                 OVER (PARTITION BY user_id) AS t1
+      FROM events),
+    w2 AS (
+      SELECT user_id, ts, event_type, t1,
+             MIN(CASE WHEN event_type = 'click' AND ts > t1
+                       AND ts <= t1 + INTERVAL 24 HOUR THEN ts END)
+                 OVER (PARTITION BY user_id) AS t2
+      FROM w1),
+    w3 AS (
+      SELECT user_id, t1, t2,
+             MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+                       AND ts <= t2 + INTERVAL 24 HOUR THEN ts END)
+                 OVER (PARTITION BY user_id) AS t3
+      FROM w2)
+    SELECT user_id, step1_ts, step2_ts, step3_ts,
+           CAST(CASE WHEN step3_ts IS NOT NULL THEN 3
+                     WHEN step2_ts IS NOT NULL THEN 2
+                     WHEN step1_ts IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS reached
+    FROM (SELECT user_id, MIN(t1) AS step1_ts, MIN(t2) AS step2_ts,
+                 MIN(t3) AS step3_ts
+          FROM w3 GROUP BY user_id)
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel with a 24h conversion
+    deadline per step: each step's earliest qualifying event is a
+    MIN-over-user window conditioned on the previous step's result —
+    all three windows and the per-user reduce share ONE user-key
+    shuffle (plan-pinned)."""
+    return eventflow.funnel(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, ts,
+             CAST(date_trunc('week', MIN(ts) OVER (PARTITION BY user_id))
+                  AS DATE) AS cohort_week
+      FROM events)
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week,
+                          CAST(date_trunc('week', ts) AS DATE)) / 7
+                AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM f GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: cohort = ISO week of the user's
+    first event (window MIN, one user shuffle), cells = two-phase
+    COUNT(DISTINCT user) per (cohort_week, week_offset). Both engines
+    truncate weeks to ISO Monday; the offset is an exact integer
+    because both sides are week-aligned dates."""
+    return eventflow.cohort_retention(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "q_semdedup",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT b.vec_id AS did
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_dot_sql('a.embedding', 'b.embedding')}
+            / (sqrt({_dot_sql('a.embedding', 'a.embedding')})
+               * sqrt({_dot_sql('b.embedding', 'b.embedding')})) >= 0.3
+    )
+    SELECT e.vec_id, e.label, d.did IS NULL AS is_kept
+    FROM embeddings e LEFT JOIN d ON e.vec_id = d.did
+    """,
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning within cells (labels here; the
+    IVF KMeans cluster id at scale): drop any vector whose cosine to a
+    lower-id cell-mate reaches τ=0.3, emit every row with an is_kept
+    verdict. Quadratic only within a cell; one cell-key shuffle, the
+    dropped set broadcasts back (operators/similarity.py)."""
+    return similarity.semantic_dedup_cells(_t(spark, sf_dir, "embeddings"))
 
 
 @query(

@@ -290,6 +290,33 @@ def test_tpch_q20_semi_join_broadcasts_heavy_set(spark):
     assert "SortMergeJoin" not in p
 
 
+def test_funnel_single_shuffle(spark):
+    """The 3-step funnel must plan as ONE user-key exchange feeding
+    three Window nodes and the per-user reduce — chained step windows
+    share the partition spec."""
+    p = plan_of(q(spark, "q_funnel"))
+    assert count_nodes(p, "Exchange") == 1
+    assert count_nodes(p, "Window") == 3
+    assert "Join" not in p
+
+
+def test_retention_two_phase_distinct_no_expand(spark):
+    """Cohort retention: one user window + one cell aggregation, and
+    the single COUNT(DISTINCT) must be two-phase, never an Expand."""
+    p = plan_of(q(spark, "q_retention_cohorts"))
+    assert count_nodes(p, "Exchange") <= 2
+    assert "Expand" not in p
+
+
+def test_semdedup_cell_join_and_broadcast_backflag(spark):
+    """SemDeDup: the pair join shuffles on the cell key once; the
+    dropped-id set broadcasts back for the verdict flag."""
+    p = plan_of(q(spark, "q_semdedup"))
+    assert count_nodes(p, "Exchange") <= 1
+    assert count_nodes(p, "BroadcastHashJoin") == 2
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+
+
 def test_dedup_paragraphs_no_joins(spark):
     """Paragraph dedup must be explode → fp-window → doc-rebuild: two
     exchanges, zero joins (fully-deduped docs ride through collect_list
