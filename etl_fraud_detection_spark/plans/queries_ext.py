@@ -3326,6 +3326,28 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_join_outer",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: purchases with no click
+    in the preceding hour surface with NULL click columns — Spark holds
+    them until the click-side watermark proves no match can arrive, so
+    the bounded replay flushes the tail through the far-future
+    heartbeat batch. Must equal the batch left join (the oracle)."""
+    from ..streaming.rules import stream_stream_left_outer_join
+
+    return stream_stream_left_outer_join(spark, sf_dir)
+
+
+@query(
     "q_stream_rule3",
     oracle="""
     SELECT event_id, user_id, ts, event_type, prv_type, prv_ts

@@ -510,6 +510,75 @@ def stream_stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase with the
+    same user's clicks in the preceding hour, or NULL click columns if
+    none arrived. The hard part vs the inner join is the null side:
+    Spark can only emit an unmatched left row once the RIGHT watermark
+    has passed the row's join range (proving no match can still
+    arrive), so a bounded replay must advance the watermark PAST the
+    last real event or the tail purchases' outer rows never flush.
+
+    The heartbeat idiom does that: the far-future heartbeat row rides
+    through BOTH side filters (its own event_type is kept exactly so
+    the filter cannot be pushed below the EventTimeWatermark node and
+    strand the watermark), advances both watermarks in its own
+    micro-batch, and the AvailableNow final batch emits the remaining
+    outer rows. The heartbeat's user_id (-1) matches nothing, so its
+    own outer row is dropped from the DRAINED result — never inside
+    the streaming plan.
+
+    State stays bounded exactly as in the inner join: buffered rows
+    drop once the other side's watermark passes the interval."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stream_dir_with_heartbeat(sf_dir))
+    )
+    events = raw.withColumn(
+        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp)")
+    )
+    clicks = (
+        events.where(F.col("event_type").isin("click", "heartbeat"))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.where(F.col("event_type").isin("purchase", "heartbeat"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "leftOuter",
+    )
+    out = _drain_append(spark, joined, "stream_join_outer")
+    # Heartbeat rows (both the left heartbeat's own outer row and any
+    # click-side heartbeat remnant) are dropped from the DRAINED batch.
+    return (
+        out.where(F.col("user_id") >= 0)
+        .select(
+            "purchase_id", "user_id",
+            F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+            "click_id",
+            F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+            "click_value",
+        )
+    )
+
+
 def rule4_amount_guess_stream(
     spark: SparkSession, sf_dir: str,
     delay: str = "0 seconds", events_dir: str | None = None,

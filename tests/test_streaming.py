@@ -160,3 +160,32 @@ def test_stream_stream_join_matches_batch(spark):
     got = sorted(map(key, out.collect()))
     want = sorted(map(key, batch.collect()))
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_left_outer_join_flushes_null_side(spark):
+    """The LEFT OUTER stream-stream join must emit clickless purchases
+    with NULL click columns (flushed by the heartbeat watermark), and
+    match the batch left join exactly."""
+    out = sr.stream_stream_left_outer_join(spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"),
+        F.col("ts").alias("click_ts"), F.col("value").alias("click_value"),
+    )
+    batch = p.join(
+        c,
+        (p.user_id == c.cu)
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "left",
+    ).select("purchase_id", "click_id")
+    key = lambda r: (r.purchase_id, r.click_id)  # noqa: E731
+    got = sorted(map(key, out.collect()))
+    want = sorted(map(key, batch.collect()))
+    assert got == want and len(got) > 0
+    # the outer rows are the point: some purchases must be clickless
+    assert any(k[1] is None for k in got)
