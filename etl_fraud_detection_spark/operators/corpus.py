@@ -81,6 +81,75 @@ def tf_idf_top_terms(
     )
 
 
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 relevance of every matching document against a fixed query
+    term set — the classic retrieval scorer (tf saturation + document
+    length normalization).
+
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl))``
+    with the standard ``idf = ln((N - df + ½)/(df + ½) + 1)``. Per-term
+    scores are quantized to integer micro-units BEFORE the per-document
+    sum (same discipline as the LM scores: the only non-IEEE-exact op
+    is ln, and a last-ulp divergence must land within ~1e-9 of a
+    rounding boundary to flip a quantized value).
+
+    Plan shape: document length rides through the term explode (no
+    docs⋈lengths join); tf is one shuffle on the doc-prefixed
+    (doc, term) key restricted to the query terms — the corpus never
+    shuffles unfiltered; df and avgdl are query-bounded/1-row
+    broadcasts. Output: one row per document containing ≥1 query term."""
+    toks = tokens(text_col)
+    inst = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"),
+    ).where(F.col("term").isin(*query_terms))
+    tf = inst.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df")).withColumnRenamed(
+        "term", "df_term"
+    )
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(F.size(tokens(text_col))).cast("double") / F.count("*")
+        ).alias("avgdl"),
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + k1 * (
+        (1.0 - b) + b * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    per_term_micro = F.floor(
+        idf * (F.col("tf") * (k1 + 1.0)) / denom * MICRO + 0.5
+    ).cast("long")
+    return (
+        tf.join(F.broadcast(df), F.col("term") == F.col("df_term"))
+        .join(F.broadcast(stats))
+        .select("doc_id", per_term_micro.alias("s_micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_matched_terms"),
+            F.sum("s_micro").alias("score_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_matched_terms",
+            "score_micro",
+            (F.col("score_micro").cast("double") / MICRO).alias("bm25"),
+        )
+    )
+
+
 def bigram_lm_scores(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -112,6 +112,28 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _band_explode(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """LSH banding of a signature frame: one (doc_id, band_idx,
+    band_hash) row per band, band hash = md5 over the band's signature
+    positions."""
+    rows = num_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    return sig.select("doc_id", *band_cols).select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash"))
+                for b in range(bands)
+            ])
+        ).alias("bd"),
+    ).select("doc_id", "bd.band_idx", "bd.band_hash")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     tau: float = 0.8,
@@ -122,24 +144,8 @@ def minhash_lsh_pairs(
     candidates; candidates are verified with exact Jaccard >= tau.
     Approximate by construction (a true near-dup pair missing every
     band is skipped) but fully deterministic."""
-    rows = num_hashes // bands
     sh = shingles(docs)
-    sig = minhash_signatures(sh, num_hashes)
-    band_cols = [
-        F.md5(
-            F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("doc_id", *band_cols).select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash"))
-                for b in range(bands)
-            ])
-        ).alias("bd"),
-    ).select("doc_id", "bd.band_idx", "bd.band_hash")
+    banded = _band_explode(minhash_signatures(sh, num_hashes), num_hashes, bands)
     left = banded.select(F.col("doc_id").alias("a"), "band_idx", "band_hash")
     right = banded.select(F.col("doc_id").alias("b"), "band_idx", "band_hash")
     candidates = (
@@ -149,6 +155,42 @@ def minhash_lsh_pairs(
         .distinct()
     )
     return _jaccard_between(sh, candidates, tau)
+
+
+def minhash_incremental_pairs(
+    batch: DataFrame,
+    ledger: DataFrame,
+    tau: float = 0.8,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """Incremental NEAR-dup admission: LSH candidates between an
+    incoming batch and the already-ingested corpus only (never
+    batch×batch or ledger×ledger), verified with exact Jaccard ≥ tau.
+    Output pairs (a = batch doc, b = ledger doc) are the rejects; the
+    batch anti-joins them to admit genuinely new content — the near-dup
+    twin of the exact fingerprint ledger (see q_dedup_incremental).
+
+    At 100 TB the ledger side of this join is a PERSISTED band index
+    ((band_idx, band_hash, doc_id), bucketed by band_hash — 3 rows per
+    doc, no text): the daily batch computes its own bands (linear in
+    batch shingles) and joins co-located, so incremental cost scales
+    with the batch, not the corpus. Verification touches shingles for
+    candidate docs only."""
+    sh_b = shingles(batch)
+    sh_l = shingles(ledger)
+    banded_b = _band_explode(minhash_signatures(sh_b, num_hashes), num_hashes, bands)
+    banded_l = _band_explode(minhash_signatures(sh_l, num_hashes), num_hashes, bands)
+    candidates = (
+        banded_b.select(F.col("doc_id").alias("a"), "band_idx", "band_hash")
+        .join(
+            banded_l.select(F.col("doc_id").alias("b"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    return _jaccard_between(sh_b.unionByName(sh_l), candidates, tau)
 
 
 def near_dup_clusters(

@@ -247,6 +247,65 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), tau=0.8)
 
 
+def _minhash_incr_oracle() -> str:
+    nh, bands = dedup.NUM_HASHES, dedup.BANDS
+    rows = nh // bands
+    mins = ", ".join(
+        f"min(CASE WHEN seed = {i} THEN h END) AS mh{i}" for i in range(nh)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(concat_ws('|', {', '.join(f'mh{b * rows + r}' for r in range(rows))})) AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    return (
+        f"WITH {_SHINGLES},\n"
+        f"""ex AS (
+            SELECT doc_id, shingle, seed,
+                   md5(CAST(seed AS VARCHAR) || '|' || shingle) AS h
+            FROM sh CROSS JOIN (SELECT unnest(range(0, {nh})) AS seed)
+        ),
+        sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+        banded AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM banded l JOIN banded r
+              ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+            WHERE l.doc_id % 10 = 0 AND r.doc_id % 10 <> 0
+        ),
+        cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+            FROM sh x JOIN sh y ON x.shingle = y.shingle
+            JOIN cand ON cand.a = x.doc_id AND cand.b = y.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT a, b,
+               CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common)
+                   AS jaccard
+        FROM common
+        JOIN cnt ca ON common.a = ca.doc_id
+        JOIN cnt cb ON common.b = cb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= 0.8
+        """
+    )
+
+
+@query("q_dedup_minhash_incr", oracle=_minhash_incr_oracle())
+def q_dedup_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup admission: the incoming batch (doc_id % 10
+    == 0) LSH-matches against the already-ingested ledger only — never
+    batch×batch — and candidates verify with exact Jaccard ≥ 0.8. At
+    scale the ledger side is a persisted band index bucketed by
+    band_hash, so daily cost scales with the batch, not the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_incremental_pairs(
+        docs.where(F.col("doc_id") % 10 == 0),
+        docs.where(F.col("doc_id") % 10 != 0),
+        tau=0.8,
+    )
+
+
 def _simhash_oracle() -> str:
     bits = dedup.SIMHASH_BITS
     sums = ", ".join(
@@ -1781,6 +1840,45 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bm25",
+    oracle=f"""
+    WITH inst AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM ({_TOKS})
+    ),
+    q AS (SELECT * FROM inst WHERE term IN ('spark', 'table', 'window')),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf,
+                  MIN(dl) AS dl
+           FROM q GROUP BY 1, 2),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+           FROM ({_TOKS})),
+    s AS (SELECT tf.doc_id,
+                 CAST(FLOOR(
+                   ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE)
+                                             / st.avgdl))
+                   * 1000000 + 0.5) AS BIGINT) AS s_micro
+          FROM tf JOIN df USING (term), st)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched_terms,
+           CAST(SUM(s_micro) AS BIGINT) AS score_micro,
+           CAST(SUM(s_micro) AS DOUBLE) / 1000000 AS bm25
+    FROM s GROUP BY 1
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring of the corpus against a fixed query term
+    set (k1=1.2, b=0.75): tf saturation + length normalization, per-term
+    scores quantized to micro-units before the per-doc sum (the LM-score
+    discipline for ln). Document length rides through the explode — no
+    docs⋈lengths join; df/avgdl broadcast."""
+    return corpus.bm25_scores(
+        _t(spark, sf_dir, "documents"), ["spark", "table", "window"]
+    )
+
+
+@query(
     "q_fuzzy_join",
     oracle="""
     WITH d AS (SELECT DISTINCT p_name AS n FROM part)
@@ -1870,6 +1968,29 @@ def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.rules import windowed_event_counts
 
     return windowed_event_counts(spark, sf_dir)
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+    SELECT event_type,
+           make_timestamp((CAST(floor(epoch(ts) / 900) AS BIGINT) - k) * 900
+                          * 1000000) AS win_start,
+           count(*) AS n_events,
+           max(value) AS max_value,
+           min(value) AS min_value
+    FROM events, (SELECT unnest(range(0, 4)) AS k)
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/15min streaming aggregate per event type: each event
+    lands in exactly 4 overlapping epoch-aligned windows (the oracle
+    reproduces the window-start arithmetic); state is one row per open
+    (window, type), independent of event volume."""
+    from ..streaming.rules import sliding_window_counts
+
+    return sliding_window_counts(spark, sf_dir)
 
 
 @query(

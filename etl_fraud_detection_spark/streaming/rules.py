@@ -116,6 +116,46 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING 1-hour / 15-minute-slide aggregate per event type: every
+    event lands in exactly 4 overlapping windows (window starts are
+    epoch-aligned multiples of the slide — Spark's F.window contract,
+    mirrored arithmetically in the oracle). State is one row per open
+    (window, type) pair — bounded by the watermark horizon × overlap
+    factor, independent of event volume. Aggregates chosen exact
+    (count/min/max) so the DuckDB oracle matches bitwise."""
+    events = _read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("value").alias("max_value"),
+            F.min("value").alias("min_value"),
+        )
+        .select(
+            "event_type",
+            F.col("win.start").cast("timestamp_ntz").alias("win_start"),
+            "n_events",
+            "max_value",
+            "min_value",
+        )
+    )
+    name = "stream_sliding_agg"
+    with _few_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # Watermark-ordered replay: the harness that makes the custom stateful
 # operators (rules 3/4, as-of) correct on UNORDERED input.
