@@ -32,22 +32,24 @@ def tokens(text_col: str = "text") -> Column:
 def ngram_array(text_col: str = "text", n: int = 2) -> Column:
     """Word n-grams as an array column, entirely in codegen.
 
-    Guard: Spark's ``sequence(1, stop)`` with ``stop < 1`` produces a
-    DESCENDING sequence (not empty like DuckDB ``generate_series``), so
-    documents shorter than ``n`` tokens must short-circuit to an empty
-    array explicitly.
+    Guards:
+    - Spark's ``sequence(1, stop)`` with ``stop < 1`` produces a
+      DESCENDING sequence (not empty like DuckDB ``generate_series``),
+      so documents shorter than ``n`` tokens must short-circuit to an
+      empty array explicitly.
+    - The gram is ``array_join(slice(toks, i, n))`` — ONE reference to
+      the token array per element. N separate ``element_at(toks, i+j)``
+      references re-evaluate the split() per reference inside the
+      higher-order-function lambda (no common-subexpression elimination
+      there), turning gram construction O(n·len) per document —
+      measured 3.4× slower at n=4.
     """
     toks = tokens(text_col)
     stop = F.size(toks) - (n - 1)
     idx = F.when(stop >= 1, F.sequence(F.lit(1), stop)).otherwise(
         F.array().cast("array<int>")
     )
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
-        ),
-    )
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
 
 
 def with_repetition_stats(docs: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
