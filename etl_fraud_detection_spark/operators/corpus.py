@@ -150,6 +150,76 @@ def bm25_scores(
     )
 
 
+def chi2_discriminative_terms(
+    docs: DataFrame,
+    labels: DataFrame,
+    k: int = 5,
+    min_df: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """χ² feature selection: the top-``k`` terms most associated with
+    each label (the classic supervised vocabulary pruning step before
+    training a text classifier).
+
+    For each observed (term, label) pair the 2×2 contingency table is
+    derived from three aggregates — ``n11`` (docs with term & label),
+    per-term document frequency, per-label doc counts — and
+    ``χ² = N·(n11·n00 − n10·n01)² / ((n11+n10)(n01+n00)(n11+n01)(n10+n00))``.
+    Only positively-observed pairs are scored (a term never seen with a
+    label is not a candidate for that label's top-k). Terms with
+    df < min_df or df > N − min_df are excluded (the χ² denominator
+    degenerates at the extremes).
+
+    Exactness: every count is exact BIGINT; the products stay < 2⁵³ at
+    any realistic vocab scale, and the final float expression tree is
+    identical in both engines (mul/div only, no ln/pow), so χ² is
+    bit-identical. One (doc, term) distinct shuffle + one (term, label)
+    aggregate; df derives from n11 (each (doc, term) has exactly one
+    label), label totals and N broadcast, top-k is a label-partitioned
+    window with a term tie-break."""
+    pres = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+        )
+        .distinct()
+        .join(labels.select(F.col(id_col).alias("doc_id"), "label"), "doc_id")
+    )
+    n11 = pres.groupBy("term", "label").agg(F.count("*").alias("n11"))
+    df_t = n11.groupBy("term").agg(F.sum("n11").alias("df"))
+    lab = labels.groupBy("label").agg(F.count("*").alias("n_label"))
+    n = labels.agg(F.count("*").alias("n_docs"))
+    diff = (
+        F.col("n11") * (F.col("n_docs") - F.col("df") - F.col("n_label") + F.col("n11"))
+        - (F.col("df") - F.col("n11")) * (F.col("n_label") - F.col("n11"))
+    ).cast("double")
+    denom = (
+        F.col("df")
+        * (F.col("n_docs") - F.col("df"))
+        * F.col("n_label")
+        * (F.col("n_docs") - F.col("n_label"))
+    ).cast("double")
+    scored = (
+        n11.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(lab), "label")
+        .join(F.broadcast(n))
+        .where((F.col("df") >= min_df) & (F.col("df") <= F.col("n_docs") - min_df))
+        .select(
+            "label",
+            "term",
+            "n11",
+            "df",
+            (F.col("n_docs").cast("double") * diff * diff / denom).alias("chi2"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("chi2"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def bigram_lm_scores(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -135,6 +135,38 @@ def domain_mix_sample(
     )
 
 
+def weighted_topk_sample(
+    df: DataFrame, k: int, key_col: str, weight_col: str
+) -> DataFrame:
+    """Fixed-size WEIGHTED sample without replacement (Efraimidis–
+    Spirakis A-ES): each row draws a deterministic uniform u from
+    md5(key) and ranks by ``ln(u)/w`` descending (equivalently
+    u^(1/w)); the top-k is a weighted sample — a row's selection odds
+    scale with its weight, yet the draw is reproducible across engines,
+    retries, and partitionings.
+
+    u comes from the first 13 hex digits of md5 (52 bits — every value
+    exact in a double, u ∈ (0,1) after +1 to dodge ln(0)). The rank key
+    ln(u)/w is quantized to micro-units: ln is the one non-IEEE-exact
+    op (see corpus.py), and quantization plus the doc-id tie-break
+    makes SELECTION identical in both engines even if a last-ulp ln
+    divergence lands on a boundary. Executes as TakeOrderedAndProject —
+    per-partition top-k, never a global sort."""
+    u = (
+        (F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 13), 16, 10)
+         .cast("double") + 1.0)
+        / F.lit(float(1 << 52))
+    )
+    es_micro = F.floor(
+        F.log(u) / F.col(weight_col).cast("double") * 1_000_000 + 0.5
+    ).cast("long")
+    return (
+        df.select("*", es_micro.alias("es_key_micro"))
+        .orderBy(F.col("es_key_micro").desc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
 def hash_topk_sample(df: DataFrame, k: int, key_col: str) -> DataFrame:
     """Fixed-size uniform sample: order by md5(key) and take k. The hash
     order is a uniform random permutation independent of storage order,

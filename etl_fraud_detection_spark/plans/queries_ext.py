@@ -939,6 +939,30 @@ def q_sample_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sample_weighted",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CAST(FLOOR(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                               AS BIGINT) + 1.0) / 4503599627370496.0)
+                      / CAST(n_chars AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+               AS es_key_micro
+    FROM documents
+    ORDER BY es_key_micro DESC, doc_id LIMIT 60
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement (Efraimidis–Spirakis A-ES,
+    weight = document length): deterministic u from md5(id), rank by
+    micro-quantized ln(u)/w descending, top-60 via
+    TakeOrderedAndProject. Longer docs are proportionally likelier, yet
+    the draw replays identically across engines and partitionings."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return sampling.weighted_topk_sample(
+        docs, k=60, key_col="doc_id", weight_col="n_chars"
+    )
+
+
+@query(
     "q_agg_group_stats",
     oracle="""
     SELECT lang,
@@ -1876,6 +1900,57 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.bm25_scores(
         _t(spark, sf_dir, "documents"), ["spark", "table", "window"]
     )
+
+
+@query(
+    "q_chi2_terms",
+    oracle=f"""
+    WITH pres AS (
+      SELECT DISTINCT t.doc_id, t.term, e.label
+      FROM (SELECT doc_id, unnest(toks) AS term FROM ({_TOKS})) t
+      JOIN embeddings e ON t.doc_id = e.vec_id
+    ),
+    n11 AS (SELECT term, label, CAST(COUNT(*) AS BIGINT) AS n11
+            FROM pres GROUP BY 1, 2),
+    dft AS (SELECT term, CAST(SUM(n11) AS BIGINT) AS df FROM n11 GROUP BY 1),
+    lab AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_label
+            FROM embeddings GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM embeddings)
+    SELECT label, term, n11, df, chi2 FROM (
+      SELECT n11.label, n11.term, n11.n11, dft.df,
+             CAST(n.n_docs AS DOUBLE)
+             * CAST(n11.n11 * (n.n_docs - dft.df - lab.n_label + n11.n11)
+                    - (dft.df - n11.n11) * (lab.n_label - n11.n11) AS DOUBLE)
+             * CAST(n11.n11 * (n.n_docs - dft.df - lab.n_label + n11.n11)
+                    - (dft.df - n11.n11) * (lab.n_label - n11.n11) AS DOUBLE)
+             / CAST(dft.df * (n.n_docs - dft.df) * lab.n_label
+                    * (n.n_docs - lab.n_label) AS DOUBLE) AS chi2,
+             ROW_NUMBER() OVER (
+                 PARTITION BY n11.label
+                 ORDER BY CAST(n.n_docs AS DOUBLE)
+                          * CAST(n11.n11 * (n.n_docs - dft.df - lab.n_label + n11.n11)
+                                 - (dft.df - n11.n11) * (lab.n_label - n11.n11) AS DOUBLE)
+                          * CAST(n11.n11 * (n.n_docs - dft.df - lab.n_label + n11.n11)
+                                 - (dft.df - n11.n11) * (lab.n_label - n11.n11) AS DOUBLE)
+                          / CAST(dft.df * (n.n_docs - dft.df) * lab.n_label
+                                 * (n.n_docs - lab.n_label) AS DOUBLE) DESC,
+                          n11.term) AS rn
+      FROM n11 JOIN dft USING (term) JOIN lab USING (label), n
+      WHERE dft.df >= 5 AND dft.df <= n.n_docs - 5
+    ) WHERE rn <= 5
+    """,
+)
+def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² feature selection: top-5 label-discriminative terms (labels
+    from the embeddings table, doc_id = vec_id). Exact BIGINT
+    contingency counts; the χ² float tree is mul/div only, so both
+    engines agree bitwise. One (doc,term) distinct + one (term,label)
+    aggregate; df/label/N sides broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    labels = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    return corpus.chi2_discriminative_terms(docs, labels, k=5, min_df=5)
 
 
 @query(

@@ -290,6 +290,24 @@ def test_tpch_q20_semi_join_broadcasts_heavy_set(spark):
     assert "SortMergeJoin" not in p
 
 
+def test_weighted_sample_is_topk_not_sort(spark):
+    """A-ES weighted sampling must execute as TakeOrderedAndProject
+    (per-partition top-k), never a global sort."""
+    p = plan_of(q(spark, "q_sample_weighted"))
+    assert "TakeOrderedAndProject" in p
+    assert count_nodes(p, "Exchange") == 0
+
+
+def test_chi2_broadcasts_model_sides(spark):
+    """χ² term selection: df/label/N sides broadcast; the only
+    exchanges are the (doc,term) distinct, the (term,label) aggregate,
+    and the top-k window."""
+    p = plan_of(q(spark, "q_chi2_terms"))
+    assert count_nodes(p, "BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+    assert count_nodes(p, "SortMergeJoin") == 0
+
+
 def test_funnel_single_shuffle(spark):
     """The 3-step funnel must plan as ONE user-key exchange feeding
     three Window nodes and the per-user reduce — chained step windows
