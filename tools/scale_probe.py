@@ -39,6 +39,16 @@ PROBES = [
     "q_ann_ivf_topk",
     "q_window_frames",
     "q_resample_ffill",
+    # round-2 additions over documents/embeddings/events (the tables
+    # the probe scales)
+    "q_dedup_paragraphs",
+    "q_dedup_minhash_incr",
+    "q_semdedup",
+    "q_funnel",
+    "q_retention_cohorts",
+    "q_bm25",
+    "q_chi2_terms",
+    "q_sample_weighted",
 ]
 
 OFF = 1_000_000_000
