@@ -49,6 +49,48 @@ def sessionize(
     return events.withColumn("session_seq", seq.cast("long"))
 
 
+def rolling_time_window(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Trailing time-RANGE window aggregates: for every event, the
+    count / exact cent-sum / max of the same key's events in the
+    preceding ``window_seconds`` (inclusive of the current row) — the
+    rolling-rate / velocity feature of a fraud or abuse pipeline
+    (events-per-hour, amount-per-hour at each event).
+
+    This is the RANGE-frame counterpart of the ROWS frames the fraud
+    rules use (W3-W5): the frame is bounded by a TIME interval, not a
+    row count, so ties and bursts are handled by value, and the frame
+    ordering key is the truncated wall-clock second — computed as
+    timestampdiff from a fixed NTZ anchor, NOT a timestamp→long cast,
+    so the key is identical whatever the session time zone (the
+    correctness driver's session is not tuned by this engine). One
+    shuffle on the entity key; all three aggregates share the single
+    window spec. The sum is integer cents (exact, order-independent —
+    the value column is a float amount)."""
+    sec = F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(sec)
+        .rangeBetween(-window_seconds, 0)
+    )
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    return events.select(
+        *key_cols,
+        F.col(ts_col),
+        F.col(value_col),
+        F.count("*").over(w).alias("n_trailing"),
+        F.sum(cents).over(w).alias("sum_trailing_cents"),
+        F.max(value_col).over(w).alias("max_trailing"),
+    )
+
+
 def resample_ffill(
     events: DataFrame,
     key_cols: list[str],

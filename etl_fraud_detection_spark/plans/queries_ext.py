@@ -1522,6 +1522,32 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_rolling_time_window",
+    oracle="""
+    SELECT user_id, ts, value,
+           COUNT(*) OVER w AS n_trailing,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w
+                AS BIGINT) AS sum_trailing_cents,
+           MAX(value) OVER w AS max_trailing
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour RANGE-frame aggregates per user at every event
+    (rolling event rate / cent-exact amount velocity / running max) —
+    the time-interval-bounded counterpart of the fraud rules' ROWS
+    frames. Frame key = truncated epoch second (Spark's timestamp→long
+    cast, FLOOR(epoch) in the oracle); one shuffle, all three
+    aggregates share the window spec."""
+    from ..operators.temporal import rolling_time_window
+
+    return rolling_time_window(_t(spark, sf_dir, "events"), ["user_id"])
+
+
+@query(
     "q_funnel",
     oracle="""
     WITH w1 AS (

@@ -290,6 +290,15 @@ def test_tpch_q20_semi_join_broadcasts_heavy_set(spark):
     assert "SortMergeJoin" not in p
 
 
+def test_rolling_time_window_single_shuffle(spark):
+    """The trailing RANGE-frame aggregates must share one window spec:
+    a single exchange on the entity key, one Window node."""
+    p = plan_of(q(spark, "q_rolling_time_window"))
+    assert count_nodes(p, "Exchange") == 1
+    assert count_nodes(p, "Window") == 1
+    assert "Join" not in p
+
+
 def test_weighted_sample_is_topk_not_sort(spark):
     """A-ES weighted sampling must execute as TakeOrderedAndProject
     (per-partition top-k), never a global sort."""
