@@ -1657,6 +1657,31 @@ def q_rollup_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cube_grouping",
+    oracle="""
+    SELECT lang, source,
+           CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY CUBE (lang, source)
+    """,
+)
+def q_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets with grouping_id: all four (lang, source)
+    marginals in one pass — the expand still partial-aggregates
+    map-side, so the whole lattice costs one shuffle. grouping_id
+    disambiguates a real NULL group value from a superaggregate row
+    (both engines number the bits identically: leftmost column =
+    highest bit)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.cube("lang", "source").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    ).select("lang", "source", "gid", "n_docs", "sum_chars")
+
+
+@query(
     "q_pivot_counts",
     oracle="""
     SELECT user_id,
