@@ -57,6 +57,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def events_ts_physical(events_path: str) -> str:
+    """``'nanos-long'`` | ``'timestamp'`` — the physical type of
+    ``events.ts`` per the parquet footer.
+
+    The driver's testdata has shipped ``events.ts`` both as
+    TIMESTAMP(NANOS) (which Spark only reads via ``nanosAsLong=true``,
+    i.e. as a bigint of nanoseconds) and as TIMESTAMP(MICROS) (read as
+    a real (n)tz timestamp). Batch reads branch on the *inferred* Spark
+    type (:func:`load_table`); streaming reads must declare a schema up
+    front, so they branch here on the footer instead. ``events_path``
+    may be a single parquet file or a directory of them.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(events_path):
+        parts = sorted(
+            f for f in os.listdir(events_path) if f.endswith(".parquet")
+        )
+        events_path = os.path.join(events_path, parts[0])
+    t = pq.read_schema(events_path).field("ts").type
+    if pa.types.is_timestamp(t) and t.unit != "ns":
+        return "timestamp"
+    return "nanos-long"
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -32,21 +32,52 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)  # ts arrives as nanos-long (see catalog._NANOS_TS_COLS)
+_EVENTS_COLS = "event_id bigint, {ts}, user_id bigint, event_type string, value double, props string"
+
+
+def _events_spec(src: str) -> tuple[str, str]:
+    """(readStream schema, ts-normalizing SQL expr) matched to the
+    physical type of ``events.ts`` in the parquet at ``src`` (file or
+    directory) — the streaming twin of catalog.load_table's
+    type-conditional nanos normalization. The session timezone is
+    pinned to UTC (session.tune), so NTZ→LTZ is lossless and the
+    downstream watermark/window code always sees TimestampType."""
+    from ..catalog import events_ts_physical
+
+    if events_ts_physical(src) == "timestamp":
+        return (
+            _EVENTS_COLS.format(ts="ts timestamp_ntz"),
+            "cast(ts as timestamp)",
+        )
+    # TIMESTAMP(NANOS) file: read as bigint nanos (nanosAsLong), truncate
+    # to micros exactly like DuckDB.
+    return (
+        _EVENTS_COLS.format(ts="ts bigint"),
+        "cast(timestamp_micros(ts div 1000) as timestamp)",
+    )
+
+
+def _scratch_tag(sf_dir: str) -> str:
+    """Scratch-dir key covering (path, mtime, size) of the source
+    events.parquet, so regenerated testdata can never pair with a stale
+    symlink/heartbeat cached from a previous file."""
+    import hashlib
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    return hashlib.md5(key.encode()).hexdigest()[:12]
 
 
 def _stream_dir(sf_dir: str) -> str:
     """Spark's file stream source requires a *directory*; the testdata
-    ships ``events.parquet`` as a single file. Build (once per sf) a
-    scratch dir holding a symlink to it."""
-    import hashlib
+    ships ``events.parquet`` as a single file. Build (once per source
+    file version) a scratch dir holding a symlink to it."""
     import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.path.join(tempfile.gettempdir(), f"spark_events_stream_{tag}")
+    d = os.path.join(
+        tempfile.gettempdir(), f"spark_events_stream_{_scratch_tag(sf_dir)}"
+    )
     link = os.path.join(d, "events.parquet")
     if not os.path.islink(link):
         os.makedirs(d, exist_ok=True)
@@ -75,10 +106,10 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import tune
 
     tune(spark)
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(_stream_dir(sf_dir))
-    return raw.withColumn(
-        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp)")
-    )
+    d = _stream_dir(sf_dir)
+    schema, norm = _events_spec(d)
+    raw = spark.readStream.schema(schema).parquet(d)
+    return raw.withColumn("ts", F.expr(norm))
 
 
 def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,14 +292,14 @@ def _run_ordered_replay(
     from ..session import tune
 
     tune(spark)
+    d = events_dir or _stream_dir_with_heartbeat(sf_dir)
+    schema, norm = _events_spec(d)
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(events_dir or _stream_dir_with_heartbeat(sf_dir))
+        .parquet(d)
     )
-    events = raw.withColumn(
-        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp)")
-    ).withWatermark("ts", delay)
+    events = raw.withColumn("ts", F.expr(norm)).withWatermark("ts", delay)
     fn = _ordered_replay_fn(step, carry_defaults, out_cols, purchase_last)
     flagged = events.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, _BUF_SCHEMA + ", " + carry_schema,
@@ -340,35 +371,40 @@ def _stream_dir_with_heartbeat(sf_dir: str) -> str:
     (maxFilesPerTrigger=1, oldest file first), it advances the event-time
     watermark past every real event so append-mode emits the sessions
     still open at end-of-data — the standard heartbeat idiom for
-    flushing final windows from a bounded replay."""
-    import hashlib
+    flushing final windows from a bounded replay. The heartbeat's
+    ``ts`` is written in the SOURCE file's physical type (matching
+    schema is a file-stream requirement; the source type varies across
+    driver testdata versions — see catalog.events_ts_physical)."""
     import tempfile
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.path.join(tempfile.gettempdir(), f"spark_events_stream_hb_{tag}")
+    src = os.path.join(sf_dir, "events.parquet")
+    d = os.path.join(
+        tempfile.gettempdir(), f"spark_events_stream_hb_{_scratch_tag(sf_dir)}"
+    )
     link = os.path.join(d, "events.parquet")
     if not os.path.islink(link):
         os.makedirs(d, exist_ok=True)
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        os.symlink(src, link)
     hb = os.path.join(d, "heartbeat.parquet")
     if not os.path.exists(hb):
-        t_2100_nanos = 4102444800 * 10**9
-        pq.write_table(
-            pa.table(
-                {
-                    "event_id": pa.array([-1], pa.int64()),
-                    "ts": pa.array([t_2100_nanos], pa.int64()),
-                    "user_id": pa.array([-1], pa.int64()),
-                    "event_type": pa.array(["heartbeat"], pa.string()),
-                    "value": pa.array([0.0], pa.float64()),
-                    "props": pa.array([""], pa.string()),
-                }
-            ),
-            hb,
-        )
+        t_2100_s = 4102444800
+        src_schema = pq.read_schema(src)
+        hb_table = pa.table(
+            {
+                "event_id": pa.array([-1], pa.int64()),
+                "ts": pa.array([t_2100_s * 10**9], pa.int64()).cast(
+                    pa.timestamp("ns")
+                ),
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["heartbeat"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array([""], pa.string()),
+            }
+        ).cast(src_schema)
+        pq.write_table(hb_table, hb)
     return d
 
 
@@ -381,14 +417,14 @@ def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import tune
 
     tune(spark)
+    d = _stream_dir_with_heartbeat(sf_dir)
+    schema, norm = _events_spec(d)
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(_stream_dir_with_heartbeat(sf_dir))
+        .parquet(d)
     )
-    events = raw.withColumn(
-        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp)")
-    )
+    events = raw.withColumn("ts", F.expr(norm))
     agg = (
         events.withWatermark("ts", "0 seconds")
         .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
@@ -570,14 +606,14 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
 
     State stays bounded exactly as in the inner join: buffered rows
     drop once the other side's watermark passes the interval."""
+    d = _stream_dir_with_heartbeat(sf_dir)
+    schema, norm = _events_spec(d)
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(_stream_dir_with_heartbeat(sf_dir))
+        .parquet(d)
     )
-    events = raw.withColumn(
-        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp)")
-    )
+    events = raw.withColumn("ts", F.expr(norm))
     clicks = (
         events.where(F.col("event_type").isin("click", "heartbeat"))
         .select(
