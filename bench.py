@@ -1,8 +1,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: median_sec}, "spread": {name: max-min}, "runs": N,
-"sf": ...}.
+COMPACT JSON line on stdout: {"metric": ..., "value": total_sec,
+"unit": "sec", "runs": N, "n_queries": Q, "sf": ...}. Per-query medians
+and spread go to BENCH_DETAIL.json next to this file — the driver
+captures only the tail of stdout, and a 128-query inline dict overflows
+it (round-2 BENCH parsed as null for exactly that reason).
 
 Each query is timed as plan-build + full execution (count via a
 write-nothing action) — results are not collected to the driver, matching
@@ -86,16 +88,31 @@ def main() -> None:
         for name in QUERIES
     }
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "queries": medians,
+                "spread": spread,
+                "runs": N_RUNS,
+                "sf": sf_val,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
                 "value": round(sum(medians.values()), 4),
                 "unit": "sec",
-                "queries": medians,
-                "spread": spread,
                 "runs": N_RUNS,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(medians),
+                "sf": sf_val,
             }
         )
     )

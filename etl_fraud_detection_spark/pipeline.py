@@ -10,10 +10,15 @@ Reproduces the reference lifecycle (etl.py:132-284, main.py:14-18):
                   detection → same SCD path
     mart_update : fraud_report() increment appended to the report
 
-Storage is a three-layer parquet warehouse (stg/dwh/rep). SCD merges
-read and logically overwrite the same table; parquet can't do that
-in-place, so Warehouse.overwrite materializes to a temp dir and swaps —
-the "careful write-read-same-path handling" SURVEY §4.2 calls out.
+Storage is a three-layer parquet warehouse (stg/dwh/rep) with versioned
+tables. SCD merges read and logically overwrite the same table; parquet
+can't do that in-place, so Warehouse.overwrite materializes a new
+immutable version dir and flips a pointer file — the "careful
+write-read-same-path handling" SURVEY §4.2 calls out, with no window
+where the table is absent. A per-run write-ahead journal plus a commit
+manifest (Warehouse.begin_run/commit_run/recover) gives the reference's
+multi-table commit semantics (database.py:34-40): a crash anywhere in
+run_daily rolls back to the last committed run boundary.
 
 Deliberate deviations from the reference (SURVEY §7 quirks list):
 - an already-loaded file (watermark guard) skips the whole batch; the
@@ -45,46 +50,345 @@ FILE_TEMPLATES = ["transactions_*.txt", "passport_blacklist_*.xlsx", "terminals_
                   "transactions_*.csv", "passport_blacklist_*.csv", "terminals_*.csv"]
 
 
+def _atomic_write(path: str, data: str) -> None:
+    """Durable atomic small-file write: tmp + fsync + rename + dir fsync."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(data)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+    try:
+        dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+        os.fsync(dfd)
+        os.close(dfd)
+    except OSError:  # pragma: no cover - platform without dir fsync
+        pass
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Hardlink every data file under ``src`` into ``dst`` (metadata-only
+    copy — parquet files are immutable once written, so versions can
+    share them). Marker/checksum files (``_SUCCESS``, ``.*.crc``) are
+    skipped: Spark ignores them on read, and a later writer would
+    truncate the shared inode in place."""
+    for root, _dirs, fs in os.walk(src):
+        rel = os.path.relpath(root, src)
+        tgt = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(tgt, exist_ok=True)
+        for f in fs:
+            if f.startswith(("_", ".")):
+                continue
+            os.link(os.path.join(root, f), os.path.join(tgt, f))
+
+
 class Warehouse:
-    """Three-layer parquet warehouse with swap-on-overwrite."""
+    """Three-layer parquet warehouse with VERSIONED tables.
+
+    Each table directory holds immutable version subdirs (``v000001``,
+    ``v000002``, ...) plus a ``_CURRENT`` pointer file naming the live
+    one. Writers materialize a complete new version, then flip the
+    pointer with an atomic rename — there is no instant at which the
+    table doesn't exist (the previous rmtree→rename swap had exactly
+    that crash window), and a reader holding the old pointer keeps a
+    consistent snapshot. Appends hardlink the current version's files
+    into the new version (metadata-only) and add the increment's files
+    beside them. This is the local-filesystem expression of the
+    manifest-of-immutable-files design Delta/Iceberg use on object
+    storage; on a real cluster you'd swap this class for a Delta/Iceberg
+    table and keep every call site unchanged.
+
+    Multi-table atomicity (the reference's single ``conn.commit`` per
+    run spanning all tables — database.py:34-40, etl.py:127-130) comes
+    from a write-ahead journal: :meth:`begin_run` records each table's
+    pre-run version plus the small meta files in
+    ``meta/commits/<run_id>.inprogress.json``; :meth:`commit_run`
+    snapshots the committed versions to ``meta/commits/<run_id>.json``
+    and removes the journal; :meth:`recover` rolls every pointer (and
+    the meta files) back to the journal's pre-run state — so a crash
+    anywhere inside ``run_daily`` restores the exact last-committed run
+    boundary instead of leaving tables at mixed run states.
+    """
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self._journal: dict | None = None
 
     def path(self, layer: str, table: str) -> str:
         return os.path.join(self.root, layer, table)
 
+    # -- version plumbing ---------------------------------------------------
+
+    @staticmethod
+    def _vdir(p: str, v: int) -> str:
+        return os.path.join(p, f"v{v:06d}")
+
+    @staticmethod
+    def _is_version_entry(name: str) -> bool:
+        import re
+
+        return re.fullmatch(r"v\d{6}(\.__tmp__)?", name) is not None
+
+    def _current(self, p: str) -> int | None:
+        """Live version of the table at ``p`` (migrating a pre-version
+        flat layout to v1 lazily), or None if the table doesn't exist.
+        Version subdirs are excluded from the legacy-layout probe —
+        only files sitting flat in the table dir count."""
+        cur = os.path.join(p, "_CURRENT")
+        if os.path.exists(cur):
+            with open(cur) as fh:
+                return int(fh.read().strip())
+        if not os.path.isdir(p):
+            return None
+        has_flat = False
+        for root, dirs, fs in os.walk(p):
+            if root == p:
+                dirs[:] = [d for d in dirs if not self._is_version_entry(d)]
+            if any(f.endswith(".parquet") for f in fs):
+                has_flat = True
+                break
+        if not has_flat:
+            return None
+        # legacy flat table: adopt its files as v1 via hardlinks
+        v1 = self._vdir(p, 1)
+        tmp = v1 + ".__tmp__"
+        for stale in (tmp, v1):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+        os.makedirs(tmp)
+        for root, dirs, fs in os.walk(p):
+            if root == p:
+                dirs[:] = [d for d in dirs if not self._is_version_entry(d)]
+            rel = os.path.relpath(root, p)
+            tgt = tmp if rel == "." else os.path.join(tmp, rel)
+            os.makedirs(tgt, exist_ok=True)
+            for f in fs:
+                if f.startswith(("_", ".")):
+                    continue
+                os.link(os.path.join(root, f), os.path.join(tgt, f))
+        os.replace(tmp, v1)
+        _atomic_write(cur, "1")
+        return 1
+
+    def _set_current(self, layer: str, table: str, v: int, pre: int) -> None:
+        """Flip the pointer to ``v``; ``pre`` is the version that was
+        live before the caller staged ``v`` (0 = table didn't exist) —
+        passed explicitly because by flip time the new version dir
+        already exists and can't be re-derived."""
+        p = self.path(layer, table)
+        key = f"{layer}/{table}"
+        if self._journal is not None and key not in self._journal["pre"]:
+            # first touch inside this run: journal the rollback point
+            self._journal["pre"][key] = pre
+            self._flush_journal()
+        _atomic_write(os.path.join(p, "_CURRENT"), str(v))
+        # keep only the live version plus (inside a run) the journaled
+        # rollback version — everything else is unreachable
+        keep = {v}
+        if self._journal is not None:
+            keep.add(self._journal["pre"].get(key, 0))
+        self._prune_versions(p, keep)
+
     def read(self, layer: str, table: str) -> DataFrame | None:
         p = self.path(layer, table)
-        if not os.path.exists(p):
+        v = self._current(p)
+        if v is None:
             return None
-        return self.spark.read.parquet(p)
+        return self.spark.read.parquet(self._vdir(p, v))
+
+    # -- writers ------------------------------------------------------------
 
     def overwrite(self, layer: str, table: str, df: DataFrame, partition_by: list[str] | None = None) -> int:
-        """Materialize to <path>.tmp then swap — safe when df reads the
-        table being replaced (the SCD recompute pattern)."""
+        """Materialize a complete new version then flip the pointer —
+        safe when df reads the version being replaced (the SCD
+        recompute pattern): the old version's files are untouched."""
         p = self.path(layer, table)
-        tmp = p + ".__tmp__"
+        cur = self._current(p) or 0
+        v = cur + 1
+        vdir = self._vdir(p, v)
+        tmp = vdir + ".__tmp__"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(tmp)
         n = self.spark.read.parquet(tmp).count()
-        if os.path.exists(p):
-            shutil.rmtree(p)
-        os.replace(tmp, p)
-        # Invalidate cached plans/file listings over the swapped path:
-        # the SCD merge persists intermediates, and Spark's CacheManager
-        # would otherwise match a later run's structurally-equal plan to
-        # the now-stale cached data (FAILED_READ_FILE on old part files).
+        os.replace(tmp, vdir)
+        self._set_current(layer, table, v, pre=cur)
+        # Invalidate cached plans/file listings over the table: the SCD
+        # merge persists intermediates, and Spark's CacheManager would
+        # otherwise match a later run's structurally-equal plan to the
+        # now-stale cached data (FAILED_READ_FILE on old part files).
+        self.spark.catalog.refreshByPath(vdir)
         self.spark.catalog.refreshByPath(p)
         return n
 
     def append(self, layer: str, table: str, df: DataFrame) -> int:
+        """Append as a new version: hardlink the current files, write
+        the increment beside them (Spark part filenames are UUIDs — no
+        collision), flip the pointer."""
+        p = self.path(layer, table)
+        cur = self._current(p)
+        v = (cur or 0) + 1
+        vdir = self._vdir(p, v)
+        tmp = vdir + ".__tmp__"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        if cur is not None:
+            _link_tree(self._vdir(p, cur), tmp)
         n = df.count()
-        df.write.mode("append").parquet(self.path(layer, table))
+        df.write.mode("append").parquet(tmp)
+        os.replace(tmp, vdir)
+        self._set_current(layer, table, v, pre=cur or 0)
+        self.spark.catalog.refreshByPath(vdir)
+        self.spark.catalog.refreshByPath(p)
         return n
+
+# -- multi-table run transaction ----------------------------------------
+
+    _META_FILES = ("meta/watermarks.json",)
+
+    def _commits_dir(self) -> str:
+        return os.path.join(self.root, "meta", "commits")
+
+    def _flush_journal(self) -> None:
+        import json
+
+        j = self._journal
+        _atomic_write(
+            os.path.join(self._commits_dir(), f"{j['run_id']}.inprogress.json"),
+            json.dumps(j, indent=1, sort_keys=True),
+        )
+
+    def _tables(self):
+        for layer in ("stg", "dwh", "rep"):
+            d = os.path.join(self.root, layer)
+            if os.path.isdir(d):
+                for t in sorted(os.listdir(d)):
+                    if os.path.isdir(os.path.join(d, t)):
+                        yield layer, t
+
+    def begin_run(self, run_id: int) -> None:
+        """Open the run's write-ahead journal: per-table rollback
+        versions are recorded lazily on first touch (_set_current);
+        the small driver-side meta files (watermarks) and the run-log
+        file set are snapshotted up front so recover() can restore
+        them byte-exactly."""
+        files: dict[str, str | None] = {}
+        for rel in self._META_FILES:
+            fp = os.path.join(self.root, rel)
+            files[rel] = open(fp).read() if os.path.exists(fp) else None
+        log_dir = os.path.join(self.root, "meta", "run_log")
+        log_files = sorted(
+            os.path.relpath(os.path.join(r, f), log_dir)
+            for r, _d, fs in os.walk(log_dir)
+            for f in fs
+        ) if os.path.isdir(log_dir) else []
+        self._journal = {
+            "run_id": run_id,
+            "pre": {},
+            "files": files,
+            "run_log_files": log_files,
+        }
+        self._flush_journal()
+
+    def commit_run(self, run_id: int) -> None:
+        """The multi-table commit point (reference database.py:34-40:
+        one conn.commit spans every table of the run): snapshot all
+        live versions into meta/commits/<run_id>.json, then drop the
+        journal. Until this rename lands, recover() rolls the whole
+        run back; after it, the run is durable as a unit. Old versions
+        superseded in this run are pruned afterwards (data files they
+        share with the live version survive via hardlinks)."""
+        import json
+
+        j = self._journal
+        assert j is not None and j["run_id"] == run_id
+        manifest = {
+            "run_id": run_id,
+            "tables": {
+                f"{layer}/{t}": self._current(self.path(layer, t))
+                for layer, t in self._tables()
+            },
+        }
+        _atomic_write(
+            os.path.join(self._commits_dir(), f"{run_id}.json"),
+            json.dumps(manifest, indent=1, sort_keys=True),
+        )
+        ip = os.path.join(self._commits_dir(), f"{run_id}.inprogress.json")
+        if os.path.exists(ip):
+            os.remove(ip)
+        self._journal = None
+        for key in manifest["tables"]:
+            layer, t = key.split("/", 1)
+            self._prune_versions(self.path(layer, t))
+
+    def _prune_versions(self, p: str, keep: set[int] | None = None) -> None:
+        cur = self._current(p)
+        if cur is None:
+            return
+        keep_names = {f"v{k:06d}" for k in (keep or set()) | {cur}}
+        for name in os.listdir(p):
+            if (
+                name.startswith("v")
+                and not name.endswith(".__tmp__")
+                and name not in keep_names
+            ):
+                full = os.path.join(p, name)
+                if os.path.isdir(full):
+                    shutil.rmtree(full, ignore_errors=True)
+
+    def recover(self) -> int | None:
+        """Roll back a crashed run to the last committed boundary.
+        Called at run_daily start; returns the rolled-back run_id or
+        None if the previous run committed cleanly. Every pointer the
+        crashed run flipped is flipped back (the pre-run version dirs
+        are immutable and still present), meta files are restored
+        byte-exactly, and run-log files the crashed run appended are
+        removed — the warehouse is exactly as of the last commit."""
+        import glob as _glob
+        import json
+
+        cj = self._commits_dir()
+        inprog = sorted(_glob.glob(os.path.join(cj, "*.inprogress.json")))
+        if not inprog:
+            return None
+        with open(inprog[-1]) as fh:
+            j = json.load(fh)
+        for key, pre in j["pre"].items():
+            layer, t = key.split("/", 1)
+            p = self.path(layer, t)
+            if pre == 0:
+                # table born in the crashed run: remove it entirely
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+            else:
+                _atomic_write(os.path.join(p, "_CURRENT"), str(pre))
+                self._prune_versions(p)
+            self.spark.catalog.refreshByPath(p)
+        for rel, content in j["files"].items():
+            fp = os.path.join(self.root, rel)
+            if content is None:
+                if os.path.exists(fp):
+                    os.remove(fp)
+            else:
+                _atomic_write(fp, content)
+        log_dir = os.path.join(self.root, "meta", "run_log")
+        if os.path.isdir(log_dir):
+            keep = set(j.get("run_log_files", []))
+            for r, _d, fs in os.walk(log_dir):
+                for f in fs:
+                    full = os.path.join(r, f)
+                    if os.path.relpath(full, log_dir) not in keep:
+                        os.remove(full)
+            self.spark.catalog.refreshByPath(log_dir)
+        for ip in inprog:
+            os.remove(ip)
+        return j["run_id"]
 
     def compact(self, layer: str, table: str, target_mb: int = 128) -> int:
         """Small-file compaction: rewrite the table into
@@ -96,18 +400,20 @@ class Warehouse:
         import math
 
         p = self.path(layer, table)
+        vdir = self._vdir(p, self._current(p))
         total = sum(
             os.path.getsize(os.path.join(root, f))
-            for root, _, fs in os.walk(p)
+            for root, _, fs in os.walk(vdir)
             for f in fs
             if f.endswith(".parquet")
         )
         n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
-        df = self.spark.read.parquet(p).coalesce(n_files)
+        df = self.read(layer, table).coalesce(n_files)
         self.overwrite(layer, table, df)
+        new_vdir = self._vdir(p, self._current(p))
         return sum(
             1
-            for root, _, fs in os.walk(p)
+            for root, _, fs in os.walk(new_vdir)
             for f in fs
             if f.endswith(".parquet")
         )
@@ -288,9 +594,13 @@ def run_daily(spark: SparkSession, data_dir: str, warehouse_dir: str,
     (at least ``url`` and ``table``) for sources read over a live JDBC
     connection; ``db_tables`` remains the DataFrame-snapshot form."""
     wh = Warehouse(spark, warehouse_dir)
+    # Roll back any run that crashed mid-swap: the warehouse returns to
+    # the last committed multi-table boundary before new work starts.
+    wh.recover()
     wm = WatermarkStore(os.path.join(warehouse_dir, "meta", "watermarks.json"))
     log = RunLog(spark, os.path.join(warehouse_dir, "meta", "run_log"))
     run_id = log.next_run_id()
+    wh.begin_run(run_id)
     for f in fsrc.discover(data_dir, FILE_TEMPLATES):
         ingest_file(spark, wh, wm, log, f, run_id, now=now, today=today, do_archive=do_archive)
     for name, src in (db_tables or {}).items():
@@ -298,4 +608,5 @@ def run_daily(spark: SparkSession, data_dir: str, warehouse_dir: str,
     for name, kw in (jdbc_tables or {}).items():
         ingest_database(spark, wh, wm, log, name, run_id=run_id, now=now, today=today, **kw)
     mart_update(spark, wh, log, run_id, now=now)
+    wh.commit_run(run_id)
     return run_id

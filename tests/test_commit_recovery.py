@@ -1,0 +1,165 @@
+"""Multi-table commit manifest + crash recovery (reference
+database.py:34-40: ONE conn.commit spans every table of a run, so a
+crashed run leaves no partial state).
+
+The chaos test kills run_daily between two DWH table swaps — exactly
+the mixed-run-state window the per-table swap design had — and
+verifies Warehouse.recover() restores every table, the watermark file,
+and the run log to the last committed run boundary, after which the
+day re-runs cleanly.
+"""
+
+import json
+import os
+from datetime import datetime
+
+import pytest
+
+from etl_fraud_detection_spark import pipeline
+from etl_fraud_detection_spark.pipeline import Warehouse
+
+TX_HEADER = "transaction_id;transaction_date;amount;card_num;oper_type;oper_result;terminal"
+
+
+def _write(path, lines):
+    with open(path, "w", encoding="utf-8-sig") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+def _clients(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        schema="client_id string, last_name string, first_name string, "
+        "patronymic string, date_of_birth timestamp_ntz, passport_num string, "
+        "passport_valid_to timestamp_ntz, phone string, "
+        "create_dt timestamp_ntz, update_dt timestamp_ntz",
+    )
+
+
+def _day_files(data, day):
+    _write(data / f"transactions_0{day}012025.csv",
+           [TX_HEADER,
+            f"T{day};2025-01-0{day} 10:00:00;100,50;C1;PAYMENT;SUCCESS;TM1"])
+    _write(data / f"terminals_0{day}012025.csv",
+           ["terminal_id;terminal_type;terminal_city;terminal_address",
+            f"TM1;ATM;Moscow;Addr{day}"])
+    _write(data / f"passport_blacklist_0{day}012025.csv",
+           ["date;passport", f"2024-12-0{day};P9"])
+
+
+def _snapshot(spark, wh_dir):
+    """Full logical warehouse state: every table's sorted rows + the
+    watermark file + committed run ids."""
+    wh = Warehouse(spark, wh_dir)
+    state = {}
+    for layer, table in wh._tables():
+        df = wh.read(layer, table)
+        state[f"{layer}/{table}"] = sorted(map(str, df.collect()))
+    wm_path = os.path.join(wh_dir, "meta", "watermarks.json")
+    state["__watermarks__"] = (
+        open(wm_path).read() if os.path.exists(wm_path) else None
+    )
+    commits = os.path.join(wh_dir, "meta", "commits")
+    state["__commits__"] = sorted(
+        f for f in os.listdir(commits) if not f.endswith(".inprogress.json")
+    ) if os.path.isdir(commits) else []
+    return state
+
+
+def _run_day(spark, data, wh_dir, day, clients):
+    d0 = datetime(2024, 12, 31)
+    accounts = spark.createDataFrame(
+        [("A1", datetime(2026, 1, 1), "CL1", d0, None)],
+        schema="account string, valid_to timestamp_ntz, client string, "
+        "create_dt timestamp_ntz, update_dt timestamp_ntz",
+    )
+    cards = spark.createDataFrame(
+        [("C1", "A1", d0, None)],
+        schema="card_num string, account string, create_dt timestamp_ntz, "
+        "update_dt timestamp_ntz",
+    )
+    from pyspark.sql import functions as F
+
+    return pipeline.run_daily(
+        spark, str(data), wh_dir,
+        db_tables={"clients": clients, "accounts": accounts, "cards": cards},
+        now=F.expr(f"TIMESTAMP_NTZ '2025-01-0{day} 03:30:00'"),
+        today=F.expr(f"TIMESTAMP_NTZ '2025-01-0{day} 00:00:00'"),
+    )
+
+
+def test_crash_between_table_swaps_recovers_to_last_commit(
+    spark, tmp_path, monkeypatch
+):
+    data = tmp_path / "in"
+    data.mkdir()
+    wh_dir = str(tmp_path / "wh")
+    dob, valid, d0 = datetime(1990, 1, 1), datetime(2026, 1, 1), datetime(2024, 12, 31)
+    clients = _clients(
+        spark, [("CL1", "Petrov", "Ivan", None, dob, "P1", valid, "+7001", d0, None)]
+    )
+
+    # ---- day 1 commits cleanly ----
+    _day_files(data, 1)
+    run1 = _run_day(spark, data, wh_dir, 1, clients)
+    committed = _snapshot(spark, wh_dir)
+    assert any(f"{run1}.json" == c for c in committed["__commits__"])
+
+    # ---- day 2 crashes AFTER the file-fed tables (fact included)
+    # swapped but BETWEEN the db-fed dim swaps: the classic
+    # mixed-run-state window ----
+    for f in list(data.iterdir()):
+        f.unlink()
+    _day_files(data, 2)
+    real_overwrite = Warehouse.overwrite
+
+    def crashing_overwrite(self, layer, table, df, partition_by=None):
+        if layer == "dwh" and table == "dim_accounts_hist":
+            raise RuntimeError("chaos: killed between table swaps")
+        return real_overwrite(self, layer, table, df, partition_by)
+
+    monkeypatch.setattr(Warehouse, "overwrite", crashing_overwrite)
+    with pytest.raises(RuntimeError, match="chaos"):
+        _run_day(spark, data, wh_dir, 2, clients)
+    monkeypatch.setattr(Warehouse, "overwrite", real_overwrite)
+
+    # the crash really did leave mixed state: fact has day-2 rows...
+    wh = Warehouse(spark, wh_dir)
+    assert wh.read("dwh", "fact_transaction").count() == 2
+    # ...and the journal marks the run uncommitted
+    commits_dir = os.path.join(wh_dir, "meta", "commits")
+    assert any(f.endswith(".inprogress.json") for f in os.listdir(commits_dir))
+
+    # ---- recovery: back to the day-1 boundary, byte-for-byte ----
+    rolled_back = Warehouse(spark, wh_dir).recover()
+    assert rolled_back == run1 + 1
+    assert _snapshot(spark, wh_dir) == committed
+
+    # ---- the day then re-runs cleanly (run_daily recovers by itself;
+    # watermarks were rolled back so day 2 is NOT skip-guarded) ----
+    run2 = _run_day(spark, data, wh_dir, 2, clients)
+    wh = Warehouse(spark, wh_dir)
+    assert wh.read("dwh", "fact_transaction").count() == 2
+    assert wh.read("dwh", "dim_terminals_hist").where(
+        "terminal_address = 'Addr2'"
+    ).count() == 1
+    manifest = json.load(
+        open(os.path.join(commits_dir, f"{run2}.json"))
+    )
+    assert "dwh/fact_transaction" in manifest["tables"]
+    assert not any(
+        f.endswith(".inprogress.json") for f in os.listdir(commits_dir)
+    )
+
+
+def test_append_versions_share_files_and_rollback(spark, tmp_path):
+    """Appends create a new version by hardlinking the old files; a
+    journaled run's append rolls back without touching the committed
+    version's data."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.append("rep", "r", spark.range(10))
+    wh.begin_run(99)
+    wh.append("rep", "r", spark.range(10, 15))
+    assert wh.read("rep", "r").count() == 15
+    assert wh.recover() == 99
+    assert wh.read("rep", "r").count() == 10

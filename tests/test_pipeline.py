@@ -178,11 +178,11 @@ def test_compact_small_files(spark, tmp_path):
     wh = Warehouse(spark, str(tmp_path / "wh"))
     for i in range(6):
         wh.append("stg", "items", spark.range(i * 10, i * 10 + 10))
-    before = spark.read.parquet(wh.path("stg", "items"))
+    before = wh.read("stg", "items")
     rows_before = sorted(r.id for r in before.collect())
     assert before.rdd.getNumPartitions() > 1
 
     n_files = wh.compact("stg", "items", target_mb=128)
-    after = spark.read.parquet(wh.path("stg", "items"))
+    after = wh.read("stg", "items")
     assert n_files == 1  # tiny table -> one block-sized file
     assert sorted(r.id for r in after.collect()) == rows_before
