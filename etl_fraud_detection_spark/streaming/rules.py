@@ -214,15 +214,45 @@ _BUF_SCHEMA = (
 )
 
 
-def _ordered_replay_fn(step, carry_defaults, out_cols, purchase_last=False):
+def _ordered_replay_fn(step, carry_defaults, out_cols, purchase_last=False,
+                       complete=False):
     """Build an applyInPandasWithState function that feeds ``step``
     (user_id, carry, row) -> (carry, hit|None) the key's events in
-    event-time order, releasing only watermark-passed events."""
+    event-time order, releasing only watermark-passed events.
+
+    ``complete=True`` is the bounded-replay fast path: the caller built
+    the source dir itself (ONE complete events file + the heartbeat),
+    so the first micro-batch provably holds every event of the key —
+    sort and run the step logic immediately instead of round-tripping
+    the whole table through the state store. Arbitrary multi-file dirs
+    (live streams, the shuffled-replay tests) keep the strict
+    watermark-ordered release."""
+
+    def _sorted(bdf: pd.DataFrame) -> pd.DataFrame:
+        if purchase_last:  # ties: clicks apply before purchases (>= asof)
+            return bdf.assign(_p=bdf["event_type"].eq("purchase")).sort_values(
+                ["ts", "_p", "event_id"]
+            )
+        return bdf.sort_values(["ts", "event_id"])
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if complete:
+            carry = list(carry_defaults)
+            chunks = [pdf for pdf in pdfs if len(pdf)]
+            if not chunks:
+                return
+            bdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+            hits = []
+            for r in _sorted(bdf).itertuples(index=False):
+                carry, hit = step(user_id, carry, r)
+                if hit is not None:
+                    hits.append(hit)
+            if hits:
+                yield pd.DataFrame(hits, columns=out_cols)
+            return
         if state.exists:
             st = state.get
             buf = [list(x) for x in st[:4]]
@@ -231,37 +261,42 @@ def _ordered_replay_fn(step, carry_defaults, out_cols, purchase_last=False):
             buf = [[], [], [], []]
             carry = list(carry_defaults)
         for pdf in pdfs:
-            buf[0] += list(pdf["ts"])
-            buf[1] += list(pdf["event_id"])
-            buf[2] += list(pdf["event_type"])
-            buf[3] += list(pdf["value"])
-        bdf = pd.DataFrame(
-            {"ts": buf[0], "event_id": buf[1], "event_type": buf[2], "value": buf[3]}
-        )
-        if purchase_last:  # ties: clicks apply before purchases (>= asof)
-            bdf = bdf.assign(_p=bdf["event_type"].eq("purchase")).sort_values(
-                ["ts", "_p", "event_id"]
-            )
-        else:
-            bdf = bdf.sort_values(["ts", "event_id"])
+            if len(pdf):
+                buf[0] += pdf["ts"].tolist()
+                buf[1] += pdf["event_id"].tolist()
+                buf[2] += pdf["event_type"].tolist()
+                buf[3] += pdf["value"].tolist()
         # Same release rule on data batches and timeout wakeups: only
         # events the watermark has passed (ts < wm; ties at the wm could
         # still gain siblings). Keys left with a buffer re-arm the
         # timeout below, so every watermark advance flushes eventually.
         wm_ms = state.getCurrentWatermarkMs()
-        if wm_ms > 0:
-            mask = bdf["ts"] < pd.Timestamp(wm_ms, unit="ms")
-            rel, pend = bdf[mask], bdf[~mask]
-        else:
-            rel, pend = bdf.iloc[0:0], bdf
+        wm = pd.Timestamp(wm_ms, unit="ms") if wm_ms > 0 else None
+        if wm is None or not buf[0] or min(buf[0]) >= wm:
+            # Nothing releasable (the common case for the buffering
+            # batch, where the watermark still trails every event):
+            # store the raw buffers — no DataFrame build, no sort.
+            state.update((*buf, *carry))
+            if buf[0]:
+                state.setTimeoutTimestamp(wm_ms + 1)
+            return
+        bdf = pd.DataFrame(
+            {"ts": buf[0], "event_id": buf[1], "event_type": buf[2], "value": buf[3]}
+        )
+        mask = bdf["ts"] < wm
+        rel, pend = bdf[mask], bdf[~mask]
+        # Only the released slice needs event-time order — the pending
+        # rows all sit at/after the watermark and will be sorted when
+        # their own release comes.
+        rel = _sorted(rel)
         hits = []
         for r in rel.itertuples(index=False):
             carry, hit = step(user_id, carry, r)
             if hit is not None:
                 hits.append(hit)
         state.update((
-            list(pend["ts"]), list(pend["event_id"]),
-            list(pend["event_type"]), list(pend["value"]), *carry,
+            pend["ts"].tolist(), pend["event_id"].tolist(),
+            pend["event_type"].tolist(), pend["value"].tolist(), *carry,
         ))
         if len(pend):
             # flush when the watermark moves past the buffered events
@@ -294,13 +329,21 @@ def _run_ordered_replay(
     tune(spark)
     d = events_dir or _stream_dir_with_heartbeat(sf_dir)
     schema, norm = _events_spec(d)
-    raw = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d)
-    )
+    reader = spark.readStream.schema(schema)
+    if events_dir is not None:
+        # Tests replay shuffled copies one file per micro-batch to
+        # exercise cross-batch disorder. The default bounded replay
+        # (events + heartbeat) instead ingests in ONE batch: every
+        # event buffers (watermark still 0), then the single timeout
+        # batch releases everything — one state round trip instead of
+        # one per file.
+        reader = reader.option("maxFilesPerTrigger", 1)
+    raw = reader.parquet(d)
     events = raw.withColumn("ts", F.expr(norm)).withWatermark("ts", delay)
-    fn = _ordered_replay_fn(step, carry_defaults, out_cols, purchase_last)
+    fn = _ordered_replay_fn(
+        step, carry_defaults, out_cols, purchase_last,
+        complete=events_dir is None,
+    )
     flagged = events.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, _BUF_SCHEMA + ", " + carry_schema,
         "append", GroupStateTimeout.EventTimeTimeout,
