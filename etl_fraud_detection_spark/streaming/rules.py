@@ -395,7 +395,10 @@ def rule3_city_hop_stream(
     )
 
 
-def _drain_append(spark: SparkSession, flagged: DataFrame, name: str) -> DataFrame:
+def _drain_append(
+    spark: SparkSession, flagged: DataFrame, name: str,
+    progress_out: list | None = None,
+) -> DataFrame:
     with _few_state_partitions(spark):
         q = (
             flagged.writeStream.format("memory")
@@ -405,6 +408,8 @@ def _drain_append(spark: SparkSession, flagged: DataFrame, name: str) -> DataFra
             .start()
         )
         q.awaitTermination()
+        if progress_out is not None:
+            progress_out.extend(q.recentProgress)
     return spark.table(name)
 
 
@@ -580,7 +585,10 @@ def rule1_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_append(spark, out, "stream_fraud1")
 
 
-def stream_stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_stream_click_purchase_join(
+    spark: SparkSession, sf_dir: str,
+    events_dir: str | None = None, progress_out: list | None = None,
+) -> DataFrame:
     """Stream-stream interval join: every purchase joined to the same
     user's clicks in the preceding hour (inclusive), both sides
     watermarked — Spark's built-in symmetric-hash stream-stream join.
@@ -591,8 +599,26 @@ def stream_stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataF
     side's watermark passes the range, so state is O(events per hour),
     not O(stream history) — hash-partitioned by user_id across
     executors. Inner-join matches emit immediately per micro-batch, so
-    a bounded replay needs no heartbeat flush."""
-    events = _read_events_stream(spark, sf_dir)
+    a bounded replay needs no heartbeat flush.
+
+    ``events_dir`` overrides the source with a multi-file dir replayed
+    one file per micro-batch, and ``progress_out`` collects the
+    per-batch StreamingQueryProgress — tests/test_stream_state.py uses
+    both to assert the state REALLY is watermark-bounded (rows evicted
+    as the watermark advances, peak state << stream length)."""
+    if events_dir is not None:
+        from ..session import tune
+
+        tune(spark)
+        schema, norm = _events_spec(events_dir)
+        events = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir)
+            .withColumn("ts", F.expr(norm))
+        )
+    else:
+        events = _read_events_stream(spark, sf_dir)
     clicks = (
         events.where(F.col("event_type") == "click")
         .select(
@@ -619,7 +645,7 @@ def stream_stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataF
         & (F.col("click_ts") <= F.col("purchase_ts")),
         "inner",
     )
-    out = _drain_append(spark, joined, "stream_join")
+    out = _drain_append(spark, joined, "stream_join", progress_out=progress_out)
     return out.select(
         "purchase_id", "user_id",
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
