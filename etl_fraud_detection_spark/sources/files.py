@@ -141,8 +141,11 @@ def read_xlsx(spark: SparkSession, path: str, **_kw) -> DataFrame:
     inline strings, sparse cells, first sheet). Header row = row 1, all
     values surfaced as strings (exactly like the CSV scan — casts are
     the caller's schema contract). Driver-side parse is the right
-    trade-off: these are small daily dim lists; the big distributed
-    scans are parquet/CSV."""
+    trade-off: these are small daily dim lists (matching the
+    reference's pandas.read_excel); the big distributed scans are
+    parquet/CSV. Executor-scale XLSX is deliberately out of scope —
+    the zip container isn't splittable, so a huge workbook should be
+    exported to CSV/parquet upstream, not scaled here."""
     import xml.etree.ElementTree as ET
     import zipfile
 

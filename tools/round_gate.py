@@ -1,0 +1,73 @@
+"""Round-exit gate: run the FULL 128-query oracle sweep plus the whole
+pytest suite and append one summary line to PROGRESS.jsonl.
+
+The driver's per-round CORRECTNESS file samples ~50 of the catalog's
+queries, so a green driver record can hide red queries (round 2's
+streaming family failed for two rounds without the sample ever touching
+it). This gate is the local, exhaustive complement: nothing ships
+unless every catalog query passes the DuckDB oracle and every test
+passes.
+
+Usage:  python tools/round_gate.py [--sf /root/testdata/sf0.01]
+Exit code 0 only if both gates are fully green.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    t0 = time.time()
+    oracle = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "check_oracle.py"),
+         "--sf", args.sf],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    m = re.search(
+        r"(\d+) pass, (\d+) fail, (\d+) skip", oracle.stdout + oracle.stderr
+    )
+    o_pass, o_fail, o_skip = (int(x) for x in m.groups()) if m else (0, -1, 0)
+    print(f"oracle: {o_pass} pass, {o_fail} fail, {o_skip} rows-only")
+
+    pytest = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "-q"],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    tail = (pytest.stdout + pytest.stderr).strip().splitlines()[-1] if pytest.stdout else ""
+    t_pass = int(m2.group(1)) if (m2 := re.search(r"(\d+) passed", tail)) else 0
+    t_fail = int(m3.group(1)) if (m3 := re.search(r"(\d+) failed", tail)) else 0
+    print(f"pytest: {tail}")
+
+    record = {
+        "ts": time.time(),
+        "gate": "round_exit",
+        "sf": args.sf,
+        "oracle_pass": o_pass,
+        "oracle_fail": o_fail,
+        "oracle_rows_only": o_skip,
+        "pytest_passed": t_pass,
+        "pytest_failed": t_fail,
+        "gate_wall_s": round(time.time() - t0, 1),
+    }
+    with open(os.path.join(REPO, "PROGRESS.jsonl"), "a") as fh:
+        fh.write(json.dumps(record) + "\n")
+    print(json.dumps(record))
+    ok = o_fail == 0 and t_fail == 0 and pytest.returncode == 0
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
