@@ -776,7 +776,10 @@ def q_multimodal_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (30, "mjpeg", _MJPEG_W, _MJPEG_H, _mjpeg_payload()),
         (31, "mjpeg", 0, 0, b"\xff\xd8garbage\xff\xd9"),
     ]
-    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA).coalesce(1)
+    # repartition, not coalesce: a coalesced single task reads all
+    # defaultParallelism local slices serially (~5s of Python-worker
+    # setup); the 1-partition shuffle is milliseconds.
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA).repartition(1)
     return extract_mjpeg_frames(media, stride=2)
 
 
@@ -3526,7 +3529,8 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface space-joined (lossless: input words are whitespace-split)."""
     from ..operators import bpe
 
-    docs = spark.createDataFrame(_BPE_DOCS, "doc_id long, text string").coalesce(1)
+    # repartition, not coalesce — see q_multimodal_mjpeg note
+    docs = spark.createDataFrame(_BPE_DOCS, "doc_id long, text string").repartition(1)
     out = bpe.encode_documents(docs, _BPE_MERGES)
     return out.select(
         "doc_id", F.array_join("bpe_tokens", " ").alias("bpe_text"), "n_bpe_tokens"

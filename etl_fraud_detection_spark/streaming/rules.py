@@ -573,7 +573,11 @@ def rule1_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     tx = fraud.report_watermark_filter(t["ff_transactions"], empty_report)
 
     d = tempfile.mkdtemp(prefix="stream_fraud_tx_")
-    tx.coalesce(1).write.mode("overwrite").parquet(d)
+    # repartition(1), NOT coalesce(1): the fixture df is driver-local
+    # data in defaultParallelism slices, and a single coalesced task
+    # pays per-slice Python-worker setup serially (~5s for 32 slices);
+    # the shuffle to 1 partition is milliseconds here.
+    tx.repartition(1).write.mode("overwrite").parquet(d)
     tx_stream = spark.readStream.schema(t["ff_transactions"].schema).parquet(d)
 
     base = fraud.temporal_base(
