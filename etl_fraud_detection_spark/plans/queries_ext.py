@@ -581,8 +581,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import MEDIA_SCHEMA, extract_media_features
 
     rows = [(i, f, w, h, bytes.fromhex(x)) for i, f, w, h, x in MEDIA_ROWS]
-    # coalesce: don't spawn a Python worker per empty slice for a 6-row fixture
-    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA).coalesce(2)
+    # repartition, not coalesce: a coalesced task walks its local
+    # slices serially at ~150ms Python-worker setup each (see
+    # q_multimodal_mjpeg note); the tiny shuffle is milliseconds
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA).repartition(2)
     return extract_media_features(media)
 
 
@@ -595,7 +597,8 @@ def _media_df(spark: SparkSession):
     from ..operators.multimodal import MEDIA_SCHEMA
 
     rows = [(i, f, w, h, bytes.fromhex(x)) for i, f, w, h, x in MEDIA_ROWS]
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).coalesce(2)
+    # repartition, not coalesce — see _extract_media_features note
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).repartition(2)
 
 
 def _resize_oracle() -> str:
