@@ -54,7 +54,11 @@ def spark_df(spark: SparkSession, rows: list[tuple], cols: list[str], types: lis
         "DATE": "date",
     }
     schema = ", ".join(f"{c} {spark_types[t]}" for c, t in zip(cols, types))
-    return spark.createDataFrame(rows, schema=schema)
+    # Collapse the defaultParallelism local slices up front: fixture
+    # tables are dozens of rows, and letting 32 nearly-empty Python
+    # slices flow into every downstream stage costs far more in
+    # per-slice task/worker setup than this one tiny shuffle.
+    return spark.createDataFrame(rows, schema=schema).repartition(2)
 
 
 # ---------------------------------------------------------------------------
