@@ -109,11 +109,18 @@ class Warehouse:
     the meta files) back to the journal's pre-run state — so a crash
     anywhere inside ``run_daily`` restores the exact last-committed run
     boundary instead of leaving tables at mixed run states.
+
+    Commit manifests double as TIME TRAVEL: versions referenced by the
+    last ``retain_commits`` committed runs are retained (hardlinked
+    files make this near-free), and :meth:`read_at` reads any table as
+    of a retained run's commit — the Delta ``VERSION AS OF`` idiom.
+    Older versions are vacuumed as commits land.
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, retain_commits: int = 2):
         self.spark = spark
         self.root = root
+        self.retain_commits = max(1, retain_commits)
         self._journal: dict | None = None
 
     def path(self, layer: str, table: str) -> str:
@@ -184,9 +191,10 @@ class Warehouse:
             self._journal["pre"][key] = pre
             self._flush_journal()
         _atomic_write(os.path.join(p, "_CURRENT"), str(v))
-        # keep only the live version plus (inside a run) the journaled
-        # rollback version — everything else is unreachable
-        keep = {v}
+        # keep the live version, (inside a run) the journaled rollback
+        # version, and anything a retained commit still references —
+        # everything else is unreachable
+        keep = {v} | self._retained().get(key, set())
         if self._journal is not None:
             keep.add(self._journal["pre"].get(key, 0))
         self._prune_versions(p, keep)
@@ -254,6 +262,49 @@ class Warehouse:
 
     def _commits_dir(self) -> str:
         return os.path.join(self.root, "meta", "commits")
+
+    def commits(self) -> list[int]:
+        """Committed run_ids, oldest first."""
+        cj = self._commits_dir()
+        if not os.path.isdir(cj):
+            return []
+        return sorted(
+            int(f[:-5]) for f in os.listdir(cj)
+            if f.endswith(".json") and f[:-5].isdigit()
+        )
+
+    def _manifest(self, run_id: int) -> dict:
+        import json
+
+        with open(os.path.join(self._commits_dir(), f"{run_id}.json")) as fh:
+            return json.load(fh)
+
+    def _retained(self) -> dict[str, set[int]]:
+        """key -> versions still referenced by the last retain_commits
+        committed manifests (the time-travel retention set)."""
+        out: dict[str, set[int]] = {}
+        for rid in self.commits()[-self.retain_commits:]:
+            for key, v in self._manifest(rid)["tables"].items():
+                if v is not None:
+                    out.setdefault(key, set()).add(v)
+        return out
+
+    def read_at(self, layer: str, table: str, run_id: int) -> DataFrame | None:
+        """Time travel: the table exactly as of ``run_id``'s commit
+        (Delta's ``VERSION AS OF``). Only the last ``retain_commits``
+        runs are retained — older versions have been vacuumed and raise
+        a clear error rather than returning wrong data."""
+        manifest = self._manifest(run_id)  # KeyError/IOError if never committed
+        v = manifest["tables"].get(f"{layer}/{table}")
+        if v is None:
+            return None
+        vdir = self._vdir(self.path(layer, table), v)
+        if not os.path.isdir(vdir):
+            raise FileNotFoundError(
+                f"{layer}/{table}@run{run_id} (v{v}) was vacuumed: only the "
+                f"last {self.retain_commits} commits are retained"
+            )
+        return self.spark.read.parquet(vdir)
 
     def _flush_journal(self) -> None:
         import json
@@ -323,9 +374,11 @@ class Warehouse:
         if os.path.exists(ip):
             os.remove(ip)
         self._journal = None
+        # vacuum: drop versions no retained commit references
+        retained = self._retained()
         for key in manifest["tables"]:
             layer, t = key.split("/", 1)
-            self._prune_versions(self.path(layer, t))
+            self._prune_versions(self.path(layer, t), retained.get(key, set()))
 
     def _prune_versions(self, p: str, keep: set[int] | None = None) -> None:
         cur = self._current(p)
@@ -359,6 +412,7 @@ class Warehouse:
             return None
         with open(inprog[-1]) as fh:
             j = json.load(fh)
+        retained = self._retained()
         for key, pre in j["pre"].items():
             layer, t = key.split("/", 1)
             p = self.path(layer, t)
@@ -368,7 +422,7 @@ class Warehouse:
                     shutil.rmtree(p, ignore_errors=True)
             else:
                 _atomic_write(os.path.join(p, "_CURRENT"), str(pre))
-                self._prune_versions(p)
+                self._prune_versions(p, retained.get(key, set()))
             self.spark.catalog.refreshByPath(p)
         for rel, content in j["files"].items():
             fp = os.path.join(self.root, rel)

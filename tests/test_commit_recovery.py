@@ -152,6 +152,47 @@ def test_crash_between_table_swaps_recovers_to_last_commit(
     )
 
 
+def test_time_travel_reads_prior_commit(spark, tmp_path):
+    """read_at() returns each table exactly as of a retained commit
+    (Delta VERSION AS OF over the version dirs + commit manifests),
+    and versions older than the retention window are vacuumed."""
+    data = tmp_path / "in"
+    data.mkdir()
+    wh_dir = str(tmp_path / "wh")
+    dob, valid, d0 = datetime(1990, 1, 1), datetime(2026, 1, 1), datetime(2024, 12, 31)
+    clients = _clients(
+        spark, [("CL1", "Petrov", "Ivan", None, dob, "P1", valid, "+7001", d0, None)]
+    )
+    _day_files(data, 1)
+    run1 = _run_day(spark, data, wh_dir, 1, clients)
+    for f in list(data.iterdir()):
+        f.unlink()
+    _day_files(data, 2)
+    run2 = _run_day(spark, data, wh_dir, 2, clients)
+
+    wh = Warehouse(spark, wh_dir)
+    assert wh.commits() == [run1, run2]
+    # live = day 2; as-of run1 = day 1 only
+    assert wh.read("dwh", "fact_transaction").count() == 2
+    assert wh.read_at("dwh", "fact_transaction", run1).count() == 1
+    assert wh.read_at("dwh", "fact_transaction", run2).count() == 2
+    day1_addr = wh.read_at("dwh", "dim_terminals_hist", run1).where(
+        "terminal_address = 'Addr1' AND effective_to > TIMESTAMP '2025-06-01'"
+    )
+    assert day1_addr.count() == 1  # Addr1 still current as of run1
+
+    # a third run pushes run1 out of the retention window (default 2)
+    for f in list(data.iterdir()):
+        f.unlink()
+    _day_files(data, 3)
+    run3 = _run_day(spark, data, wh_dir, 3, clients)
+    wh = Warehouse(spark, wh_dir)
+    assert wh.read_at("dwh", "fact_transaction", run2).count() == 2
+    assert wh.read_at("dwh", "fact_transaction", run3).count() == 3
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        wh.read_at("dwh", "fact_transaction", run1)
+
+
 def test_append_versions_share_files_and_rollback(spark, tmp_path):
     """Appends create a new version by hardlinking the old files; a
     journaled run's append rolls back without touching the committed
