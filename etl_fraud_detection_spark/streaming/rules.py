@@ -549,6 +549,43 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_append(spark, deduped, "stream_dedup")
 
 
+def stream_dedup_keys_bounded(
+    spark: SparkSession, sf_dir: str, delay: str = "30 minutes",
+    events_dir: str | None = None, progress_out: list | None = None,
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    guarantees exact dedup for duplicates arriving within ``delay`` of
+    each other and lets the state store EVICT keys once the watermark
+    passes their horizon — the production form of stream_dedup_keys,
+    whose dropDuplicates state otherwise grows with every key ever
+    seen. A key recurring after eviction re-emits (the documented
+    within-watermark contract), so output is a superset of the global
+    key set; tests/test_stream_state.py asserts the eviction actually
+    happens and bounds peak state."""
+    if events_dir is not None:
+        from ..session import tune
+
+        tune(spark)
+        schema, norm = _events_spec(events_dir)
+        events = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir)
+            .withColumn("ts", F.expr(norm))
+        )
+    else:
+        events = _read_events_stream(spark, sf_dir)
+    deduped = (
+        events.withWatermark("ts", delay)
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _drain_append(
+        spark, deduped, "stream_dedup_wm", progress_out=progress_out
+    )
+
+
 def rule1_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fraud rule 1 on a LIVE transaction stream: the same batch rule
     code (plans.fraud.temporal_base + rule1_bad_passport) applied to a
