@@ -54,11 +54,13 @@ def spark_df(spark: SparkSession, rows: list[tuple], cols: list[str], types: lis
         "DATE": "date",
     }
     schema = ", ".join(f"{c} {spark_types[t]}" for c, t in zip(cols, types))
-    # Collapse the defaultParallelism local slices up front: fixture
-    # tables are dozens of rows, and letting 32 nearly-empty Python
-    # slices flow into every downstream stage costs far more in
-    # per-slice task/worker setup than this one tiny shuffle.
-    return spark.createDataFrame(rows, schema=schema).repartition(2)
+    # Parallelize into TWO slices at the source: fixture tables are
+    # dozens of rows, and letting the default 32 nearly-empty Python
+    # slices flow into every downstream stage costs ~150ms of per-slice
+    # task/worker setup each. Slicing at the RDD keeps the plan free of
+    # repartition Exchanges (plan audits stay about the real shuffles).
+    rdd = spark.sparkContext.parallelize(rows, 2)
+    return spark.createDataFrame(rdd, schema=schema)
 
 
 # ---------------------------------------------------------------------------

@@ -581,10 +581,12 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import MEDIA_SCHEMA, extract_media_features
 
     rows = [(i, f, w, h, bytes.fromhex(x)) for i, f, w, h, x in MEDIA_ROWS]
-    # repartition, not coalesce: a coalesced task walks its local
-    # slices serially at ~150ms Python-worker setup each (see
-    # q_multimodal_mjpeg note); the tiny shuffle is milliseconds
-    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA).repartition(2)
+    # two slices at the source: the default 32 local slices pay ~150ms
+    # of Python-worker setup each, and slicing the RDD (vs repartition/
+    # coalesce) keeps the audited plan free of synthetic Exchanges
+    media = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), schema=MEDIA_SCHEMA
+    )
     return extract_media_features(media)
 
 
@@ -597,8 +599,10 @@ def _media_df(spark: SparkSession):
     from ..operators.multimodal import MEDIA_SCHEMA
 
     rows = [(i, f, w, h, bytes.fromhex(x)) for i, f, w, h, x in MEDIA_ROWS]
-    # repartition, not coalesce — see _extract_media_features note
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).repartition(2)
+    # two source slices, no synthetic Exchange — see q_multimodal_features
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), schema=MEDIA_SCHEMA
+    )
 
 
 def _resize_oracle() -> str:
@@ -779,10 +783,10 @@ def q_multimodal_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (30, "mjpeg", _MJPEG_W, _MJPEG_H, _mjpeg_payload()),
         (31, "mjpeg", 0, 0, b"\xff\xd8garbage\xff\xd9"),
     ]
-    # repartition, not coalesce: a coalesced single task reads all
-    # defaultParallelism local slices serially (~5s of Python-worker
-    # setup); the 1-partition shuffle is milliseconds.
-    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA).repartition(1)
+    # one source slice, no synthetic Exchange — see q_multimodal_features
+    media = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema=MEDIA_SCHEMA
+    )
     return extract_mjpeg_frames(media, stride=2)
 
 
@@ -3532,8 +3536,10 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface space-joined (lossless: input words are whitespace-split)."""
     from ..operators import bpe
 
-    # repartition, not coalesce — see q_multimodal_mjpeg note
-    docs = spark.createDataFrame(_BPE_DOCS, "doc_id long, text string").repartition(1)
+    # one source slice, no synthetic Exchange — see q_multimodal_features
+    docs = spark.createDataFrame(
+        spark.sparkContext.parallelize(_BPE_DOCS, 1), "doc_id long, text string"
+    )
     out = bpe.encode_documents(docs, _BPE_MERGES)
     return out.select(
         "doc_id", F.array_join("bpe_tokens", " ").alias("bpe_text"), "n_bpe_tokens"
