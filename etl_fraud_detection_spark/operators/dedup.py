@@ -226,16 +226,24 @@ def near_dup_clusters(
     the Spark-idiomatic connected components: each round is one
     edges⋈labels shuffle + groupBy-min, converging in O(cluster
     diameter) rounds (near-dup clusters are shallow, so 2-4 rounds).
-    ``localCheckpoint`` truncates the growing lineage each round; on a
-    real cluster use ``checkpoint`` with a reliable dir instead."""
+    Propagation runs over the EDGE-CONNECTED docs only — singletons
+    (the vast majority of any real corpus) can never change label, so
+    they join back in one final pass instead of riding every round's
+    shuffle. ``localCheckpoint`` truncates the growing lineage each
+    round; on a real cluster use ``checkpoint`` with a reliable dir
+    instead."""
     gen = minhash_lsh_pairs if candidates == "lsh" else ngram_jaccard_pairs
     pairs = gen(docs, tau).select("a", "b")
     edges = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
-    labels = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(id_col).alias("cluster_id")
-    ).localCheckpoint()
+    # symmetric edges -> selecting "a" alone covers every edge endpoint
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
     while True:
         nbr = (
             edges.join(labels, edges["b"] == labels["doc_id"])
@@ -255,7 +263,15 @@ def near_dup_clusters(
         )
         if n_changed == 0:
             edges.unpersist()
-            return labels
+            # singletons re-enter with their own id in ONE pass
+            return (
+                docs.select(F.col(id_col).alias("doc_id"))
+                .join(labels, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+                )
+            )
 
 
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
