@@ -72,9 +72,13 @@ def events_ts_physical(events_path: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    if os.path.isdir(events_path):
+    while os.path.isdir(events_path):
+        # descend: a dir of part files, or a dir-valued events.parquet
+        # symlink (the scaled-probe layout) — keep going until a file
         parts = sorted(
-            f for f in os.listdir(events_path) if f.endswith(".parquet")
+            f
+            for f in os.listdir(events_path)
+            if f.endswith(".parquet") or f.startswith("part-")
         )
         events_path = os.path.join(events_path, parts[0])
     t = pq.read_schema(events_path).field("ts").type

@@ -69,19 +69,35 @@ def _scratch_tag(sf_dir: str) -> str:
     return hashlib.md5(key.encode()).hexdigest()[:12]
 
 
+def _link_events(src: str, d: str) -> None:
+    """Symlink the events source into scratch dir ``d`` — one link for
+    a single-file source, one link per part file when the source is a
+    directory (the file stream source lists files, it does NOT recurse
+    through a dir-valued symlink)."""
+    os.makedirs(d, exist_ok=True)
+    if os.path.isdir(src):
+        for f in sorted(os.listdir(src)):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                link = os.path.join(d, f"events_{f}")
+                if not os.path.islink(link):
+                    os.symlink(os.path.join(src, f), link)
+    else:
+        link = os.path.join(d, "events.parquet")
+        if not os.path.islink(link):
+            os.symlink(src, link)
+
+
 def _stream_dir(sf_dir: str) -> str:
     """Spark's file stream source requires a *directory*; the testdata
-    ships ``events.parquet`` as a single file. Build (once per source
-    file version) a scratch dir holding a symlink to it."""
+    ships ``events.parquet`` as a single file (a dir of part files for
+    the scaled probe). Build (once per source version) a scratch dir of
+    symlinks to it."""
     import tempfile
 
     d = os.path.join(
         tempfile.gettempdir(), f"spark_events_stream_{_scratch_tag(sf_dir)}"
     )
-    link = os.path.join(d, "events.parquet")
-    if not os.path.islink(link):
-        os.makedirs(d, exist_ok=True)
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    _link_events(os.path.join(sf_dir, "events.parquet"), d)
     return d
 
 
@@ -432,14 +448,19 @@ def _stream_dir_with_heartbeat(sf_dir: str) -> str:
     d = os.path.join(
         tempfile.gettempdir(), f"spark_events_stream_hb_{_scratch_tag(sf_dir)}"
     )
-    link = os.path.join(d, "events.parquet")
-    if not os.path.islink(link):
-        os.makedirs(d, exist_ok=True)
-        os.symlink(src, link)
+    _link_events(src, d)
     hb = os.path.join(d, "heartbeat.parquet")
     if not os.path.exists(hb):
         t_2100_s = 4102444800
-        src_schema = pq.read_schema(src)
+        schema_src = src
+        if os.path.isdir(schema_src):  # scaled-probe events are a dir
+            schema_src = os.path.join(
+                schema_src,
+                sorted(
+                    f for f in os.listdir(schema_src) if f.endswith(".parquet")
+                )[0],
+            )
+        src_schema = pq.read_schema(schema_src)
         hb_table = pa.table(
             {
                 "event_id": pa.array([-1], pa.int64()),

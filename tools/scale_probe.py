@@ -49,7 +49,17 @@ PROBES = [
     "q_bm25",
     "q_chi2_terms",
     "q_sample_weighted",
+    # round-3: streaming ops over the scaled events table — state must
+    # scale with keys-in-window, not stream length
+    "q_stream_window_agg",
+    "q_stream_sessions",
+    "q_stream_join",
+    "q_stream_rule3",
 ]
+
+_STREAM_VIEWS = (
+    "stream_win_agg", "stream_sessions", "stream_join", "stream_rule3",
+)
 
 OFF = 1_000_000_000
 
@@ -103,6 +113,7 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=5)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("names", nargs="*", help="probe only these queries")
     args = ap.parse_args()
 
     from etl_fraud_detection_spark.catalog import load_table  # noqa: F401
@@ -113,29 +124,38 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     scaled_dir = os.path.join("/tmp", f"spark_graft_scale_{args.factor}x")
-    # events stream dir symlinks etc. aren't needed: probes are batch-only
     build_scaled(spark, args.sf, scaled_dir, args.factor)
-    # the scaled events.parquet is a DIRECTORY; catalog.load_table reads
-    # it fine (spark.read handles dirs), streaming queries are excluded.
+    # the scaled events.parquet is a DIRECTORY; catalog.load_table and
+    # the streaming readers (_stream_dir symlinks the dir, the schema
+    # probe picks a part file) both handle it.
 
     import statistics
 
     print(f"# probe: {args.sf} vs {scaled_dir} ({args.factor}x), median of {args.runs}")
-    print(f"| query | t_1x (s) | t_{args.factor}x (s) | ratio |")
-    print("|---|---|---|---|")
-    for name in PROBES:
+    print(f"| query | t_1x (s) | t_{args.factor}x (s) | ratio | rows 1x→{args.factor}x |")
+    print("|---|---|---|---|---|")
+    for name in (args.names or PROBES):
         fn = QUERIES[name].fn
-        ts = {}
+        ts, rows = {}, {}
         for tag, d in (("1x", args.sf), (f"{args.factor}x", scaled_dir)):
             samples = []
             for _ in range(args.runs):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                fn(spark, d).count()
+                rows[tag] = fn(spark, d).count()
                 samples.append(time.perf_counter() - t0)
+                for view in _STREAM_VIEWS:
+                    try:
+                        spark.catalog.dropTempView(view)
+                    except Exception:
+                        pass
             ts[tag] = statistics.median(samples)
         r = ts[f"{args.factor}x"] / ts["1x"]
-        print(f"| {name} | {ts['1x']:.2f} | {ts[f'{args.factor}x']:.2f} | {r:.2f}x |")
+        big = f"{args.factor}x"
+        print(
+            f"| {name} | {ts['1x']:.2f} | {ts[big]:.2f} | {r:.2f}x "
+            f"| {rows['1x']}→{rows[big]} |"
+        )
 
     shutil.rmtree(scaled_dir, ignore_errors=True)
 
