@@ -32,9 +32,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 _STREAM_VIEWS = (
-    "stream_win_agg", "stream_rule3", "stream_rule4",
+    "stream_win_agg", "stream_sliding_agg", "stream_rule3", "stream_rule4",
     "stream_dedup", "stream_sessions", "stream_asof", "stream_join",
-    "stream_fraud1",
+    "stream_join_outer", "stream_fraud1",
 )
 
 
