@@ -431,11 +431,13 @@ def _drain_append(
 
 def _stream_dir_with_heartbeat(sf_dir: str) -> str:
     """Like _stream_dir, plus a one-row far-future 'heartbeat' file
-    (user_id = -1, ts = 2100-01-01). Processed as a second micro-batch
-    (maxFilesPerTrigger=1, oldest file first), it advances the event-time
-    watermark past every real event so append-mode emits the sessions
-    still open at end-of-data — the standard heartbeat idiom for
-    flushing final windows from a bounded replay. The heartbeat's
+    (user_id = -1, ts = 2100-01-01). Whether it rides in the same
+    micro-batch as the data (the default single-batch replay) or in its
+    own (one-file-per-trigger tests), it advances the event-time
+    watermark past every real event at end-of-batch, so the final
+    no-data batch emits the sessions/outer rows still open at
+    end-of-data — the standard heartbeat idiom for flushing final
+    windows from a bounded replay. The heartbeat's
     ``ts`` is written in the SOURCE file's physical type (matching
     schema is a file-stream requirement; the source type varies across
     driver testdata versions — see catalog.events_ts_physical)."""
