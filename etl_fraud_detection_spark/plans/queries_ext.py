@@ -1128,6 +1128,59 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_asof_tolerance",
+    oracle="""
+    WITH l AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    r AS (
+        SELECT user_id, ts, event_id, value FROM (
+            SELECT user_id, ts, event_id, value,
+                   row_number() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'click'
+        ) WHERE rn = 1
+    )
+    SELECT l.event_id, l.user_id, l.ts,
+           CASE WHEN l.ts <= r.ts + INTERVAL 60 MINUTE THEN r.ts END
+               AS asof_ts,
+           CASE WHEN l.ts <= r.ts + INTERVAL 60 MINUTE THEN r.event_id END
+               AS asof_event_id,
+           CASE WHEN l.ts <= r.ts + INTERVAL 60 MINUTE THEN r.value END
+               AS asof_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join (pandas merge_asof(tolerance=...)
+    semantics): every purchase keeps its row, gaining the latest
+    preceding click of its user ONLY if that click is at most 60
+    minutes old — staler matches void to NULL instead of silently
+    enriching with ancient context. Same single-shuffle union+carry
+    plan as q_asof_join; the tolerance is a post-carry predicate, not
+    an extra join."""
+    from ..operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    right = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return asof_join(
+        left, right, ["user_id"],
+        right_value_cols=["event_id", "value"], tolerance_minutes=60,
+    )
+
+
+@query(
     "q_length_buckets",
     oracle="""
     SELECT doc_id, n_chars,
