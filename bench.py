@@ -3,7 +3,7 @@
 COMPACT JSON line on stdout: {"metric": ..., "value": total_sec,
 "unit": "sec", "runs": N, "n_queries": Q, "sf": ...}. Per-query medians
 and spread go to BENCH_DETAIL.json next to this file — the driver
-captures only the tail of stdout, and a 128-query inline dict overflows
+captures only the tail of stdout, and a full per-query inline dict overflows
 it (round-2 BENCH parsed as null for exactly that reason).
 
 Each query is timed as plan-build + full execution (count via a

@@ -1,4 +1,4 @@
-"""Round-exit gate: run the FULL 128-query oracle sweep plus the whole
+"""Round-exit gate: run the FULL catalog oracle sweep (every query) plus the whole
 pytest suite and append one summary line to PROGRESS.jsonl.
 
 The driver's per-round CORRECTNESS file samples ~50 of the catalog's
