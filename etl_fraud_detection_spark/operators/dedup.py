@@ -144,8 +144,12 @@ def minhash_lsh_pairs(
     """MinHash + LSH banding: docs sharing any band bucket become
     candidates; candidates are verified with exact Jaccard >= tau.
     Approximate by construction (a true near-dup pair missing every
-    band is skipped) but fully deterministic."""
-    sh = shingles(docs)
+    band is skipped) but fully deterministic.
+
+    The shingle table feeds BOTH the signature pipeline and the exact
+    verify — persist it here so the explode runs once (the persist
+    inside _jaccard_between is too late for the signature branch)."""
+    sh = shingles(docs).persist()
     banded = _band_explode(minhash_signatures(sh, num_hashes), num_hashes, bands)
     left = banded.select(F.col("doc_id").alias("a"), "band_idx", "band_hash")
     right = banded.select(F.col("doc_id").alias("b"), "band_idx", "band_hash")
