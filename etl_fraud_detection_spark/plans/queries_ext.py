@@ -1768,6 +1768,42 @@ def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_unpivot_counts",
+    oracle="""
+    WITH wide AS (
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click')    AS click,
+               count(*) FILTER (WHERE event_type = 'error')    AS error,
+               count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+               count(*) FILTER (WHERE event_type = 'view')     AS view
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, 'click' AS kind, click AS n FROM wide
+    UNION ALL SELECT user_id, 'error', error FROM wide
+    UNION ALL SELECT user_id, 'purchase', purchase FROM wide
+    UNION ALL SELECT user_id, 'signup', signup FROM wide
+    UNION ALL SELECT user_id, 'view', view FROM wide
+    """,
+)
+def q_unpivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the per-user count matrix back to long form via
+    DataFrame.unpivot — wide→long is a per-row expansion, map-only on
+    top of the pivot's single aggregation (no extra shuffle; the
+    portable UNION-ALL oracle would rescan per column instead)."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    wide = ev.groupBy("user_id").pivot("event_type", kinds).count()
+    wide = wide.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds]
+    )
+    return wide.unpivot(
+        ids=["user_id"], values=kinds,
+        variableColumnName="kind", valueColumnName="n",
+    )
+
+
 @query("q_sketch_distinct")  # HLL/t-digest values are engine-specific: rows-only
 def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates per language: HyperLogLog++ distinct counts and
