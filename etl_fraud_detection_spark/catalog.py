@@ -80,6 +80,8 @@ def events_ts_physical(events_path: str) -> str:
             for f in os.listdir(events_path)
             if f.endswith(".parquet") or f.startswith("part-")
         )
+        if not parts:
+            raise FileNotFoundError(f"no parquet files under {events_path}")
         events_path = os.path.join(events_path, parts[0])
     t = pq.read_schema(events_path).field("ts").type
     if pa.types.is_timestamp(t) and t.unit != "ns":

@@ -26,6 +26,21 @@ NUM_HASHES = 12
 BANDS = 3  # rows-per-band = NUM_HASHES // BANDS
 SIMHASH_BITS = 16
 
+# Shingle frames persisted by minhash_lsh_pairs: the result is lazy, so
+# the producer can't unpersist — callers (or any sweep that runs many
+# catalog queries in one session) call release_shingles() once the
+# result is materialized, instead of relying on LRU eviction.
+_PERSISTED_SHINGLES: list[DataFrame] = []
+
+
+def release_shingles() -> None:
+    """Unpersist shingle frames cached by :func:`minhash_lsh_pairs`."""
+    while _PERSISTED_SHINGLES:
+        try:
+            _PERSISTED_SHINGLES.pop().unpersist()
+        except Exception:
+            pass
+
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup via hash-groupBy: one row per distinct text with the
@@ -150,6 +165,7 @@ def minhash_lsh_pairs(
     verify — persist it here so the explode runs once (the persist
     inside _jaccard_between is too late for the signature branch)."""
     sh = shingles(docs).persist()
+    _PERSISTED_SHINGLES.append(sh)
     banded = _band_explode(minhash_signatures(sh, num_hashes), num_hashes, bands)
     left = banded.select(F.col("doc_id").alias("a"), "band_idx", "band_hash")
     right = banded.select(F.col("doc_id").alias("b"), "band_idx", "band_hash")
@@ -248,6 +264,9 @@ def near_dup_clusters(
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint()
     )
+    # the eager localCheckpoint above materialized (and cached) edges, so
+    # the shingle frame behind the LSH pair generator is no longer needed
+    release_shingles()
     while True:
         nbr = (
             edges.join(labels, edges["b"] == labels["doc_id"])

@@ -224,6 +224,13 @@ class Warehouse:
             w = w.partitionBy(*partition_by)
         w.parquet(tmp)
         n = self.spark.read.parquet(tmp).count()
+        if os.path.exists(vdir):
+            # Orphan from a crash between os.replace and _set_current's
+            # journal write: any version > _CURRENT that no committed
+            # manifest references is unreachable, so discard it — else
+            # os.replace onto the non-empty dir raises ENOTEMPTY and
+            # permanently blocks writes to this table.
+            shutil.rmtree(vdir)
         os.replace(tmp, vdir)
         self._set_current(layer, table, v, pre=cur)
         # Invalidate cached plans/file listings over the table: the SCD
@@ -250,6 +257,9 @@ class Warehouse:
             _link_tree(self._vdir(p, cur), tmp)
         n = df.count()
         df.write.mode("append").parquet(tmp)
+        if os.path.exists(vdir):
+            # same crash-orphan case as overwrite(): unreachable stale dir
+            shutil.rmtree(vdir)
         os.replace(tmp, vdir)
         self._set_current(layer, table, v, pre=cur or 0)
         self.spark.catalog.refreshByPath(vdir)

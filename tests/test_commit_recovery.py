@@ -204,3 +204,30 @@ def test_append_versions_share_files_and_rollback(spark, tmp_path):
     assert wh.read("rep", "r").count() == 15
     assert wh.recover() == 99
     assert wh.read("rep", "r").count() == 10
+
+
+def test_orphan_version_dir_does_not_block_writes(spark, tmp_path):
+    """A crash after os.replace(tmp, vdir) but before _set_current leaves
+    an orphaned version dir the pointer never reached. The next
+    overwrite/append computes the same version number and must replace
+    the orphan (it is unreachable — no pointer or manifest references
+    it), not die with ENOTEMPTY."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite("stg", "t", spark.range(5))  # v1 live
+
+    # simulate the crash: v2 exists on disk but _CURRENT still says v1
+    p = wh.path("stg", "t")
+    orphan = wh._vdir(p, 2)
+    os.makedirs(orphan)
+    _write(os.path.join(orphan, "junk.parquet"), ["not parquet"])
+
+    n = wh.overwrite("stg", "t", spark.range(7))  # computes v2 again
+    assert n == 7
+    assert wh.read("stg", "t").count() == 7
+
+    # same for the append path
+    orphan3 = wh._vdir(p, 3)
+    os.makedirs(orphan3)
+    _write(os.path.join(orphan3, "junk.parquet"), ["not parquet"])
+    wh.append("stg", "t", spark.range(7, 10))
+    assert wh.read("stg", "t").count() == 10

@@ -46,10 +46,11 @@ def main() -> int:
         [sys.executable, "-m", "pytest", "tests/", "-q"],
         capture_output=True, text=True, cwd=REPO,
     )
-    tail = (pytest.stdout + pytest.stderr).strip().splitlines()[-1] if pytest.stdout else ""
-    t_pass = int(m2.group(1)) if (m2 := re.search(r"(\d+) passed", tail)) else 0
-    t_fail = int(m3.group(1)) if (m3 := re.search(r"(\d+) failed", tail)) else 0
-    print(f"pytest: {tail}")
+    combined = (pytest.stdout + pytest.stderr).strip()
+    tail = combined.splitlines()[-1] if combined else ""
+    t_pass = int(m2.group(1)) if (m2 := re.search(r"(\d+) passed", combined)) else 0
+    t_fail = int(m3.group(1)) if (m3 := re.search(r"(\d+) failed", combined)) else 0
+    print(f"pytest: {tail} (rc={pytest.returncode})")
 
     record = {
         "ts": time.time(),
@@ -60,6 +61,7 @@ def main() -> int:
         "oracle_rows_only": o_skip,
         "pytest_passed": t_pass,
         "pytest_failed": t_fail,
+        "pytest_rc": pytest.returncode,
         "gate_wall_s": round(time.time() - t0, 1),
     }
     with open(os.path.join(REPO, "PROGRESS.jsonl"), "a") as fh:
