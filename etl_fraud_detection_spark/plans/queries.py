@@ -1093,3 +1093,89 @@ def q_ingest_xlsx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Extension operators (dedup / similarity / text / ML) register on import.
 from . import queries_ext  # noqa: E402,F401
+
+
+# ---------------------------------------------------------------------------
+# Registration order: interleave families so ANY prefix of the catalog
+# exercises every family. The driver's per-round CORRECTNESS gate
+# samples the first ~50 registrations; with the natural file order the
+# streaming/TPC-H/temporal/curation families never entered the sample
+# (rounds 1-3). Round-robin across families fixes that permanently —
+# every family lands ≥3 times in any 50-query prefix. Within a family,
+# oracle-paired queries come before rows-only ones (stronger check
+# first). tools/check_oracle.py and bench.py always run the FULL
+# catalog, so this changes visibility, not coverage.
+# ---------------------------------------------------------------------------
+
+_TEMPORAL = {
+    "q_sessionize", "q_session_stats", "q_asof_join", "q_asof_tolerance",
+    "q_resample_ffill", "q_rolling_time_window", "q_funnel",
+    "q_retention_cohorts",
+}
+_CURATION = {
+    "q_pii_redact", "q_quality_filter", "q_sample_stratified",
+    "q_sample_topk_hash", "q_sample_weighted", "q_contamination",
+    "q_domain_mix", "q_epoch_shuffle", "q_pack_sequences", "q_chunk_docs",
+    "q_length_buckets", "q_corpus_pipeline", "q_dq_checks",
+}
+_SCD = {"q_scd1_merge", "q_scd2_versions", "q_current_version"}
+
+
+def family(name: str) -> str:
+    """Query family, for sample interleaving and bench subtotals."""
+    if name.startswith("q_stream_"):
+        return "stream"
+    if name.startswith("q_tpch_"):
+        return "tpch"
+    if name.startswith("q_dedup_") or name == "q_semdedup":
+        return "dedup"
+    if name.startswith("q_ann_") or name == "q_embed_normalize":
+        return "ann"
+    if name.startswith("q_multimodal_"):
+        return "multimodal"
+    if name.startswith("q_ingest_"):
+        return "ingest"
+    if name.startswith("q_fraud"):
+        return "fraud"
+    if name in _TEMPORAL:
+        return "temporal"
+    if name in _CURATION:
+        return "curation"
+    if name in _SCD:
+        return "scd"
+    if name in {
+        "q_text_stats", "q_lang_id", "q_token_count", "q_doc_fingerprint",
+        "q_rolling_hash", "q_tfidf_topterms", "q_lm_score", "q_bm25",
+        "q_chi2_terms", "q_lexical_diversity", "q_repetition_stats",
+        "q_bpe_encode", "q_fuzzy_join",
+    }:
+        return "text"
+    if name in {
+        "q_scan_project", "q_filter_pred", "q_join_equi_chain",
+        "q_join_temporal", "q_join_theta", "q_semi_join", "q_anti_join",
+        "q_union_all", "q_nullsafe_diff", "q_scalar_subquery_wm",
+        "q_window_lag", "q_window_frames", "q_scalar_funcs",
+    }:
+        return "relational"
+    return "relational_ext"
+
+
+def _interleave_registry() -> None:
+    groups: dict[str, list[str]] = {}
+    for name, spec in QUERIES.items():
+        groups.setdefault(family(name), []).append(name)
+    for names in groups.values():
+        # oracle-paired first (stable within each class)
+        names.sort(key=lambda n: QUERIES[n].oracle is None)
+    order: list[str] = []
+    fams = list(groups)  # first-appearance order of families
+    while any(groups[f] for f in fams):
+        for f in fams:
+            if groups[f]:
+                order.append(groups[f].pop(0))
+    reordered = {name: QUERIES[name] for name in order}
+    QUERIES.clear()
+    QUERIES.update(reordered)
+
+
+_interleave_registry()
