@@ -8,11 +8,22 @@ it (round-2 BENCH parsed as null for exactly that reason).
 
 Each query is timed as plan-build + full execution (count via a
 write-nothing action) — results are not collected to the driver, matching
-how a real pipeline consumes them. The whole catalog is measured
+how a real pipeline consumes them.
+
+Measurement protocol (see BENCH_DETAIL.json "protocol"): the runs are
+interleaved round-robin across the catalog — the WHOLE catalog is swept
 $SPARK_GRAFT_BENCH_RUNS times (default 3) and per-query MEDIANS are
-reported: this host's wall-clock noise is ~2x run to run, so a single
-sample cannot attribute a regression; the spread field records max-min
-so a noisy sample is visible instead of silently folded in.
+reported, so a transient host stall inflates at most one sweep's sample
+of each query, never all samples of one query. The spread field records
+max-min per query so a noisy sample is visible instead of silently
+folded in, and per-family subtotals (sums of medians, keyed by
+plans.queries.family) make round-over-round comparisons robust to
+catalog growth: compare family subtotals, not bare totals.
+
+Round-over-round caveat (learned r2->r3): the testdata parquet files are
+REGENERATED between rounds and the host is shared — medians from a
+previous round are only comparable after re-running the previous code on
+the CURRENT data/host (see SCALE.md "Bench comparability").
 """
 
 from __future__ import annotations
@@ -25,7 +36,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from etl_fraud_detection_spark.plans.queries import QUERIES  # noqa: E402
+from etl_fraud_detection_spark.plans.queries import QUERIES, family  # noqa: E402
 from etl_fraud_detection_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -87,6 +98,12 @@ def main() -> None:
         )
         for name in QUERIES
     }
+    families: dict[str, float] = {}
+    fam_spread: dict[str, float] = {}
+    for name in QUERIES:
+        f_ = family(name)
+        families[f_] = round(families.get(f_, 0.0) + medians[name], 4)
+        fam_spread[f_] = round(fam_spread.get(f_, 0.0) + spread[name], 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail_path = os.path.join(
@@ -97,8 +114,18 @@ def main() -> None:
             {
                 "queries": medians,
                 "spread": spread,
+                "families": families,
+                "family_spread": fam_spread,
                 "runs": N_RUNS,
                 "sf": sf_val,
+                "protocol": (
+                    "runs interleaved round-robin: full catalog swept "
+                    f"{N_RUNS}x, per-query median reported; families = "
+                    "sum of medians per plans.queries.family; testdata "
+                    "is regenerated between rounds, so cross-round "
+                    "comparisons require re-running old code on current "
+                    "data (SCALE.md 'Bench comparability')"
+                ),
             },
             f,
             indent=1,
