@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .ngrams import ngram_array, tokens
+from .ngrams import ngram_rows, tokens
 
 MICRO = 1_000_000  # log-prob quantization: micro-nats
 
@@ -245,10 +245,9 @@ def bigram_lm_scores(
     docs⋈scores join is needed (that join would sort-merge two
     doc-count-sized frames). Documents with < 2 tokens surface with
     ``n_bigrams = 0`` and NULL score."""
-    g = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode_outer(ngram_array(text_col, 2)).alias("gram"),
-    )
+    g = ngram_rows(docs, text_col, 2, id_col=id_col, outer=True)
+    if id_col != "doc_id":
+        g = g.withColumnRenamed(id_col, "doc_id")
     c12 = (
         g.where(F.col("gram").isNotNull())
         .groupBy("gram")

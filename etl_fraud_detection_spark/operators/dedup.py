@@ -26,15 +26,27 @@ NUM_HASHES = 12
 BANDS = 3  # rows-per-band = NUM_HASHES // BANDS
 SIMHASH_BITS = 16
 
-# Shingle frames persisted by minhash_lsh_pairs: the result is lazy, so
-# the producer can't unpersist — callers (or any sweep that runs many
-# catalog queries in one session) call release_shingles() once the
-# result is materialized, instead of relying on LRU eviction.
+# MinHash permutation family: ONE md5 per shingle reduced to a 32-bit
+# int, then NUM_HASHES affine maps h -> (a*h + b) mod p (p = 2^31-1,
+# the classic universal-hash construction). 12x less hashing than
+# md5(seed || shingle) per seed, and the MIN aggregates fold bigints
+# instead of 32-char strings. The constants are plain literals mirrored
+# into the DuckDB oracles — a*h stays under 2^62, so BIGINT arithmetic
+# is exact in both engines.
+MINHASH_P = 2147483647  # 2^31 - 1, prime
+MINHASH_A = [(2654435761 * (i + 1)) % (1 << 30) | 1 for i in range(NUM_HASHES)]
+MINHASH_B = [(40503 * (i + 7)) % MINHASH_P for i in range(NUM_HASHES)]
+
+# Intermediate frames persisted by minhash_lsh_pairs (shingles,
+# candidate pairs): the result is lazy, so the producer can't unpersist —
+# callers (or any sweep that runs many catalog queries in one session)
+# call release_shingles() once the result is materialized, instead of
+# relying on LRU eviction.
 _PERSISTED_SHINGLES: list[DataFrame] = []
 
 
 def release_shingles() -> None:
-    """Unpersist shingle frames cached by :func:`minhash_lsh_pairs`."""
+    """Unpersist intermediates cached by :func:`minhash_lsh_pairs`."""
     while _PERSISTED_SHINGLES:
         try:
             _PERSISTED_SHINGLES.pop().unpersist()
@@ -55,22 +67,29 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = NGRAM) -> DataFrame:
     """Distinct word n-gram shingles per doc (docs with < n tokens drop,
     mirrored in the oracle's ``len(toks) >= n`` filter)."""
-    toks = F.split(F.col(text_col), " ")
+    # Tokenize ONCE into a column before the filter: referencing the
+    # split() expression in both the filter and the gram transform makes
+    # codegen evaluate it twice per row (no CSE across the stages;
+    # measured ~2x on the sf0.1 corpus). The token array rides the
+    # shuffle instead of the raw text — same bytes, already split.
+    toks = (
+        docs.select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("toks"))
+        .where(F.size("toks") >= n)
+    )
     # One slice reference per gram — n element_at references would
-    # re-evaluate the split per reference inside the lambda (no CSE in
+    # re-evaluate per reference inside the lambda (no CSE in
     # higher-order functions; measured 3.4× at n=4 in ngrams.py).
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        F.sequence(F.lit(0), F.size("toks") - n),
+        lambda i: F.array_join(F.slice(F.col("toks"), i + 1, n), " "),
     )
     # Spread the explode: a single-file scan would otherwise shingle the
     # whole corpus in one task (at 100 TB the scan has many splits and
     # this repartition is a no-op cost-wise relative to the explode).
     n_part = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        docs.where(F.size(toks) >= n)
-        .repartition(n_part, F.col(id_col))
-        .select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        toks.repartition(n_part, F.col("doc_id"))
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
     )
 
 
@@ -82,6 +101,16 @@ def _jaccard_between(sh: DataFrame, pairs: DataFrame | None, tau: float) -> Data
     ``sh`` feeds three subplans (both join sides + the per-doc counts);
     persist it so shingling runs once, not three times."""
     sh = sh.persist()
+    if pairs is not None:
+        # Verification only ever touches candidate docs — semi-filter the
+        # shingle table down to them first so every downstream shuffle
+        # (common-shingle count, per-doc sizes) moves candidate shingles,
+        # not the corpus. The candidate id set is bounded by the pair
+        # frame, which this plan already broadcasts.
+        ids = pairs.select(
+            F.explode(F.array(F.col("a"), F.col("b"))).alias("doc_id")
+        ).distinct()
+        sh = sh.join(F.broadcast(ids), ["doc_id"], "left_semi")
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")
@@ -116,16 +145,22 @@ def ngram_jaccard_pairs(docs: DataFrame, tau: float = 0.8) -> DataFrame:
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
-    """MinHash: mh_i(doc) = MIN over shingles of md5(i || '|' || shingle).
-    All signature positions are computed as parallel MIN aggregates over
-    per-row hash columns — no seed explode (a 12× row blow-up through
-    the shuffle), and each MIN partial-aggregates map-side, so the
-    shuffle carries one 12-column row per doc per partition."""
+    """MinHash: mh_i(doc) = MIN over shingles of (a_i*h + b_i) mod p,
+    h = first 8 md5 hex digits of the shingle as a 32-bit int (see
+    MINHASH_A/B/P). All signature positions are computed as parallel MIN
+    aggregates over per-row hash columns — one md5 per shingle, no seed
+    explode (a 12× row blow-up through the shuffle), and each MIN
+    partial-aggregates map-side, so the shuffle carries one 12-column
+    row per doc per partition."""
+    h32 = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
     aggs = [
-        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))).alias(f"mh{i}")
+        F.min(
+            (F.lit(MINHASH_A[i]) * F.col("h32") + F.lit(MINHASH_B[i]))
+            % F.lit(MINHASH_P)
+        ).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sh.select("doc_id", h32.alias("h32")).groupBy("doc_id").agg(*aggs)
 
 
 def _band_explode(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
@@ -174,7 +209,12 @@ def minhash_lsh_pairs(
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
+        # feeds the verify twice (candidate-id semi-filter + the pair
+        # fan-out join) — persist the tiny pair frame so the banded
+        # self-join runs once
+        .persist()
     )
+    _PERSISTED_SHINGLES.append(candidates)
     return _jaccard_between(sh, candidates, tau)
 
 
@@ -221,7 +261,9 @@ def minhash_incremental_pairs(
     )
     candidates = (
         left.join(right, ["band_idx", "band_hash"]).select("a", "b").distinct()
+        .persist()  # feeds the verify twice; see minhash_lsh_pairs
     )
+    _PERSISTED_SHINGLES.append(candidates)
     return _jaccard_between(sh, candidates, tau)
 
 
@@ -253,20 +295,30 @@ def near_dup_clusters(
     round; on a real cluster use ``checkpoint`` with a reliable dir
     instead."""
     gen = minhash_lsh_pairs if candidates == "lsh" else ngram_jaccard_pairs
-    pairs = gen(docs, tau).select("a", "b")
+    # the symmetric union evaluates the pair subplan twice — persist it
+    # (tiny: verified near-dup pairs only)
+    pairs = gen(docs, tau).select("a", "b").persist()
+    _PERSISTED_SHINGLES.append(pairs)
+    # The ONE eager materialization before the loop: checkpointing edges
+    # truncates the whole LSH lineage, so every later evaluation of the
+    # seed labels is a cheap aggregate over the cached edge list rather
+    # than a race to recompute the pair pipeline (measured ~25% slower
+    # when the seed persisted lazily with the pipeline behind it).
     edges = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
-    # symmetric edges -> selecting "a" alone covers every edge endpoint
-    labels = (
-        edges.select(F.col("a").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    # the eager localCheckpoint above materialized (and cached) edges, so
-    # the shingle frame behind the LSH pair generator is no longer needed
+    ).localCheckpoint()
+    # edges (and everything upstream) are cached now — drop the
+    # shingle/candidate intermediates behind the LSH pair generator
     release_shingles()
+    # symmetric edges -> grouping on "a" covers every edge endpoint.
+    # Seed each label with the first propagation round folded in
+    # (min of self and all direct neighbors): shallow near-dup clusters
+    # then converge one full join+count round earlier.
+    labels = (
+        edges.groupBy(F.col("a").alias("doc_id"))
+        .agg(F.min("b").alias("nbr0"))
+        .select("doc_id", F.least("doc_id", "nbr0").alias("cluster_id"))
+    )
     while True:
         nbr = (
             edges.join(labels, edges["b"] == labels["doc_id"])

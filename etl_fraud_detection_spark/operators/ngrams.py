@@ -29,8 +29,8 @@ def tokens(text_col: str = "text") -> Column:
     return F.split(F.col(text_col), " ")
 
 
-def ngram_array(text_col: str = "text", n: int = 2) -> Column:
-    """Word n-grams as an array column, entirely in codegen.
+def _gram_expr(toks_col: Column, n: int) -> Column:
+    """n-gram array over an ALREADY-MATERIALIZED token array column.
 
     Guards:
     - Spark's ``sequence(1, stop)`` with ``stop < 1`` produces a
@@ -39,17 +39,47 @@ def ngram_array(text_col: str = "text", n: int = 2) -> Column:
       empty array explicitly.
     - The gram is ``array_join(slice(toks, i, n))`` — ONE reference to
       the token array per element. N separate ``element_at(toks, i+j)``
-      references re-evaluate the split() per reference inside the
+      references re-evaluate per reference inside the
       higher-order-function lambda (no common-subexpression elimination
       there), turning gram construction O(n·len) per document —
       measured 3.4× slower at n=4.
     """
-    toks = tokens(text_col)
-    stop = F.size(toks) - (n - 1)
+    stop = F.size(toks_col) - (n - 1)
     idx = F.when(stop >= 1, F.sequence(F.lit(1), stop)).otherwise(
         F.array().cast("array<int>")
     )
-    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks_col, i, n), " "))
+
+
+def ngram_array(text_col: str = "text", n: int = 2) -> Column:
+    """Word n-grams as an array column, entirely in codegen.
+
+    Prefer :func:`ngram_rows` when producing a gram stream from a
+    DataFrame: an expression inside a higher-order lambda gets NO
+    common-subexpression elimination, so referencing ``split(text)``
+    here makes codegen re-split the document once PER GRAM (measured
+    ~2x on the sf0.1 corpus). ngram_rows projects the token array into
+    a column first, so the lambda reads an attribute instead."""
+    return _gram_expr(tokens(text_col), n)
+
+
+def ngram_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    distinct: bool = False,
+    id_col: str = "doc_id",
+    outer: bool = False,
+) -> DataFrame:
+    """(id, gram) stream with the token array tokenized ONCE per row
+    (see ngram_array). ``distinct`` dedups grams within a document;
+    ``outer`` keeps sub-n-token documents as one NULL-gram row."""
+    t = docs.select(F.col(id_col).alias(id_col), tokens(text_col).alias("__toks"))
+    g = _gram_expr(F.col("__toks"), n)
+    if distinct:
+        g = F.array_distinct(g)
+    ex = F.explode_outer(g) if outer else F.explode(g)
+    return t.select(id_col, ex.alias("gram"))
 
 
 def with_repetition_stats(docs: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
@@ -62,7 +92,7 @@ def with_repetition_stats(docs: DataFrame, text_col: str = "text", n: int = 2) -
     Two aggregations, both keyed by doc_id (+gram): partial aggregation
     combines map-side, and no key ever spans documents, so the shuffle
     volume is bounded by per-document distinct grams."""
-    grams = docs.select("doc_id", F.explode(ngram_array(text_col, n)).alias("gram"))
+    grams = ngram_rows(docs, text_col, n)
     per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
     agg = per_gram.groupBy("doc_id").agg(
         F.sum("cnt").cast("long").alias("n_grams"),
@@ -103,13 +133,10 @@ def contamination_check(
     shuffle. The benchmark side (distinct grams of an eval suite) is
     orders of magnitude smaller than the corpus, so it is broadcast:
     the 100 TB side never shuffles at all."""
-    train_grams = train.select(
-        "doc_id", F.explode(F.array_distinct(ngram_array(text_col, n))).alias("gram")
-    )
-    bench_grams = benchmark.select(
-        F.col("doc_id").alias("bench_id"),
-        F.explode(F.array_distinct(ngram_array(text_col, n))).alias("gram"),
-    )
+    train_grams = ngram_rows(train, text_col, n, distinct=True)
+    bench_grams = ngram_rows(
+        benchmark, text_col, n, distinct=True
+    ).withColumnRenamed("doc_id", "bench_id")
     hits = train_grams.join(F.broadcast(bench_grams), "gram")
     return (
         hits.groupBy("doc_id")

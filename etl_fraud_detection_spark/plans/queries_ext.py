@@ -209,12 +209,25 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), tau=0.8)
 
 
+def _minhash_sig_ctes() -> str:
+    """The hashed/sig CTEs shared by every MinHash oracle — literal
+    mirror of operators.dedup.minhash_signatures (one md5 per shingle,
+    affine (a*h+b) mod p permutations over the 32-bit prefix)."""
+    nh, p = dedup.NUM_HASHES, dedup.MINHASH_P
+    mins = ", ".join(
+        f"min(({dedup.MINHASH_A[i]} * h32 + {dedup.MINHASH_B[i]}) % {p}) AS mh{i}"
+        for i in range(nh)
+    )
+    return f"""hashed AS (
+            SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h32
+            FROM sh
+        ),
+        sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)"""
+
+
 def _minhash_oracle() -> str:
     nh, bands = dedup.NUM_HASHES, dedup.BANDS
     rows = nh // bands
-    mins = ", ".join(
-        f"min(CASE WHEN seed = {i} THEN h END) AS mh{i}" for i in range(nh)
-    )
     band_selects = "\n        UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_idx, "
         f"md5(concat_ws('|', {', '.join(f'mh{b * rows + r}' for r in range(rows))})) AS band_hash FROM sig"
@@ -223,12 +236,7 @@ def _minhash_oracle() -> str:
     cand_join = "JOIN cand ON cand.a = x.doc_id AND cand.b = y.doc_id"
     return (
         f"WITH {_SHINGLES},\n"
-        f"""ex AS (
-            SELECT doc_id, shingle, seed,
-                   md5(CAST(seed AS VARCHAR) || '|' || shingle) AS h
-            FROM sh CROSS JOIN (SELECT unnest(range(0, {nh})) AS seed)
-        ),
-        sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+        f"""{_minhash_sig_ctes()},
         banded AS ({band_selects}),
         cand AS (
             SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
@@ -250,9 +258,6 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_incr_oracle() -> str:
     nh, bands = dedup.NUM_HASHES, dedup.BANDS
     rows = nh // bands
-    mins = ", ".join(
-        f"min(CASE WHEN seed = {i} THEN h END) AS mh{i}" for i in range(nh)
-    )
     band_selects = "\n        UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_idx, "
         f"md5(concat_ws('|', {', '.join(f'mh{b * rows + r}' for r in range(rows))})) AS band_hash FROM sig"
@@ -260,12 +265,7 @@ def _minhash_incr_oracle() -> str:
     )
     return (
         f"WITH {_SHINGLES},\n"
-        f"""ex AS (
-            SELECT doc_id, shingle, seed,
-                   md5(CAST(seed AS VARCHAR) || '|' || shingle) AS h
-            FROM sh CROSS JOIN (SELECT unnest(range(0, {nh})) AS seed)
-        ),
-        sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+        f"""{_minhash_sig_ctes()},
         banded AS ({band_selects}),
         cand AS (
             SELECT DISTINCT l.doc_id AS a, r.doc_id AS b

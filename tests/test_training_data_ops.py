@@ -229,6 +229,11 @@ def test_sample_frames_stride(spark):
 
 def test_near_dup_clusters_transitive(spark):
     # a~b and b~c but never a~c directly: one cluster rooted at min id.
+    # The exact candidate generator makes edge recall deterministic —
+    # LSH banding catches a jaccard-0.75 pair only probabilistically
+    # (~68% at 3 bands x 4 rows), and this test pins label PROPAGATION,
+    # not LSH recall (test_minhash_lsh_finds_identical_pair covers the
+    # always-collide LSH case).
     d = docs_df(
         spark,
         [
@@ -238,7 +243,10 @@ def test_near_dup_clusters_transitive(spark):
             (9, "zz yy xx ww vv"),
         ],
     )
-    out = {r.doc_id: r.cluster_id for r in dedup.near_dup_clusters(d, tau=0.5).collect()}
+    out = {
+        r.doc_id: r.cluster_id
+        for r in dedup.near_dup_clusters(d, tau=0.5, candidates="exact").collect()
+    }
     assert out[1] == out[2] == out[3] == 1
     assert out[9] == 9
 
