@@ -15,7 +15,7 @@ materialization).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def hash_bucket(key: Column, buckets: int = 100) -> Column:
@@ -26,6 +26,119 @@ def hash_bucket(key: Column, buckets: int = 100) -> Column:
     return (
         F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
         % buckets
+    )
+
+
+def _ranged_local(df: DataFrame, order_by: list[Column]):
+    """Range-partition ``df`` on ``order_by`` and tag each row with its
+    partition id and local (within-partition) row number. Building block
+    for exact global rank/cumsum WITHOUT a single-partition window: the
+    sort is distributed (RangePartitioning + per-partition sort), and
+    global positions follow by adding per-partition offsets.
+
+    Determinism: RangePartitioner's reservoir sampling is seeded from
+    partition indices, so boundaries — and therefore pids — are stable
+    for a given input; equal keys land in one partition, and callers
+    pass tie-broken (unique) sort keys so ranks are unique too."""
+    return df.repartitionByRange(*order_by).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+
+
+def _partition_offsets(local: DataFrame, value_col: Column | None = None):
+    """Per-partition exclusive prefix offsets (and grand total) from the
+    `_ranged_local` output: one row per range partition, so the global
+    cumsum window here runs over at most `spark.sql.shuffle.partitions`
+    rows — driver-trivial at any data scale. Shares the range Exchange
+    with the main branch via ReusedExchange."""
+    val = value_col if value_col is not None else F.lit(1)
+    counts = local.groupBy("_pid").agg(F.sum(val).cast("long").alias("_cnt"))
+    w_prev = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_prev), F.lit(0)).cast("long").alias("_off"),
+        F.sum("_cnt").over(w_all).cast("long").alias("_total"),
+    )
+
+
+def with_global_rank(
+    df: DataFrame, order_by: list[Column], out_col: str = "rn"
+) -> DataFrame:
+    """Exact global 1-based rank of each row under ``order_by`` (which
+    must be tie-free), as a distributed two-pass plan: range-partitioned
+    local sort + row_number, then a broadcast join of per-partition row
+    counts. Equivalent to ``row_number() OVER (ORDER BY ...)`` but never
+    funnels the data through one partition — the only global window runs
+    over the per-partition count table (≤ shuffle-partitions rows)."""
+    ranged = _ranged_local(df, order_by)
+    w_local = Window.partitionBy("_pid").orderBy(*order_by)
+    local = ranged.withColumn("_lrn", F.row_number().over(w_local))
+    offsets = _partition_offsets(ranged)
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_lrn") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lrn", "_off", "_total")
+    )
+
+
+def with_global_ntile(
+    df: DataFrame, order_by: list[Column], n: int, out_col: str = "bucket"
+) -> DataFrame:
+    """Exact ``ntile(n) OVER (ORDER BY ...)`` without a single-partition
+    window: global rank via `with_global_rank`'s machinery plus the
+    closed-form ntile bucket. With N rows, q = N div n, r = N mod n,
+    the first r tiles hold q+1 rows:
+      rank <= r*(q+1)  ->  bucket = (rank-1) div (q+1) + 1
+      otherwise        ->  bucket = r + (rank - r*(q+1) - 1) div q + 1
+    """
+    ranged = _ranged_local(df, order_by)
+    w_local = Window.partitionBy("_pid").orderBy(*order_by)
+    local = ranged.withColumn("_lrn", F.row_number().over(w_local))
+    offsets = _partition_offsets(ranged)
+    def idiv(a: Column, b: Column) -> Column:
+        # exact integer division: subtract the remainder first so the
+        # double divide is of an exact multiple (no boundary off-by-one
+        # from float rounding at large N)
+        return ((a - a % b) / b).cast("long")
+
+    rn = F.col("_lrn") + F.col("_off")
+    big_n = F.col("_total")
+    q, r = idiv(big_n, F.lit(n)), big_n % n
+    pivot = r * (q + F.lit(1))
+    bucket = (
+        F.when(rn <= pivot, idiv(rn - 1, q + 1) + 1)
+        .otherwise(r + idiv(rn - pivot - 1, q) + 1)
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("_pid", "_lrn", "_off", "_total")
+    )
+
+
+def with_global_cumsum(
+    df: DataFrame, order_by: list[Column], value_col: Column, out_col: str
+) -> DataFrame:
+    """Exact inclusive running sum of ``value_col`` in global
+    ``order_by`` order (tie-free keys), distributed the same way:
+    within-partition cumsum + broadcast per-partition sum offsets."""
+    ranged = _ranged_local(df, order_by)
+    w_cum = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn(
+        "_lcum", F.sum(value_col).over(w_cum).cast("long")
+    )
+    offsets = _partition_offsets(ranged, value_col=value_col)
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_lcum") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lcum", "_off", "_total")
     )
 
 
@@ -54,18 +167,14 @@ def epoch_shuffle(df: DataFrame, key_col: str) -> DataFrame:
     identical across engines, retries, and partitionings (what a data
     loader needs to resume mid-epoch deterministically).
 
-    This is the one operator here that pays for a global sort
-    (RangePartitioning by the hash). That is inherent: a materialized
-    total order IS a sort. At 100 TB you run it once per epoch spec and
-    write the result partitioned by `shuffle_pos` range, so consumers
-    stream sequentially."""
-    from pyspark.sql import Window
-
+    A materialized total order IS a sort, but the sort stays
+    distributed: `with_global_rank` range-partitions on the hash, ranks
+    within each partition, and adds broadcast per-partition offsets —
+    no single-partition WindowExec ever touches the corpus. At 100 TB
+    you run it once per epoch spec and write the result partitioned by
+    `shuffle_pos` range, so consumers stream sequentially."""
     key = F.md5(F.col(key_col).cast("string"))
-    w = Window.orderBy(key.asc())
-    return df.select(
-        "*", F.row_number().over(w).cast("long").alias("shuffle_pos")
-    )
+    return with_global_rank(df, [key.asc()], out_col="shuffle_pos")
 
 
 def pack_sequences(
@@ -81,17 +190,57 @@ def pack_sequences(
 
     This is the contiguous-fill packing a sequence-packing dataloader
     does, minus the intra-pack truncation/splitting (a tokenizer-side
-    concern). One window cumsum = one sort; at scale, run per
-    date-partition to bound the sort and keep packs append-friendly."""
-    from pyspark.sql import Window
-
+    concern). The cumsum runs distributed via `with_global_cumsum`
+    (range-partitioned local cumsum + broadcast partition offsets), so
+    no single partition ever sees the whole corpus."""
     key = F.md5(F.col(key_col).cast("string"))
-    w = Window.orderBy(key.asc()).rowsBetween(Window.unboundedPreceding, 0)
-    start = (F.sum(F.col(size_col)).over(w) - F.col(size_col)).cast("long")
-    return df.select(
-        "*",
+    out = with_global_cumsum(
+        df, [key.asc()], F.col(size_col), out_col="_cum"
+    )
+    start = (F.col("_cum") - F.col(size_col)).cast("long")
+    return out.select(
+        *df.columns,
         start.alias("start_offset"),
         F.floor(start / capacity).cast("long").alias("pack_id"),
+    )
+
+
+def pack_sequences_sharded(
+    df: DataFrame,
+    size_col: str,
+    key_col: str,
+    capacity: int = 4096,
+    shards: int = 256,
+) -> DataFrame:
+    """Sharded contiguous-fill packing: documents hash into one of
+    ``shards`` deterministic md5-prefix shards, and each shard packs
+    independently in md5 order (``pack_id = shard * 2^32 + local
+    pack``). Within a shard the semantics are exactly
+    :func:`pack_sequences`; cross-shard contiguity is given up
+    DELIBERATELY — a dataloader consumes shards independently anyway,
+    and the payoff is the scale shape: the cumsum window is partitioned
+    by shard, so this is ONE ordinary distributed shuffle with no
+    global order and no second pass over the input. Use this inside
+    composed pipelines (the input is consumed once); use
+    `pack_sequences` when a strict corpus-wide total order is the
+    deliverable."""
+    key = F.md5(F.col(key_col).cast("string"))
+    shard = (
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("long") % shards
+    )
+    tagged = df.select("*", key.alias("_mk"), shard.alias("shard"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_mk").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = (F.sum(F.col(size_col)).over(w) - F.col(size_col)).cast("long")
+    return tagged.select(
+        *df.columns,
+        "shard",
+        start.alias("start_offset"),
+        (F.col("shard") * F.lit(1 << 32)
+         + F.floor(start / capacity).cast("long")).alias("pack_id"),
     )
 
 

@@ -1091,6 +1091,45 @@ def q_ingest_xlsx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.with_batch_date(src.read_any(spark, f), f)
 
 
+@query(
+    "q_ingest_xlsx_dist",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('T001', 'ATM', 'Moscow'),
+        ('T002', 'POS', 'St.Petersburg'),
+        ('T101', 'POS', 'Kazan'),
+        ('T102', 'ATM', 'Sochi')
+    ) AS t(terminal_id, terminal_type, terminal_city)
+    """,
+)
+def q_ingest_xlsx_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 at executor scale: a BATCH of workbook snapshots parsed in
+    parallel via binaryFile + mapInPandas (sources/files.py
+    read_xlsx_dist) — one file per task, header-name column alignment
+    (the second fixture file has reordered + extra columns), zero
+    driver materialization. The single-workbook path (q_ingest_xlsx)
+    stays driver-side behind an explicit size guard."""
+    import tempfile
+
+    from ..sources import files as src
+
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_ingest_xlsx_dist")
+    os.makedirs(d, exist_ok=True)
+    src.write_xlsx(
+        os.path.join(d, "terminals_a.xlsx"),
+        ["terminal_id", "terminal_type", "terminal_city"],
+        [["T001", "ATM", "Moscow"], ["T002", "POS", "St.Petersburg"]],
+    )
+    src.write_xlsx(
+        os.path.join(d, "terminals_b.xlsx"),
+        ["terminal_city", "extra", "terminal_id", "terminal_type"],
+        [["Kazan", "?", "T101", "POS"], ["Sochi", "?", "T102", "ATM"]],
+    )
+    return src.read_xlsx_dist(
+        spark, d, columns=["terminal_id", "terminal_type", "terminal_city"]
+    ).drop("_src_file")
+
+
 # Extension operators (dedup / similarity / text / ML) register on import.
 from . import queries_ext  # noqa: E402,F401
 

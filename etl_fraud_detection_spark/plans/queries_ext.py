@@ -1191,14 +1191,20 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-percentile bucketing for padding-efficient batching: docs
     of similar length batch together, so per-batch padding waste drops.
-    ntile over (n_chars, doc_id) is deterministic (unique tie-break).
-    A global ntile is a range-partitioned sort — acceptable because the
-    output IS a total ordering artifact (same class as epoch_shuffle);
-    at 100 TB you'd bucket within date partitions instead."""
-    docs = _t(spark, sf_dir, "documents")
-    w = Window.orderBy("n_chars", "doc_id")
-    return docs.select(
-        "doc_id", "n_chars", F.ntile(10).over(w).alias("len_bucket")
+    ntile over (n_chars, doc_id) is deterministic (unique tie-break) and
+    computed EXACTLY but distributed: `with_global_ntile` range-
+    partitions on the sort key, ranks within each partition, and closes
+    the tile formula over broadcast per-partition counts — the only
+    global-order window in the plan runs over the tiny per-partition
+    count table, never the corpus."""
+    from ..operators.sampling import with_global_ntile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return with_global_ntile(
+        docs,
+        [F.col("n_chars").asc(), F.col("doc_id").asc()],
+        10,
+        out_col="len_bucket",
     )
 
 
@@ -2532,12 +2538,16 @@ def _pipeline_oracle() -> str:
         SELECT doc_id, fp,
                CAST(len(regexp_extract_all(redacted, '{text.BPE_ISH_RE}')) AS BIGINT) AS n_bpe_tokens
         FROM uniq
+    ),
+    sharded AS (
+        SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS shard
+        FROM tok
     )
-    SELECT doc_id, fp, n_bpe_tokens,
+    SELECT doc_id, fp, n_bpe_tokens, shard,
            CAST(SUM(n_bpe_tokens) OVER w - n_bpe_tokens AS BIGINT) AS start_offset,
-           CAST(FLOOR((SUM(n_bpe_tokens) OVER w - n_bpe_tokens) / 512) AS BIGINT) AS pack_id
-    FROM tok
-    WINDOW w AS (ORDER BY md5(CAST(doc_id AS VARCHAR))
+           shard * 4294967296 + CAST(FLOOR((SUM(n_bpe_tokens) OVER w - n_bpe_tokens) / 512) AS BIGINT) AS pack_id
+    FROM sharded
+    WINDOW w AS (PARTITION BY shard ORDER BY md5(CAST(doc_id AS VARCHAR))
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """
 
@@ -2547,9 +2557,14 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END corpus build as ONE Catalyst plan: PII-bearing
     input -> quality gate (single-scan stats) -> typed PII redaction ->
     exact dedup on the redacted fingerprint -> BPE-ish token budget ->
-    512-token contiguous packing. Composition is the point: each stage
-    is the same operator the standalone queries use, and Catalyst fuses
-    the scan-side stages into a single pass over the corpus."""
+    512-token SHARDED contiguous packing. Composition is the point:
+    each stage is the same operator the standalone queries use, and
+    Catalyst fuses the scan-side stages into a single pass over the
+    corpus. Packing uses the sharded variant here (256 md5-prefix
+    shards, per-shard cumsum window) precisely so the composed plan
+    consumes its heavy upstream ONCE — the exact-global variant
+    (q_pack_sequences) is two-pass by construction, which inside a
+    composition would re-execute redaction and dedup."""
     from ..operators import sampling
 
     docs = _t(spark, sf_dir, "documents")
@@ -2578,11 +2593,11 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_bpe_tokens"),
     )
-    packed = sampling.pack_sequences(
-        tok, size_col="n_bpe_tokens", key_col="doc_id", capacity=512
+    packed = sampling.pack_sequences_sharded(
+        tok, size_col="n_bpe_tokens", key_col="doc_id", capacity=512, shards=256
     )
     return packed.select(
-        "doc_id", "fp", "n_bpe_tokens", "start_offset", "pack_id"
+        "doc_id", "fp", "n_bpe_tokens", "shard", "start_offset", "pack_id"
     )
 
 

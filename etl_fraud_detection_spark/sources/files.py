@@ -134,22 +134,18 @@ def _col_index(ref: str) -> int:
     return idx - 1
 
 
-def read_xlsx(spark: SparkSession, path: str, **_kw) -> DataFrame:
-    """S2: XLSX scan (reference file.py:37-42) with no third-party
-    dependency — an .xlsx is a zip of SpreadsheetML; stdlib zipfile +
-    ElementTree cover the features dimension snapshots use (shared and
-    inline strings, sparse cells, first sheet). Header row = row 1, all
-    values surfaced as strings (exactly like the CSV scan — casts are
-    the caller's schema contract). Driver-side parse is the right
-    trade-off: these are small daily dim lists (matching the
-    reference's pandas.read_excel); the big distributed scans are
-    parquet/CSV. Executor-scale XLSX is deliberately out of scope —
-    the zip container isn't splittable, so a huge workbook should be
-    exported to CSV/parquet upstream, not scaled here."""
+def _parse_xlsx_bytes(data: bytes) -> tuple[list[str], list[list[str | None]]]:
+    """Parse one XLSX workbook (bytes) into (header, rows) — the pure
+    core shared by the driver-side and executor-side readers. An .xlsx
+    is a zip of SpreadsheetML; stdlib zipfile + ElementTree cover the
+    features dimension snapshots use (shared and inline strings, sparse
+    cells, first sheet). All values surface as strings — casts are the
+    caller's schema contract, exactly like the CSV scan."""
+    import io
     import xml.etree.ElementTree as ET
     import zipfile
 
-    with zipfile.ZipFile(path) as z:
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
         shared: list[str] = []
         if "xl/sharedStrings.xml" in z.namelist():
             root = ET.fromstring(z.read("xl/sharedStrings.xml"))
@@ -177,11 +173,87 @@ def read_xlsx(spark: SparkSession, path: str, **_kw) -> DataFrame:
                 cells[col] = v
             rows.append(cells)
     if not rows:
-        raise ValueError(f"empty worksheet in {path}")
+        raise ValueError("empty worksheet")
     width = max(max(r.keys(), default=-1) for r in rows) + 1
     header = [rows[0].get(i) or f"_c{i}" for i in range(width)]
-    data = [[r.get(i) for i in range(width)] for r in rows[1:]]
-    return spark.createDataFrame(data, schema=", ".join(f"`{h}` string" for h in header))
+    data_rows = [[r.get(i) for i in range(width)] for r in rows[1:]]
+    return header, data_rows
+
+
+def read_xlsx(spark: SparkSession, path: str, **_kw) -> DataFrame:
+    """S2: XLSX scan (reference file.py:37-42) with no third-party
+    dependency. Header row = row 1, all values strings. Driver-side
+    parse is the right trade-off for the reference's daily dim lists
+    (matching its pandas.read_excel); a deliberate size guard redirects
+    anything executor-sized to :func:`read_xlsx_dist` — one workbook's
+    zip container isn't splittable, but MANY workbooks parallelize
+    per-file there."""
+    size = os.path.getsize(path)
+    if size > XLSX_DRIVER_MAX_BYTES:
+        raise ValueError(
+            f"{path} is {size} bytes (> {XLSX_DRIVER_MAX_BYTES}); "
+            "driver-side XLSX parse is for small dimension snapshots — "
+            "use read_xlsx_dist(spark, glob) for executor-scale batches"
+        )
+    with open(path, "rb") as fh:
+        header, data = _parse_xlsx_bytes(fh.read())
+    return spark.createDataFrame(
+        data, schema=", ".join(f"`{h}` string" for h in header)
+    )
+
+
+# Above this, a workbook is not a "small dimension snapshot" anymore and
+# the driver refuses to materialize it (read_xlsx_dist parses on
+# executors instead). 64 MiB ≈ millions of cells, far beyond any daily
+# terminal list, yet small enough to never brown-out the driver heap.
+XLSX_DRIVER_MAX_BYTES = 64 * 1024 * 1024
+
+
+def read_xlsx_dist(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Executor-scale XLSX ingest: a batch of workbooks (glob / dir /
+    single path) parsed IN PARALLEL, one file per task, no driver
+    materialization. `binaryFile` ships each workbook's bytes to an
+    executor; `mapInPandas` (Arrow) runs the same pure stdlib parse as
+    `read_xlsx` and aligns cells to the output schema BY HEADER NAME,
+    so files with reordered or extra columns still land correctly
+    (missing cells -> NULL). Adds `_src_file` for lineage.
+
+    ``columns`` is the output contract; when omitted it is inferred
+    from one file (bounded driver read of a single workbook — the same
+    class of peek as CSV schema inference). The non-splittable zip
+    container makes per-FILE parallelism the correct distribution atom:
+    10k daily snapshots = 10k independent tasks."""
+    import pandas as pd
+
+    bf = spark.read.format("binaryFile").load(path)
+    if columns is None:
+        first = bf.select("content").limit(1).collect()
+        if not first:
+            raise FileNotFoundError(f"no files match {path}")
+        columns, _ = _parse_xlsx_bytes(bytes(first[0]["content"]))
+    out_cols = list(columns)
+
+    def parse(batches):
+        for pdf in batches:
+            for src, content in zip(pdf["path"], pdf["content"]):
+                header, rows = _parse_xlsx_bytes(bytes(content))
+                idx = {h: i for i, h in enumerate(header)}
+                cols = {
+                    c: [
+                        row[idx[c]] if c in idx and idx[c] < len(row) else None
+                        for row in rows
+                    ]
+                    for c in out_cols
+                }
+                cols["_src_file"] = [src] * len(rows)
+                yield pd.DataFrame(cols, columns=out_cols + ["_src_file"])
+
+    schema = ", ".join(f"`{c}` string" for c in out_cols + ["_src_file"])
+    return bf.select("path", "content").mapInPandas(parse, schema)
 
 
 def write_xlsx(path: str, header: list[str], rows: list[list]) -> str:

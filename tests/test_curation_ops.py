@@ -116,3 +116,49 @@ def test_l2_normalize_zero_guard(spark):
     assert math.isclose(out[1].u0, 0.6)
     assert not out[1].is_zero
     assert out[2].is_zero and out[2].l2_norm == 0.0
+
+
+def test_with_global_ntile_matches_window_ntile(spark):
+    """Exact-ntile equivalence on awkward sizes (N % n != 0, N < n)."""
+    from pyspark.sql import Window, functions as F
+
+    for n_rows, tiles in [(12, 10), (5, 10), (200, 7), (64, 8)]:
+        d = spark.range(n_rows).select(
+            F.col("id").alias("k"), (F.col("id") * 37 % 11).alias("v")
+        )
+        got = {
+            (r.k, r.bucket)
+            for r in sampling.with_global_ntile(
+                d.repartition(5), [F.col("v").asc(), F.col("k").asc()], tiles
+            ).collect()
+        }
+        want = {
+            (r.k, r.bucket)
+            for r in d.select(
+                "k",
+                F.ntile(tiles)
+                .over(Window.orderBy(F.col("v").asc(), F.col("k").asc()))
+                .alias("bucket"),
+            ).collect()
+        }
+        assert got == want, (n_rows, tiles)
+
+
+def test_with_global_cumsum_matches_window(spark):
+    from pyspark.sql import Window, functions as F
+
+    d = spark.range(123).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("w")
+    )
+    got = {
+        (r.k, r.cum)
+        for r in sampling.with_global_cumsum(
+            d.repartition(9), [F.col("k").asc()], F.col("w"), "cum"
+        ).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        (r.k, r.cum)
+        for r in d.select("k", F.sum("w").over(w).cast("long").alias("cum")).collect()
+    }
+    assert got == want

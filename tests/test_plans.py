@@ -367,3 +367,22 @@ def test_udtf_is_lateral_python_generate(spark):
     doc_id passed through by the lateral join, not re-computed."""
     p = plan_of(q(spark, "q_udtf_chunks"))
     assert "Generate" in p or "PythonUDTF" in p or "EvalPythonUDTF" in p
+
+
+@pytest.mark.parametrize(
+    "name", ["q_length_buckets", "q_epoch_shuffle", "q_pack_sequences"]
+)
+def test_global_order_ops_never_single_partition_the_data(spark, name):
+    """The exact global rank/ntile/cumsum operators must be the two-pass
+    distributed shape: a range-partitioned sort of the data with a
+    _pid-partitioned window, plus ONE SinglePartition exchange that
+    carries only the per-partition count/sum table (<= shuffle
+    partitions rows) — never the corpus itself."""
+    p = plan_of(q(spark, name))
+    assert "rangepartitioning(" in p  # distributed sort of the data
+    assert re.search(r"windowspecdefinition\(_pid#\d+,", p)  # data window partitioned
+    singles = re.findall(
+        r"Input \[\d+\]: \[([^\]]*)\]\nArguments: SinglePartition", p
+    )
+    assert len(singles) == 1  # exactly the offsets branch
+    assert "_cnt#" in singles[0]  # ...and it carries the tiny count table

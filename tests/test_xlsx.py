@@ -76,3 +76,50 @@ def test_xlsx_dispatch_and_discovery(spark, tmp_path):
     assert f.ext == "xlsx" and f.dt.isoformat()[:10] == "2024-02-01"
     assert src.read_any(spark, f).collect()[0].k == "v"
     assert os.path.basename(src.archive(f)).endswith(".backup")
+
+
+def test_xlsx_dist_parses_on_executors(spark, tmp_path):
+    """A multi-file XLSX batch must ingest through binaryFile +
+    mapInPandas — parse on executors, no driver materialization of any
+    workbook — aligning drifted column orders by header name."""
+    from etl_fraud_detection_spark.sources.files import read_xlsx_dist
+
+    write_xlsx(str(tmp_path / "a.xlsx"), ["id", "city"], [[1, "x"], [2, "y"]])
+    # second file: columns reordered + an extra one -> align by name
+    write_xlsx(
+        str(tmp_path / "b.xlsx"), ["city", "junk", "id"], [["z", "?", 3]]
+    )
+    df = read_xlsx_dist(spark, str(tmp_path), columns=["id", "city"])
+    got = sorted(
+        (r.id, r.city, os.path.basename(r._src_file).split("?")[0][:6])
+        for r in df.collect()
+    )
+    assert got == [
+        ("1", "x", "a.xlsx"), ("2", "y", "a.xlsx"), ("3", "z", "b.xlsx")
+    ]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan  # executor-side Arrow parse
+    assert "binaryFile" in plan or "BinaryFile" in plan
+
+
+def test_xlsx_dist_infers_columns_from_one_file(spark, tmp_path):
+    from etl_fraud_detection_spark.sources.files import read_xlsx_dist
+
+    write_xlsx(str(tmp_path / "only.xlsx"), ["k", "v"], [["a", "1"]])
+    df = read_xlsx_dist(spark, str(tmp_path))
+    assert df.columns == ["k", "v", "_src_file"]
+    assert df.count() == 1
+
+
+def test_xlsx_driver_guard_redirects_big_files(spark, tmp_path, monkeypatch):
+    """read_xlsx must refuse a workbook past the driver-size guard with
+    a pointer at the distributed path."""
+    import pytest
+
+    from etl_fraud_detection_spark.sources import files as src
+
+    p = str(tmp_path / "big.xlsx")
+    write_xlsx(p, ["k"], [["v"]])
+    monkeypatch.setattr(src, "XLSX_DRIVER_MAX_BYTES", 10)
+    with pytest.raises(ValueError, match="read_xlsx_dist"):
+        src.read_xlsx(spark, p)
