@@ -144,6 +144,18 @@ def ngram_jaccard_pairs(docs: DataFrame, tau: float = 0.8) -> DataFrame:
     return _jaccard_between(shingles(docs), None, tau)
 
 
+def _signatures_from_h32(h32df: DataFrame, num_hashes: int) -> DataFrame:
+    """Signature aggregation over pre-hashed shingles (doc_id, h32)."""
+    aggs = [
+        F.min(
+            (F.lit(MINHASH_A[i]) * F.col("h32") + F.lit(MINHASH_B[i]))
+            % F.lit(MINHASH_P)
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return h32df.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
     """MinHash: mh_i(doc) = MIN over shingles of (a_i*h + b_i) mod p,
     h = first 8 md5 hex digits of the shingle as a 32-bit int (see
@@ -153,14 +165,7 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame
     partial-aggregates map-side, so the shuffle carries one 12-column
     row per doc per partition."""
     h32 = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
-    aggs = [
-        F.min(
-            (F.lit(MINHASH_A[i]) * F.col("h32") + F.lit(MINHASH_B[i]))
-            % F.lit(MINHASH_P)
-        ).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.select("doc_id", h32.alias("h32")).groupBy("doc_id").agg(*aggs)
+    return _signatures_from_h32(sh.select("doc_id", h32.alias("h32")), num_hashes)
 
 
 def _band_explode(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:

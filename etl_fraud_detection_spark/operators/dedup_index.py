@@ -1,0 +1,174 @@
+"""Persisted MinHash-LSH band index: incremental near-dup admission
+whose daily cost scales with the BATCH, not the corpus.
+
+This is the production shape that `dedup.minhash_incremental_pairs`
+documents but (being a pure-DataFrame operator) cannot hold between
+runs: the warehouse keeps two compact tables derived from every
+admitted document —
+
+- ``nd_shingles``: (doc_id, sh_fp) — one md5 per distinct word-n-gram
+  shingle. No text is retained; md5(shingle) is treated as injective
+  (the same contract exact dedup makes for md5(text)), and the 32-bit
+  MinHash input h32 is derivable from its first 8 hex digits, so this
+  one table can regenerate signatures, bands, and exact-Jaccard
+  verification.
+- ``nd_bands``: (doc_id, band_idx, band_hash) — BANDS rows per doc,
+  the LSH acceleration structure the incoming batch probes.
+
+Scale shape (100 TB corpus, daily batches):
+- probe join is batch_bands ⋈ nd_bands on (band_idx, band_hash);
+  at scale nd_bands is written bucketed by band_hash so the probe
+  co-locates — cost ∝ batch bands + colliding index rows.
+- verification semi-filters nd_shingles to candidate ledger docs
+  before any shuffle (the candidate set is LSH-bounded).
+- both tables append-only between compactions; writes ride the
+  warehouse's multi-table atomic commit (begin_run/commit_run), so a
+  crash mid-ingest rolls BOTH tables back together — the index can
+  never hold a doc's bands without its shingles.
+
+Citations: reference parity is §near-dup extension (the reference
+itself is batch SQL; see SURVEY.md §2 LLM-ops table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import dedup
+from .dedup import BANDS, NUM_HASHES
+
+LAYER = "index"
+T_SHINGLES = "nd_shingles"
+T_BANDS = "nd_bands"
+
+
+def _fps(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh_fp) for a doc frame: md5 per distinct shingle."""
+    return dedup.shingles(docs).select(
+        "doc_id", F.md5(F.col("shingle")).alias("sh_fp")
+    )
+
+
+def _h32(fps: DataFrame) -> DataFrame:
+    """MinHash input ints from stored fingerprints: first 8 hex digits
+    of md5(shingle) — bit-identical to hashing the shingle directly."""
+    return fps.select(
+        "doc_id",
+        F.conv(F.substring(F.col("sh_fp"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h32"),
+    )
+
+
+def _bands_of(fps: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    sig = dedup._signatures_from_h32(_h32(fps), num_hashes)
+    return dedup._band_explode(sig, num_hashes, bands)
+
+
+def build(
+    wh,
+    docs: DataFrame,
+    run_id: int,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> None:
+    """Initial (or rebuild) index from a corpus: overwrite both tables
+    atomically. One shingle pass; signatures/bands derive from the
+    fingerprints that are being persisted anyway."""
+    fps = _fps(docs).persist()
+    wh.begin_run(run_id)
+    wh.overwrite(LAYER, T_SHINGLES, fps)
+    # banding consumes the cached fingerprints (materialized by the
+    # overwrite's validation count) instead of re-shingling the corpus
+    wh.overwrite(LAYER, T_BANDS, _bands_of(fps, num_hashes, bands))
+    wh.commit_run(run_id)
+    fps.unpersist()
+
+
+def ingest(
+    wh,
+    batch: DataFrame,
+    run_id: int,
+    tau: float = 0.8,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """Admit a batch against the persisted index; returns the admission
+    frame (doc_id, admitted, dup_of, jaccard) for every batch doc.
+
+    Steps (cost ∝ batch, never corpus):
+    1. batch fingerprints + bands — linear in batch shingles.
+    2. candidates = batch bands ⋈ nd_bands (batch side broadcastable
+       for a daily batch; index side pre-bucketed at scale).
+    3. exact-Jaccard verify over fingerprints: batch side from step 1,
+       ledger side = nd_shingles semi-filtered to candidate docs.
+    4. admitted docs' fingerprints + bands APPEND to both tables under
+       one atomic commit — a later batch near-dupping an admitted doc
+       of THIS batch will reject against the grown index.
+
+    Batch×batch pairs are deliberately out of scope (parity with
+    minhash_incremental_pairs): run minhash_lsh_pairs within the batch
+    first if intra-batch dedup is wanted.
+    """
+    fps = _fps(batch).persist()
+    batch_bands = _bands_of(fps, num_hashes, bands)
+
+    idx_bands = wh.read(LAYER, T_BANDS)
+    candidates = (
+        batch_bands.select(F.col("doc_id").alias("a"), "band_idx", "band_hash")
+        .join(idx_bands.select(F.col("doc_id").alias("b"), "band_idx", "band_hash"),
+              ["band_idx", "band_hash"])
+        .select("a", "b")
+        .distinct()
+        .persist()
+    )
+    ledger_ids = candidates.select(F.col("b").alias("doc_id")).distinct()
+    ledger_fps = wh.read(LAYER, T_SHINGLES).join(
+        F.broadcast(ledger_ids), ["doc_id"], "left_semi"
+    )
+    # persist ourselves (and unpersist below) — _jaccard_between's
+    # internal persist() of an already-persisted frame is a no-op, so
+    # this frame never leaks into executor storage across a sweep
+    sh_union = (
+        fps.unionByName(ledger_fps)
+        .withColumnRenamed("sh_fp", "shingle")
+        .persist()
+    )
+    rejects = dedup._jaccard_between(sh_union, candidates, tau)
+
+    # materialize the verdict ONCE (eager) — the two appends and the
+    # returned frame all read this checkpoint, never re-running the
+    # candidate/verify pipeline
+    admission = (
+        batch.select("doc_id")
+        .join(
+            rejects.groupBy(F.col("a").alias("doc_id")).agg(
+                F.min("b").alias("dup_of"), F.max("jaccard").alias("jaccard")
+            ),
+            ["doc_id"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.col("dup_of").isNull().alias("admitted"),
+            "dup_of",
+            "jaccard",
+        )
+        .localCheckpoint()
+    )
+
+    admitted_ids = admission.where("admitted").select("doc_id")
+    wh.begin_run(run_id)
+    wh.append(
+        LAYER, T_SHINGLES,
+        fps.join(F.broadcast(admitted_ids), ["doc_id"], "left_semi"),
+    )
+    wh.append(
+        LAYER, T_BANDS,
+        batch_bands.join(F.broadcast(admitted_ids), ["doc_id"], "left_semi"),
+    )
+    wh.commit_run(run_id)
+    fps.unpersist()
+    sh_union.unpersist()
+    candidates.unpersist()
+    return admission

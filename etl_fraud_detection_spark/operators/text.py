@@ -200,3 +200,33 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text", buckets: int = 102
     fp = F.md5(norm)
     bucket = F.conv(F.substring(fp, 1, 15), 16, 10).cast("long") % buckets
     return docs.select("doc_id", fp.alias("fp"), bucket.alias("fp_bucket"))
+
+
+def with_repetition_removal(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition REMOVAL (the cleanup twin of with_repetition_stats'
+    diagnosis): collapse runs of consecutive duplicate tokens — the
+    classic degenerate-generation / boilerplate artifact ("batch batch
+    batch") that inflates token budgets and teaches models to loop.
+    Emits the cleaned text plus before/after token counts so a pipeline
+    can gate on the shrink ratio.
+
+    Shape: pure higher-order functions over one split — map-only,
+    zero shuffles, fuses into any cleaning pipeline scan. The token
+    array and the filtered array are each projected into a column
+    before reuse (no CSE inside or across lambdas — see shingles()).
+    F.get (0-based, NULL out-of-bounds) avoids element_at's index-0
+    error on the first token."""
+    base = docs.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("_toks")
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda x, i: (i == F.lit(0)) | (x != F.get(F.col("_toks"), i - 1)),
+    )
+    step = base.select("doc_id", "_toks", kept.alias("_kept"))
+    return step.select(
+        "doc_id",
+        F.array_join("_kept", " ").alias("clean_text"),
+        F.size("_toks").cast("long").alias("n_tokens_before"),
+        F.size("_kept").cast("long").alias("n_tokens_after"),
+    )

@@ -306,6 +306,49 @@ def q_dedup_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _band_index_oracle() -> str:
+    """Admission verdict per batch doc: the reject-pair semantics are
+    exactly _minhash_incr_oracle's (LSH candidates batch×ledger, exact
+    Jaccard ≥ 0.8), folded to (admitted, dup_of, jaccard)."""
+    return f"""WITH rejects AS ({_minhash_incr_oracle()})
+    SELECT d.doc_id, (r.dup_of IS NULL) AS admitted, r.dup_of, r.jaccard
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+    LEFT JOIN (SELECT a, min(b) AS dup_of, max(jaccard) AS jaccard
+               FROM rejects GROUP BY a) r ON r.a = d.doc_id
+    """
+
+
+@query("q_dedup_band_index", oracle=_band_index_oracle())
+def q_dedup_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED band-index near-dup admission (operators/dedup_index):
+    the ledger (doc_id % 10 != 0) is indexed into two warehouse tables
+    — (doc_id, sh_fp) shingle fingerprints and (doc_id, band_idx,
+    band_hash) LSH bands, written under the versioned warehouse's
+    atomic multi-table commit — then the batch (doc_id % 10 == 0)
+    probes the STORED index: bands computed linearly over the batch,
+    candidate join against nd_bands, Jaccard verify against
+    nd_shingles semi-filtered to candidates. Same verdicts as
+    q_dedup_minhash_incr, but the ledger is never re-shingled — the
+    shape whose daily cost scales with the batch at a 100 TB corpus."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import dedup_index
+    from ..pipeline import Warehouse
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    ledger = docs.where(F.col("doc_id") % 10 != 0)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_ndindex_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(spark, root)
+    dedup_index.build(wh, ledger, run_id=1)
+    return dedup_index.ingest(wh, batch, run_id=2, tau=0.8)
+
+
 def _simhash_oracle() -> str:
     bits = dedup.SIMHASH_BITS
     sums = ", ".join(
@@ -1875,6 +1918,29 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle volume is bounded by the longest document, not corpus-wide
     gram popularity."""
     return ngrams.with_repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_repetition_removal",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    k AS (SELECT doc_id, toks,
+                 list_filter(toks, (x, i) -> i = 1 OR x <> toks[i - 1]) AS kept
+          FROM t)
+    SELECT doc_id,
+           array_to_string(kept, ' ') AS clean_text,
+           CAST(len(toks) AS BIGINT) AS n_tokens_before,
+           CAST(len(kept) AS BIGINT) AS n_tokens_after
+    FROM k
+    """,
+)
+def q_repetition_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition REMOVAL (the cleanup twin of q_repetition_stats):
+    collapse consecutive duplicate tokens — the degenerate-generation /
+    boilerplate artifact that inflates token budgets. Higher-order
+    filter over one split, map-only, zero shuffles (Spark's 0-based
+    filter index vs DuckDB's 1-based is mirrored in the oracle)."""
+    return text.with_repetition_removal(_t(spark, sf_dir, "documents"))
 
 
 @query(

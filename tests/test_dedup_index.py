@@ -1,0 +1,83 @@
+"""Persisted band-index incremental near-dup admission
+(operators/dedup_index): the property that distinguishes a PERSISTED
+index from the pure-DataFrame incremental operator is that admissions
+GROW the ledger — a later batch near-dupping a doc admitted two
+batches ago must reject against the stored index, with the original
+corpus long out of scope."""
+
+import pytest
+
+from etl_fraud_detection_spark.operators import dedup_index
+from etl_fraud_detection_spark.pipeline import Warehouse
+
+BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+OTHER = "one two three four five six seven eight nine ten"
+THIRD = "red orange yellow green blue indigo violet cyan magenta white"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "ndwh"))
+
+
+def test_index_grows_across_batches(spark, wh):
+    dedup_index.build(wh, _docs(spark, [(1, BASE), (2, OTHER)]), run_id=1)
+
+    # batch 1: doc 10 duplicates ledger doc 1; doc 11 is new
+    adm1 = {
+        r.doc_id: (r.admitted, r.dup_of)
+        for r in dedup_index.ingest(
+            wh, _docs(spark, [(10, BASE), (11, THIRD)]), run_id=2
+        ).collect()
+    }
+    assert adm1 == {10: (False, 1), 11: (True, None)}
+
+    # batch 2: doc 20 duplicates doc 11 — admitted only ONE batch ago,
+    # never part of the original corpus; doc 21 is new
+    adm2 = {
+        r.doc_id: (r.admitted, r.dup_of)
+        for r in dedup_index.ingest(
+            wh,
+            _docs(spark, [(20, THIRD), (21, "zz yy xx ww vv uu tt ss rr qq")]),
+            run_id=3,
+        ).collect()
+    }
+    assert adm2 == {20: (False, 11), 21: (True, None)}
+
+    # both index tables hold exactly the admitted doc set, atomically
+    ids_sh = {r.doc_id for r in wh.read("index", "nd_shingles").select("doc_id").distinct().collect()}
+    ids_bd = {r.doc_id for r in wh.read("index", "nd_bands").select("doc_id").distinct().collect()}
+    assert ids_sh == ids_bd == {1, 2, 11, 21}
+
+
+def test_rejected_doc_never_pollutes_index(spark, wh):
+    """A rejected near-dup must leave no trace: a later exact copy of
+    the REJECTED doc still resolves to the ORIGINAL ledger doc."""
+    dedup_index.build(wh, _docs(spark, [(1, BASE)]), run_id=1)
+    dedup_index.ingest(wh, _docs(spark, [(10, BASE)]), run_id=2)  # rejected
+    adm = {
+        r.doc_id: (r.admitted, r.dup_of)
+        for r in dedup_index.ingest(
+            wh, _docs(spark, [(30, BASE)]), run_id=3
+        ).collect()
+    }
+    assert adm == {30: (False, 1)}  # dup_of the original, 10 was never stored
+
+
+def test_jaccard_threshold_respected(spark, wh):
+    """A mild edit below tau must admit; identical text must reject
+    with jaccard 1.0."""
+    dedup_index.build(wh, _docs(spark, [(1, BASE)]), run_id=1)
+    edited = "totally different words " + " ".join(BASE.split()[:3])
+    rows = {
+        r.doc_id: r
+        for r in dedup_index.ingest(
+            wh, _docs(spark, [(40, edited), (41, BASE)]), run_id=2, tau=0.8
+        ).collect()
+    }
+    assert rows[40].admitted is True
+    assert rows[41].admitted is False and rows[41].jaccard == 1.0

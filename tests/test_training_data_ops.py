@@ -269,3 +269,21 @@ def test_classifier_learns_separable_labels(spark):
     assert acc == 1.0  # linearly separable by the first coordinate
     cm = {(r.label, r.prediction): r.n for r in ml.confusion_matrix(scored).collect()}
     assert cm == {(0, 0): 20, (1, 1): 20}
+
+
+def test_repetition_removal_collapses_runs(spark):
+    from etl_fraud_detection_spark.operators import text as T
+
+    d = spark.createDataFrame(
+        [
+            (1, "a a a b b c"),          # runs collapse, order kept
+            (2, "x y x y"),              # alternation untouched
+            (3, "solo"),                 # single token unchanged
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in T.with_repetition_removal(d).collect()}
+    assert rows[1].clean_text == "a b c"
+    assert (rows[1].n_tokens_before, rows[1].n_tokens_after) == (6, 3)
+    assert rows[2].clean_text == "x y x y"
+    assert rows[3].clean_text == "solo" and rows[3].n_tokens_after == 1
