@@ -101,3 +101,31 @@ def fuzzy_blocked_pairs(
         .where(F.col("dist") <= max_dist)
         .select("name_a", "name_b", "dist")
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    keys: list[str],
+    num_buckets: int,
+    path: str,
+) -> None:
+    """Materialize ``df`` as a bucketed+sorted external parquet table:
+    rows hash-partitioned into ``num_buckets`` files per partition on
+    ``keys`` and sorted within each bucket. Tables bucketed the same
+    way join and aggregate on those keys with ZERO exchanges — the
+    scan itself carries the hash distribution, which is the ingest-once
+    / join-many-times lever for 100 TB fact tables (the write pays one
+    shuffle; every later join/groupBy on the key pays none).
+
+    The table is external (explicit ``path``), dropped+rewritten on
+    re-run; ``spark.table(name)`` reads it back bucket-aware."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, *keys)
+        .sortBy(*keys)
+        .option("path", path)
+        .saveAsTable(name)
+    )

@@ -1317,6 +1317,50 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_bucketed",
+    oracle="""
+    SELECT l_orderkey AS orderkey,
+           min(o_orderdate) AS o_orderdate,
+           count(*) AS n_items,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-co-located join + aggregate with ZERO exchanges: both
+    sides are materialized as bucketed+sorted tables on the join key
+    (operators/joins.write_bucketed), so the SortMergeJoin reads the
+    hash distribution straight off the scan and the follow-on
+    groupBy(l_orderkey) aggregate reuses it — the whole plan has no
+    Exchange at all (plan-pinned). This is the ingest-once /
+    join-many-times lever for 100 TB fact tables: the bucketing write
+    pays the shuffle once, every later join/agg on the key pays none.
+    The merge hint forces the bucket path over broadcast so the plan
+    demonstrated here is the one a fact×fact join at scale would use."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.joins import write_bucketed
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_buckets_{tag}")
+    write_bucketed(li, f"bkt_lineitem_{tag}", ["l_orderkey"], 8, base + "/li")
+    write_bucketed(o, f"bkt_orders_{tag}", ["o_orderkey"], 8, base + "/o")
+    bl = spark.table(f"bkt_lineitem_{tag}").hint("merge")
+    bo = spark.table(f"bkt_orders_{tag}").hint("merge")
+    j = bl.join(bo, bl["l_orderkey"] == bo["o_orderkey"])
+    return j.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.min("o_orderdate").alias("o_orderdate"),
+        F.count("*").alias("n_items"),
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+    )
+
+
+@query(
     "q_group_quantiles",
     oracle="""
     SELECT event_type,

@@ -386,3 +386,13 @@ def test_global_order_ops_never_single_partition_the_data(spark, name):
     )
     assert len(singles) == 1  # exactly the offsets branch
     assert "_cnt#" in singles[0]  # ...and it carries the tiny count table
+
+
+def test_bucketed_join_and_agg_zero_exchanges(spark):
+    """Both sides bucketed on the join key: the SortMergeJoin AND the
+    follow-on groupBy on the same key must read the distribution off
+    the scan — not one Exchange anywhere in the plan."""
+    p = plan_of(q(spark, "q_join_bucketed"))
+    assert "SortMergeJoin" in p
+    assert count_nodes(p, "Exchange") == 0
+    assert "Bucketed: true" in p
