@@ -1127,7 +1127,7 @@ def q_ingest_xlsx_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return src.read_xlsx_dist(
         spark, d, columns=["terminal_id", "terminal_type", "terminal_city"]
-    ).drop("_src_file")
+    ).drop("_src_file", "_error")
 
 
 # Extension operators (dedup / similarity / text / ML) register on import.

@@ -213,6 +213,7 @@ def read_xlsx_dist(
     spark: SparkSession,
     path: str,
     columns: list[str] | None = None,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Executor-scale XLSX ingest: a batch of workbooks (glob / dir /
     single path) parsed IN PARALLEL, one file per task, no driver
@@ -220,7 +221,14 @@ def read_xlsx_dist(
     executor; `mapInPandas` (Arrow) runs the same pure stdlib parse as
     `read_xlsx` and aligns cells to the output schema BY HEADER NAME,
     so files with reordered or extra columns still land correctly
-    (missing cells -> NULL). Adds `_src_file` for lineage.
+    (missing cells -> NULL). Adds `_src_file` for lineage and
+    `_error` (NULL for clean files).
+
+    ``on_error`` mirrors the CSV quarantine contract (S1b): ``"fail"``
+    aborts the batch on the first corrupt workbook; ``"quarantine"``
+    emits one row per corrupt FILE with NULL data columns and the parse
+    error in ``_error`` — one dirty snapshot among 10k dailies must
+    never fail the load, and the quarantine rows are the audit trail.
 
     ``columns`` is the output contract; when omitted it is inferred
     from one file (bounded driver read of a single workbook — the same
@@ -229,6 +237,8 @@ def read_xlsx_dist(
     10k daily snapshots = 10k independent tasks."""
     import pandas as pd
 
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError(f"on_error must be fail|quarantine, got {on_error!r}")
     bf = spark.read.format("binaryFile").load(path)
     if columns is None:
         first = bf.select("content").limit(1).collect()
@@ -236,11 +246,23 @@ def read_xlsx_dist(
             raise FileNotFoundError(f"no files match {path}")
         columns, _ = _parse_xlsx_bytes(bytes(first[0]["content"]))
     out_cols = list(columns)
+    quarantine = on_error == "quarantine"
 
     def parse(batches):
         for pdf in batches:
             for src, content in zip(pdf["path"], pdf["content"]):
-                header, rows = _parse_xlsx_bytes(bytes(content))
+                try:
+                    header, rows = _parse_xlsx_bytes(bytes(content))
+                except Exception as exc:
+                    if not quarantine:
+                        raise ValueError(f"corrupt workbook {src}: {exc}") from exc
+                    yield pd.DataFrame(
+                        {**{c: [None] for c in out_cols},
+                         "_src_file": [src],
+                         "_error": [f"{type(exc).__name__}: {exc}"]},
+                        columns=out_cols + ["_src_file", "_error"],
+                    )
+                    continue
                 idx = {h: i for i, h in enumerate(header)}
                 cols = {
                     c: [
@@ -250,9 +272,12 @@ def read_xlsx_dist(
                     for c in out_cols
                 }
                 cols["_src_file"] = [src] * len(rows)
-                yield pd.DataFrame(cols, columns=out_cols + ["_src_file"])
+                cols["_error"] = [None] * len(rows)
+                yield pd.DataFrame(cols, columns=out_cols + ["_src_file", "_error"])
 
-    schema = ", ".join(f"`{c}` string" for c in out_cols + ["_src_file"])
+    schema = ", ".join(
+        f"`{c}` string" for c in out_cols + ["_src_file", "_error"]
+    )
     return bf.select("path", "content").mapInPandas(parse, schema)
 
 

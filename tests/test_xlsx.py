@@ -107,7 +107,7 @@ def test_xlsx_dist_infers_columns_from_one_file(spark, tmp_path):
 
     write_xlsx(str(tmp_path / "only.xlsx"), ["k", "v"], [["a", "1"]])
     df = read_xlsx_dist(spark, str(tmp_path))
-    assert df.columns == ["k", "v", "_src_file"]
+    assert df.columns == ["k", "v", "_src_file", "_error"]
     assert df.count() == 1
 
 
@@ -123,3 +123,26 @@ def test_xlsx_driver_guard_redirects_big_files(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(src, "XLSX_DRIVER_MAX_BYTES", 10)
     with pytest.raises(ValueError, match="read_xlsx_dist"):
         src.read_xlsx(spark, p)
+
+
+def test_xlsx_dist_quarantines_corrupt_workbook(spark, tmp_path):
+    """on_error='quarantine': a corrupt workbook among clean ones must
+    produce one NULL-data audit row, never fail the batch; the default
+    'fail' mode must abort."""
+    import pytest
+
+    from etl_fraud_detection_spark.sources.files import read_xlsx_dist
+
+    write_xlsx(str(tmp_path / "good.xlsx"), ["k"], [["v1"], ["v2"]])
+    (tmp_path / "bad.xlsx").write_bytes(b"this is not a zip archive")
+
+    df = read_xlsx_dist(spark, str(tmp_path), columns=["k"], on_error="quarantine")
+    rows = df.collect()
+    good = sorted(r.k for r in rows if r._error is None)
+    bad = [r for r in rows if r._error is not None]
+    assert good == ["v1", "v2"]
+    assert len(bad) == 1 and bad[0].k is None
+    assert "bad.xlsx" in bad[0]._src_file and "BadZipFile" in bad[0]._error
+
+    with pytest.raises(Exception):
+        read_xlsx_dist(spark, str(tmp_path), columns=["k"]).collect()
