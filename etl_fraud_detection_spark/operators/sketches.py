@@ -1,0 +1,130 @@
+"""Engine-portable sketches: deterministic, mergeable approximations
+whose VALUES (not just semantics) are reproducible across engines.
+
+Spark's built-in sketch aggregates (approx_count_distinct = HLL++,
+percentile_approx = t-digest variants) are the right production tools
+— q_sketch_distinct keeps them, rows-only — but their register layouts
+and estimates are implementation-specific: a register file written by
+one engine cannot be verified or merged by another. This module
+implements classic HyperLogLog (Flajolet et al. 2007) from md5 so that
+Spark and the DuckDB oracle compute BIT-IDENTICAL register files and
+estimates:
+
+- hash: first 15 hex digits of md5(key) as a 60-bit BIGINT (the same
+  engine-portable hash discipline as sampling.hash_bucket);
+- m = 2^p registers; register j = h mod m, payload w = h div m
+  (52 bits), rank rho = 53 - bitlength(w) (bin() is minimal-width in
+  both engines; w = 0 -> rho = 53);
+- the harmonic sum is kept EXACT: each register contributes the
+  integer 2^(53 - M_j) (M_j in [1, 53], so the term is in [1, 2^52])
+  and empty registers contribute 2^53 — a BIGINT sum, order-free,
+  max 2^(53+p) << 2^63 for p <= 9;
+- the only float ops are one alpha expression, one divide, and the
+  small-range linear-counting ln, micro-quantized to 1e-6 (the repo's
+  ln discipline — see corpus.py) so a last-ulp libm divergence cannot
+  flip the stored value.
+
+Scale shape: one shuffle on (group, register) then one on group —
+map-side combinable MAX/SUM aggregates, state = m registers per group
+regardless of input size. That mergeability (register files union by
+MAX) is what replaces exact COUNT(DISTINCT) at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """Per-group portable-HLL distinct estimate of ``key_col``.
+
+    Output: group cols + n_zero_regs (empty registers), reg_sum_q53
+    (the exact integer harmonic sum, scaled by 2^53 — the mergeable
+    register digest), hll_estimate (bias-corrected: linear counting
+    below the 2.5m small-range threshold, raw harmonic estimate
+    above; micro-quantized)."""
+    if not 4 <= p <= 9:
+        raise ValueError("p must be in [4, 9] (register sum stays exact)")
+    m = 1 << p
+    h60 = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashed = df.select(*group_cols, h60.alias("_h"))
+    w = F.expr(f"_h div {m}")
+    rho = F.when(w == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(w)))
+    regs = (
+        hashed.select(*group_cols, (F.col("_h") % m).alias("_j"), rho.alias("_rho"))
+        .groupBy(*group_cols, "_j")
+        .agg(F.max("_rho").alias("_mj"))
+    )
+    term = F.pow(F.lit(2.0), F.lit(53) - F.col("_mj")).cast("long")
+    sums = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("_n_regs"),
+        F.sum(term).alias("_present_sum"),
+    )
+    zeros = (F.lit(m) - F.col("_n_regs")).cast("long")
+    reg_sum = (
+        F.col("_present_sum") + zeros * F.lit(1 << 53).cast("long")
+    ).cast("long")
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / m)
+    raw = alpha * m * m * F.lit(float(1 << 53)) / reg_sum.cast("double")
+    lc = m * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when((zeros > 0) & (raw <= 2.5 * m), lc).otherwise(raw)
+    est_q = (F.floor(est * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+        "hll_estimate"
+    )
+    return sums.select(
+        *group_cols,
+        zeros.alias("n_zero_regs"),
+        reg_sum.alias("reg_sum_q53"),
+        est_q,
+    )
+
+
+def hll_oracle_sql(
+    table: str, group_cols: list[str], key_col: str, p: int = 8
+) -> str:
+    """The DuckDB mirror of :func:`hll_distinct` — same hash, same
+    integer register digest, same float expression tree."""
+    m = 1 << p
+    g = ", ".join(group_cols)
+    return f"""
+    WITH h AS (
+        SELECT {g},
+               CAST(('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15)) AS BIGINT) AS h60
+        FROM {table}
+    ),
+    r AS (
+        SELECT {g}, h60 % {m} AS j,
+               CASE WHEN h60 // {m} = 0 THEN 53
+                    ELSE 53 - length(bin(h60 // {m})) END AS rho
+        FROM h
+    ),
+    mx AS (SELECT {g}, j, MAX(rho) AS mj FROM r GROUP BY ALL),
+    s AS (
+        SELECT {g}, COUNT(*) AS n_regs,
+               SUM(CAST(pow(2, 53 - mj) AS BIGINT)) AS present_sum
+        FROM mx GROUP BY ALL
+    ),
+    e AS (
+        SELECT {g},
+               CAST({m} - n_regs AS BIGINT) AS n_zero_regs,
+               CAST(present_sum + ({m} - n_regs) * CAST(pow(2, 53) AS BIGINT) AS BIGINT) AS reg_sum_q53
+        FROM s
+    )
+    SELECT {g}, n_zero_regs, reg_sum_q53,
+           floor(
+             CASE WHEN n_zero_regs > 0
+                   AND (0.7213 / (1.0 + 1.079 / {m})) * {m} * {m} * CAST(pow(2, 53) AS DOUBLE)
+                       / CAST(reg_sum_q53 AS DOUBLE) <= 2.5 * {m}
+                  THEN {m} * ln(CAST({m} AS DOUBLE) / CAST(n_zero_regs AS DOUBLE))
+                  ELSE (0.7213 / (1.0 + 1.079 / {m})) * {m} * {m} * CAST(pow(2, 53) AS DOUBLE)
+                       / CAST(reg_sum_q53 AS DOUBLE)
+             END * 1000000 + 0.5) / 1000000 AS hll_estimate
+    FROM e
+    """

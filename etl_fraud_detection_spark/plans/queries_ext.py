@@ -1897,6 +1897,30 @@ def q_unpivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_oracle() -> str:
+    from ..operators import sketches
+
+    return sketches.hll_oracle_sql("documents", ["lang"], "doc_id")
+
+
+@query("q_hll_portable", oracle=_hll_oracle())
+def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-PORTABLE HyperLogLog distinct count per language
+    (operators/sketches): md5-derived 60-bit hash, 256 integer-exact
+    registers, BIGINT harmonic sum (order-free — no float summation),
+    linear-counting small-range correction under the repo's ln
+    micro-quantization discipline. Unlike q_sketch_distinct (Spark's
+    HLL++, rows-only by necessity), every VALUE here — including the
+    mergeable register digest reg_sum_q53 — is bit-identical in the
+    DuckDB oracle, so sketches built by one engine can be stored,
+    verified, and MAX-merged by another."""
+    from ..operators import sketches
+
+    return sketches.hll_distinct(
+        _t(spark, sf_dir, "documents"), ["lang"], "doc_id"
+    )
+
+
 @query("q_sketch_distinct")  # HLL/t-digest values are engine-specific: rows-only
 def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates per language: HyperLogLog++ distinct counts and

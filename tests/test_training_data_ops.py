@@ -287,3 +287,32 @@ def test_repetition_removal_collapses_runs(spark):
     assert (rows[1].n_tokens_before, rows[1].n_tokens_after) == (6, 3)
     assert rows[2].clean_text == "x y x y"
     assert rows[3].clean_text == "solo" and rows[3].n_tokens_after == 1
+
+
+def test_hll_portable_accuracy_and_stability(spark):
+    """The portable HLL estimate must land within the m=256 error bound
+    of the exact distinct count and be identical under repartitioning
+    (order-free integer register sums)."""
+    from pyspark.sql import functions as F
+
+    from etl_fraud_detection_spark.operators import sketches
+
+    d = spark.range(3000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 7919 % 2500).alias("k"),  # ~collisions: < 1000 distinct per g
+    )
+    exact = {
+        r.g: r.n
+        for r in d.groupBy("g").agg(F.countDistinct("k").alias("n")).collect()
+    }
+    est1 = {
+        r.g: (r.hll_estimate, r.reg_sum_q53)
+        for r in sketches.hll_distinct(d, ["g"], "k").collect()
+    }
+    est2 = {
+        r.g: (r.hll_estimate, r.reg_sum_q53)
+        for r in sketches.hll_distinct(d.repartition(13), ["g"], "k").collect()
+    }
+    assert est1 == est2  # digest + estimate independent of partitioning
+    for g, n in exact.items():
+        assert abs(est1[g][0] - n) / n < 0.25, (g, n, est1[g])
