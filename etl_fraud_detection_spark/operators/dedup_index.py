@@ -109,11 +109,25 @@ def ingest(
     Batch×batch pairs are deliberately out of scope (parity with
     minhash_incremental_pairs): run minhash_lsh_pairs within the batch
     first if intra-batch dedup is wanted.
-    """
-    fps = _fps(batch).persist()
-    batch_bands = _bands_of(fps, num_hashes, bands)
 
+    IDEMPOTENT on replay: a batch doc whose doc_id is already IN the
+    index (foreachBatch redelivery after a crash between index commit
+    and stream checkpoint) reports admitted with no dup partner and is
+    NOT re-appended — without this, the doc would candidate-match
+    itself (jaccard ∞) and duplicate its index rows.
+    """
     idx_bands = wh.read(LAYER, T_BANDS)
+    batch_ids = batch.select("doc_id")
+    already = (
+        idx_bands.join(F.broadcast(batch_ids), ["doc_id"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    new_docs = batch.join(F.broadcast(already), ["doc_id"], "left_anti")
+
+    fps = _fps(new_docs).persist()
+    batch_bands = _bands_of(fps, num_hashes, bands).persist()
+
     candidates = (
         batch_bands.select(F.col("doc_id").alias("a"), "band_idx", "band_hash")
         .join(idx_bands.select(F.col("doc_id").alias("b"), "band_idx", "band_hash"),
@@ -169,6 +183,7 @@ def ingest(
     )
     wh.commit_run(run_id)
     fps.unpersist()
+    batch_bands.unpersist()
     sh_union.unpersist()
     candidates.unpersist()
     return admission

@@ -29,20 +29,53 @@ def hash_bucket(key: Column, buckets: int = 100) -> Column:
     )
 
 
+# Ranged frames persisted by the global-order operators: the data
+# branch and the per-partition-offsets branch BOTH consume the range
+# exchange, and without a shared materialization they would be two
+# independent exchanges — RangePartitioner's reservoir sampling depends
+# on input order, so a nondeterministically-ordered upstream (any prior
+# shuffle) could give the two branches different partition boundaries
+# and corrupt the ranks. persist() makes Catalyst resolve both subtree
+# instances to ONE InMemoryRelation (one exchange, one partitioner), and
+# doubles as the single-scan fix. Same release contract as
+# dedup._PERSISTED_SHINGLES: sweeps call release_ranked() after
+# materializing results instead of relying on LRU eviction.
+_PERSISTED_RANKED: list[DataFrame] = []
+
+
+def release_ranked() -> None:
+    """Unpersist ranged frames cached by the global-order operators."""
+    while _PERSISTED_RANKED:
+        try:
+            _PERSISTED_RANKED.pop().unpersist()
+        except Exception:
+            pass
+
+
 def _ranged_local(df: DataFrame, order_by: list[Column]):
     """Range-partition ``df`` on ``order_by`` and tag each row with its
-    partition id and local (within-partition) row number. Building block
-    for exact global rank/cumsum WITHOUT a single-partition window: the
-    sort is distributed (RangePartitioning + per-partition sort), and
-    global positions follow by adding per-partition offsets.
-
-    Determinism: RangePartitioner's reservoir sampling is seeded from
-    partition indices, so boundaries — and therefore pids — are stable
-    for a given input; equal keys land in one partition, and callers
-    pass tie-broken (unique) sort keys so ranks are unique too."""
-    return df.repartitionByRange(*order_by).withColumn(
-        "_pid", F.spark_partition_id()
+    partition id. Building block for exact global rank/cumsum WITHOUT a
+    single-partition window: the sort is distributed
+    (RangePartitioning + per-partition sort), and global positions
+    follow by adding per-partition offsets. Persisted — see
+    _PERSISTED_RANKED above for why that is a correctness requirement,
+    not a cache."""
+    ranged = (
+        df.repartitionByRange(*order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
+    _PERSISTED_RANKED.append(ranged)
+    return ranged
+
+
+def _ranked(df: DataFrame, order_by: list[Column]):
+    """Shared machinery for rank/ntile: (local frame with _pid + _lrn,
+    broadcast offsets frame with _pid/_off/_total)."""
+    ranged = _ranged_local(df, order_by)
+    w_local = Window.partitionBy("_pid").orderBy(*order_by)
+    local = ranged.withColumn("_lrn", F.row_number().over(w_local))
+    return local, _partition_offsets(ranged)
 
 
 def _partition_offsets(local: DataFrame, value_col: Column | None = None):
@@ -73,10 +106,7 @@ def with_global_rank(
     counts. Equivalent to ``row_number() OVER (ORDER BY ...)`` but never
     funnels the data through one partition — the only global window runs
     over the per-partition count table (≤ shuffle-partitions rows)."""
-    ranged = _ranged_local(df, order_by)
-    w_local = Window.partitionBy("_pid").orderBy(*order_by)
-    local = ranged.withColumn("_lrn", F.row_number().over(w_local))
-    offsets = _partition_offsets(ranged)
+    local, offsets = _ranked(df, order_by)
     return (
         local.join(F.broadcast(offsets), "_pid")
         .withColumn(out_col, (F.col("_lrn") + F.col("_off")).cast("long"))
@@ -94,10 +124,7 @@ def with_global_ntile(
       rank <= r*(q+1)  ->  bucket = (rank-1) div (q+1) + 1
       otherwise        ->  bucket = r + (rank - r*(q+1) - 1) div q + 1
     """
-    ranged = _ranged_local(df, order_by)
-    w_local = Window.partitionBy("_pid").orderBy(*order_by)
-    local = ranged.withColumn("_lrn", F.row_number().over(w_local))
-    offsets = _partition_offsets(ranged)
+    local, offsets = _ranked(df, order_by)
     def idiv(a: Column, b: Column) -> Column:
         # exact integer division: subtract the remainder first so the
         # double divide is of an exact multiple (no boundary off-by-one

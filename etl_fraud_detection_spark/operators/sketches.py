@@ -13,12 +13,12 @@ estimates:
 - hash: first 15 hex digits of md5(key) as a 60-bit BIGINT (the same
   engine-portable hash discipline as sampling.hash_bucket);
 - m = 2^p registers; register j = h mod m, payload w = h div m
-  (52 bits), rank rho = 53 - bitlength(w) (bin() is minimal-width in
-  both engines; w = 0 -> rho = 53);
+  (B = 60 - p bits), rank rho = Q - bitlength(w) with Q = B + 1
+  (bin() is minimal-width in both engines; w = 0 -> rho = Q);
 - the harmonic sum is kept EXACT: each register contributes the
-  integer 2^(53 - M_j) (M_j in [1, 53], so the term is in [1, 2^52])
-  and empty registers contribute 2^53 — a BIGINT sum, order-free,
-  max 2^(53+p) << 2^63 for p <= 9;
+  integer 2^(Q - M_j) (M_j in [1, Q], so the term is in [1, 2^(Q-1)])
+  and empty registers contribute 2^Q — a BIGINT sum, order-free,
+  max m * 2^Q = 2^61 < 2^63 for every p;
 - the only float ops are one alpha expression, one divide, and the
   small-range linear-counting ln, micro-quantized to 1e-6 (the repo's
   ln discipline — see corpus.py) so a last-ulp libm divergence cannot
@@ -43,36 +43,37 @@ def hll_distinct(
 ) -> DataFrame:
     """Per-group portable-HLL distinct estimate of ``key_col``.
 
-    Output: group cols + n_zero_regs (empty registers), reg_sum_q53
-    (the exact integer harmonic sum, scaled by 2^53 — the mergeable
-    register digest), hll_estimate (bias-corrected: linear counting
-    below the 2.5m small-range threshold, raw harmonic estimate
-    above; micro-quantized)."""
+    Output: group cols + n_zero_regs (empty registers),
+    reg_sum_scaled (the exact integer harmonic sum, scaled by
+    2^(61 - p) — the mergeable register digest), hll_estimate
+    (bias-corrected: linear counting below the 2.5m small-range
+    threshold, raw harmonic estimate above; micro-quantized)."""
     if not 4 <= p <= 9:
         raise ValueError("p must be in [4, 9] (register sum stays exact)")
     m = 1 << p
+    q = 61 - p  # payload bits + 1: max rank, and the digest scale exponent
     h60 = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
     hashed = df.select(*group_cols, h60.alias("_h"))
     w = F.expr(f"_h div {m}")
-    rho = F.when(w == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(w)))
+    rho = F.when(w == 0, F.lit(q)).otherwise(F.lit(q) - F.length(F.bin(w)))
     regs = (
         hashed.select(*group_cols, (F.col("_h") % m).alias("_j"), rho.alias("_rho"))
         .groupBy(*group_cols, "_j")
         .agg(F.max("_rho").alias("_mj"))
     )
-    term = F.pow(F.lit(2.0), F.lit(53) - F.col("_mj")).cast("long")
+    term = F.pow(F.lit(2.0), F.lit(q) - F.col("_mj")).cast("long")
     sums = regs.groupBy(*group_cols).agg(
         F.count("*").alias("_n_regs"),
         F.sum(term).alias("_present_sum"),
     )
     zeros = (F.lit(m) - F.col("_n_regs")).cast("long")
     reg_sum = (
-        F.col("_present_sum") + zeros * F.lit(1 << 53).cast("long")
+        F.col("_present_sum") + zeros * F.lit(1 << q).cast("long")
     ).cast("long")
     alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / m)
-    raw = alpha * m * m * F.lit(float(1 << 53)) / reg_sum.cast("double")
+    raw = alpha * m * m * F.lit(float(1 << q)) / reg_sum.cast("double")
     lc = m * F.log(F.lit(float(m)) / zeros.cast("double"))
     est = F.when((zeros > 0) & (raw <= 2.5 * m), lc).otherwise(raw)
     est_q = (F.floor(est * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
@@ -81,7 +82,7 @@ def hll_distinct(
     return sums.select(
         *group_cols,
         zeros.alias("n_zero_regs"),
-        reg_sum.alias("reg_sum_q53"),
+        reg_sum.alias("reg_sum_scaled"),
         est_q,
     )
 
@@ -92,6 +93,7 @@ def hll_oracle_sql(
     """The DuckDB mirror of :func:`hll_distinct` — same hash, same
     integer register digest, same float expression tree."""
     m = 1 << p
+    q = 61 - p
     g = ", ".join(group_cols)
     return f"""
     WITH h AS (
@@ -101,30 +103,30 @@ def hll_oracle_sql(
     ),
     r AS (
         SELECT {g}, h60 % {m} AS j,
-               CASE WHEN h60 // {m} = 0 THEN 53
-                    ELSE 53 - length(bin(h60 // {m})) END AS rho
+               CASE WHEN h60 // {m} = 0 THEN {q}
+                    ELSE {q} - length(bin(h60 // {m})) END AS rho
         FROM h
     ),
     mx AS (SELECT {g}, j, MAX(rho) AS mj FROM r GROUP BY ALL),
     s AS (
         SELECT {g}, COUNT(*) AS n_regs,
-               SUM(CAST(pow(2, 53 - mj) AS BIGINT)) AS present_sum
+               SUM(CAST(pow(2, {q} - mj) AS BIGINT)) AS present_sum
         FROM mx GROUP BY ALL
     ),
     e AS (
         SELECT {g},
                CAST({m} - n_regs AS BIGINT) AS n_zero_regs,
-               CAST(present_sum + ({m} - n_regs) * CAST(pow(2, 53) AS BIGINT) AS BIGINT) AS reg_sum_q53
+               CAST(present_sum + ({m} - n_regs) * CAST(pow(2, {q}) AS BIGINT) AS BIGINT) AS reg_sum_scaled
         FROM s
     )
-    SELECT {g}, n_zero_regs, reg_sum_q53,
+    SELECT {g}, n_zero_regs, reg_sum_scaled,
            floor(
              CASE WHEN n_zero_regs > 0
-                   AND (0.7213 / (1.0 + 1.079 / {m})) * {m} * {m} * CAST(pow(2, 53) AS DOUBLE)
-                       / CAST(reg_sum_q53 AS DOUBLE) <= 2.5 * {m}
+                   AND (0.7213 / (1.0 + 1.079 / {m})) * {m} * {m} * CAST(pow(2, {q}) AS DOUBLE)
+                       / CAST(reg_sum_scaled AS DOUBLE) <= 2.5 * {m}
                   THEN {m} * ln(CAST({m} AS DOUBLE) / CAST(n_zero_regs AS DOUBLE))
-                  ELSE (0.7213 / (1.0 + 1.079 / {m})) * {m} * {m} * CAST(pow(2, 53) AS DOUBLE)
-                       / CAST(reg_sum_q53 AS DOUBLE)
+                  ELSE (0.7213 / (1.0 + 1.079 / {m})) * {m} * {m} * CAST(pow(2, {q}) AS DOUBLE)
+                       / CAST(reg_sum_scaled AS DOUBLE)
              END * 1000000 + 0.5) / 1000000 AS hll_estimate
     FROM e
     """

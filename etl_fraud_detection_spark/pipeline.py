@@ -326,12 +326,17 @@ class Warehouse:
         )
 
     def _tables(self):
-        for layer in ("stg", "dwh", "rep"):
+        # enumerate layers from disk, not a hardcoded list — extension
+        # layers (e.g. the dedup band index's "index") must appear in
+        # commit manifests or their versions are invisible to
+        # recover()/read_at() and unprotected from retention pruning
+        for layer in sorted(os.listdir(self.root)):
+            if layer == "meta" or not os.path.isdir(os.path.join(self.root, layer)):
+                continue
             d = os.path.join(self.root, layer)
-            if os.path.isdir(d):
-                for t in sorted(os.listdir(d)):
-                    if os.path.isdir(os.path.join(d, t)):
-                        yield layer, t
+            for t in sorted(os.listdir(d)):
+                if os.path.isdir(os.path.join(d, t)):
+                    yield layer, t
 
     def begin_run(self, run_id: int) -> None:
         """Open the run's write-ahead journal: per-table rollback

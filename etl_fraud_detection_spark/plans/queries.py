@@ -1109,11 +1109,15 @@ def q_ingest_xlsx_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the second fixture file has reordered + extra columns), zero
     driver materialization. The single-workbook path (q_ingest_xlsx)
     stays driver-side behind an explicit size guard."""
+    import shutil
     import tempfile
 
     from ..sources import files as src
 
     d = os.path.join(tempfile.gettempdir(), "spark_graft_ingest_xlsx_dist")
+    # wipe first: the reader globs the whole dir, so a stale file from
+    # an older fixture layout would add rows and break oracle parity
+    shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     src.write_xlsx(
         os.path.join(d, "terminals_a.xlsx"),

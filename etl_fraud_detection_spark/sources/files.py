@@ -241,10 +241,21 @@ def read_xlsx_dist(
         raise ValueError(f"on_error must be fail|quarantine, got {on_error!r}")
     bf = spark.read.format("binaryFile").load(path)
     if columns is None:
-        first = bf.select("content").limit(1).collect()
+        # infer from the SMALLEST file (binaryFile lists largest-first,
+        # so a naive limit(1) would pull the biggest workbook's bytes
+        # onto the driver) and hold it to the same driver-size guard as
+        # read_xlsx
+        first = bf.select("content").orderBy("length").limit(1).collect()
         if not first:
             raise FileNotFoundError(f"no files match {path}")
-        columns, _ = _parse_xlsx_bytes(bytes(first[0]["content"]))
+        blob = bytes(first[0]["content"])
+        if len(blob) > XLSX_DRIVER_MAX_BYTES:
+            raise ValueError(
+                f"cannot infer columns: smallest workbook under {path} is "
+                f"{len(blob)} bytes (> {XLSX_DRIVER_MAX_BYTES}); pass "
+                "columns= explicitly"
+            )
+        columns, _ = _parse_xlsx_bytes(blob)
     out_cols = list(columns)
     quarantine = on_error == "quarantine"
 

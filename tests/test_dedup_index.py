@@ -81,3 +81,35 @@ def test_jaccard_threshold_respected(spark, wh):
     }
     assert rows[40].admitted is True
     assert rows[41].admitted is False and rows[41].jaccard == 1.0
+
+
+def test_ingest_replay_is_idempotent(spark, wh):
+    """foreachBatch redelivery (crash between index commit and stream
+    checkpoint): re-ingesting an already-indexed doc must report it
+    admitted without self-matching, and must NOT duplicate its index
+    rows."""
+    dedup_index.build(wh, _docs(spark, [(1, BASE)]), run_id=1)
+    dedup_index.ingest(wh, _docs(spark, [(11, THIRD)]), run_id=2)
+    adm = {
+        r.doc_id: (r.admitted, r.dup_of)
+        for r in dedup_index.ingest(
+            wh, _docs(spark, [(11, THIRD)]), run_id=3
+        ).collect()
+    }
+    assert adm == {11: (True, None)}
+    assert wh.read("index", "nd_bands").where("doc_id = 11").count() == 3
+    assert (
+        wh.read("index", "nd_shingles").select("doc_id", "sh_fp").distinct().count()
+        == wh.read("index", "nd_shingles").count()
+    )
+
+
+def test_index_layer_in_commit_manifest(spark, wh):
+    """The index layer must participate in warehouse commit manifests:
+    read_at() time travel resolves it, so retention protects it."""
+    dedup_index.build(wh, _docs(spark, [(1, BASE)]), run_id=1)
+    dedup_index.ingest(wh, _docs(spark, [(11, THIRD)]), run_id=2)
+    at_build = wh.read_at("index", "nd_bands", 1)
+    assert at_build is not None and at_build.select("doc_id").distinct().count() == 1
+    at_ingest = wh.read_at("index", "nd_bands", 2)
+    assert {r.doc_id for r in at_ingest.select("doc_id").distinct().collect()} == {1, 11}

@@ -306,13 +306,20 @@ def test_hll_portable_accuracy_and_stability(spark):
         for r in d.groupBy("g").agg(F.countDistinct("k").alias("n")).collect()
     }
     est1 = {
-        r.g: (r.hll_estimate, r.reg_sum_q53)
+        r.g: (r.hll_estimate, r.reg_sum_scaled)
         for r in sketches.hll_distinct(d, ["g"], "k").collect()
     }
     est2 = {
-        r.g: (r.hll_estimate, r.reg_sum_q53)
+        r.g: (r.hll_estimate, r.reg_sum_scaled)
         for r in sketches.hll_distinct(d.repartition(13), ["g"], "k").collect()
     }
     assert est1 == est2  # digest + estimate independent of partitioning
     for g, n in exact.items():
         assert abs(est1[g][0] - n) / n < 0.25, (g, n, est1[g])
+    # the rank/scale arithmetic must hold for EVERY p, not just the
+    # default (the payload width varies with p)
+    for p in (4, 6, 9):
+        tol = 2.5 * 1.04 / (1 << p) ** 0.5 + 0.05  # ~2.5 sigma + lc slack
+        for r in sketches.hll_distinct(d, ["g"], "k", p=p).collect():
+            n = exact[r.g]
+            assert abs(r.hll_estimate - n) / n < tol, (p, r.g, n, r.hll_estimate)
