@@ -172,10 +172,14 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest coarse centroid
-    (cosine argmax, ties by centroid id), then search only the query's
-    cell (nprobe=1).
+    (cosine argmax, ties by centroid id), then search the query's
+    ``nprobe`` nearest cells (candidates always live in exactly one
+    cell, so each (query, candidate) pair scores at most once and no
+    dedup pass is needed). nprobe is the standard IVF recall/cost dial:
+    cost grows linearly in probed cells, recall approaches brute force.
 
     The coarse quantizer here is deterministic — the ``n_centroids``
     lowest-id vectors act as centroids — so the whole operator is
@@ -199,19 +203,22 @@ def ivf_topk(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
         norm(F.col(vec_col)).alias("vnorm"),
     )
-    assigned = (
+    ranked = (
         base.crossJoin(F.broadcast(cen))
         .select(
             "vid", "vec", "vnorm", "cid",
             (dot(F.col("vec"), F.col("cen_vec")) / (F.col("vnorm") * F.col("cen_norm"))).alias("a_cos"),
         )
         .withColumn("arn", F.row_number().over(w_assign))
-        .where(F.col("arn") == 1)
-        .select("vid", "vec", "vnorm", "cid")
     )
-    q = assigned.where(query_pred.replace(id_col, "vid")).select(
-        F.col("vid").alias("query_id"), F.col("vec").alias("q_vec"),
-        F.col("vnorm").alias("q_norm"), "cid",
+    assigned = ranked.where(F.col("arn") == 1).select("vid", "vec", "vnorm", "cid")
+    q = (
+        ranked.where(F.col("arn") <= nprobe)
+        .where(query_pred.replace(id_col, "vid"))
+        .select(
+            F.col("vid").alias("query_id"), F.col("vec").alias("q_vec"),
+            F.col("vnorm").alias("q_norm"), "cid",
+        )
     )
     c = assigned.select(
         F.col("vid").alias("cand_id"), F.col("vec").alias("c_vec"),

@@ -509,6 +509,43 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"), k=3)
 
 
+def _ivf_nprobe_oracle() -> str:
+    return f"""
+    WITH cen AS (SELECT vec_id AS cid, embedding AS cen_vec FROM embeddings WHERE vec_id < 16),
+    assign AS (
+        SELECT e.vec_id AS vid, e.embedding AS vec, cid,
+               {_cos_sql('e.embedding', 'cen_vec')} AS a_cos,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e.embedding', 'cen_vec')} DESC, cid) AS arn
+        FROM embeddings e CROSS JOIN cen
+    ),
+    cells AS (SELECT vid, vec, cid FROM assign WHERE arn = 1),
+    q AS (SELECT vid AS query_id, vec AS q_vec, cid
+          FROM assign WHERE arn <= 2 AND vid < 50),
+    c AS (SELECT vid AS cand_id, vec AS c_vec, cid FROM cells),
+    scored AS (
+        SELECT query_id, cand_id, {_cos_sql('q_vec', 'c_vec')} AS cos
+        FROM c JOIN q USING (cid) WHERE cand_id != query_id
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, cand_id) AS rnk
+          FROM scored)
+    SELECT query_id, cand_id, rnk, cos FROM r WHERE rnk <= 3
+    """
+
+
+@query("q_ann_ivf_nprobe", oracle=_ivf_nprobe_oracle())
+def q_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=2 — the standard recall/cost dial: each
+    query searches its TWO nearest cells (candidates still live in
+    exactly one cell, so no pair ever scores twice). Cost grows
+    linearly in probed cells; recall approaches brute force. Same
+    broadcast-assignment + cell-key shuffle shape as q_ann_ivf_topk."""
+    return similarity.ivf_topk(
+        _t(spark, sf_dir, "embeddings"), k=3, nprobe=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns (binary payload + typed metadata, mapInPandas)
 # ---------------------------------------------------------------------------
@@ -1942,7 +1979,8 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a *trained* coarse quantizer: MLlib KMeans (seeded,
     k-means|| init) supplies the centroids; assignment/search identical
     to q_ann_ivf_topk. No SQL oracle (Lloyd's is iterative); recall vs
-    brute force is asserted in tests/test_ann_kmeans.py."""
+    brute force is asserted in
+    tests/test_temporal_ops.py::test_kmeans_ivf_schema_and_recall."""
     emb = _t(spark, sf_dir, "embeddings")
     cen = similarity.kmeans_centroids(emb, n_centroids=8)
     return similarity.ivf_topk(emb, k=3, query_pred="vec_id < 50", centroids=cen)

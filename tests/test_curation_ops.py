@@ -162,3 +162,23 @@ def test_with_global_cumsum_matches_window(spark):
         for r in d.select("k", F.sum("w").over(w).cast("long").alias("cum")).collect()
     }
     assert got == want
+
+
+def test_global_rank_edge_cases(spark):
+    """Empty and single-row inputs through every global-order helper."""
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame([], "doc_id long, n long")
+    key = [F.col("doc_id").asc()]
+    assert sampling.with_global_rank(e, key).count() == 0
+    assert sampling.with_global_ntile(e, key, 10).count() == 0
+    assert sampling.with_global_cumsum(e, key, F.col("n"), "c").count() == 0
+
+    s = spark.createDataFrame([(7, 3)], "doc_id long, n long")
+    (r,) = sampling.with_global_rank(s, key).collect()
+    assert r.rn == 1
+    (r,) = sampling.with_global_ntile(s, key, 10).collect()
+    assert r.bucket == 1
+    (r,) = sampling.with_global_cumsum(s, key, F.col("n"), "c").collect()
+    assert r.c == 3
+    sampling.release_ranked()

@@ -109,7 +109,14 @@ def test_kmeans_ivf_schema_and_recall(spark):
     e = {(r.query_id, r.cand_id) for r in exact.collect()}
     assert len(a) > 0
     # nprobe=1 IVF recall against exact top-3: loose floor, seeded so stable
-    assert len(a & e) / len(e) >= 0.2
+    r1 = len(a & e) / len(e)
+    assert r1 >= 0.2
+    # nprobe=2 probes a strict superset of cells -> recall never drops
+    two = similarity.ivf_topk(
+        emb, k=3, query_pred="vec_id < 20", centroids=cen, nprobe=2
+    )
+    a2 = {(r.query_id, r.cand_id) for r in two.collect()}
+    assert len(a2 & e) / len(e) >= r1
 
 
 def test_resample_ffill_gapfill_and_ties(spark):

@@ -55,6 +55,14 @@ PROBES = [
     "q_stream_sessions",
     "q_stream_join",
     "q_stream_rule3",
+    # round-4: distributed exact global ordering (the shapes that used
+    # to be single-partition windows — the probe proves the curve is
+    # now linear-ish), the persisted band index, the portable sketch
+    "q_epoch_shuffle",
+    "q_length_buckets",
+    "q_pack_sequences",
+    "q_dedup_band_index",
+    "q_hll_portable",
 ]
 
 _STREAM_VIEWS = (
