@@ -396,3 +396,23 @@ def test_bucketed_join_and_agg_zero_exchanges(spark):
     assert "SortMergeJoin" in p
     assert count_nodes(p, "Exchange") == 0
     assert "Bucketed: true" in p
+
+
+def test_hll_portable_two_hash_aggregates_no_data_window(spark):
+    """Portable HLL must be two map-side-combinable aggregations
+    (register max, then group sum) — no window, no join, no sort over
+    the data."""
+    p = plan_of(q(spark, "q_hll_portable"))
+    assert count_nodes(p, "HashAggregate") >= 4  # partial+final x2
+    assert "Window" not in p and "Join" not in p
+
+
+def test_ivf_nprobe_broadcast_assignment(spark):
+    """nprobe IVF keeps the nprobe=1 shape: centroid assignment via
+    broadcast nested loop over the tiny centroid set, candidate/query
+    meet through an equi-join on the cell id — never a corpus-level
+    cartesian."""
+    p = plan_of(q(spark, "q_ann_ivf_nprobe"))
+    assert "BroadcastNestedLoopJoin" in p  # N x K centroid assignment
+    assert count_nodes(p, "BroadcastHashJoin") >= 1  # cell-key join
+    assert "CartesianProduct" not in p
