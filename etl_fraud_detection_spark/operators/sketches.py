@@ -35,19 +35,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def hll_distinct(
+def hll_registers(
     df: DataFrame,
     group_cols: list[str],
     key_col: str,
     p: int = 8,
 ) -> DataFrame:
-    """Per-group portable-HLL distinct estimate of ``key_col``.
-
-    Output: group cols + n_zero_regs (empty registers),
-    reg_sum_scaled (the exact integer harmonic sum, scaled by
-    2^(61 - p) — the mergeable register digest), hll_estimate
-    (bias-corrected: linear counting below the 2.5m small-range
-    threshold, raw harmonic estimate above; micro-quantized)."""
+    """Per-group register FILE: one (group cols, j, mj) row per
+    non-empty register — the unit of cross-engine exchange. Two
+    register files over disjoint or overlapping inputs MERGE with
+    :func:`hll_merge` (union + MAX per register), which is exactly how
+    per-shard / per-day sketches combine at 100 TB without rescanning."""
     if not 4 <= p <= 9:
         raise ValueError("p must be in [4, 9] (register sum stays exact)")
     m = 1 << p
@@ -58,12 +56,32 @@ def hll_distinct(
     hashed = df.select(*group_cols, h60.alias("_h"))
     w = F.expr(f"_h div {m}")
     rho = F.when(w == 0, F.lit(q)).otherwise(F.lit(q) - F.length(F.bin(w)))
-    regs = (
-        hashed.select(*group_cols, (F.col("_h") % m).alias("_j"), rho.alias("_rho"))
-        .groupBy(*group_cols, "_j")
-        .agg(F.max("_rho").alias("_mj"))
+    return (
+        hashed.select(*group_cols, (F.col("_h") % m).alias("j"), rho.alias("_rho"))
+        .groupBy(*group_cols, "j")
+        .agg(F.max("_rho").cast("int").alias("mj"))
     )
-    term = F.pow(F.lit(2.0), F.lit(q) - F.col("_mj")).cast("long")
+
+
+def hll_merge(*reg_files: DataFrame) -> DataFrame:
+    """MAX-merge register files (same group cols + (j, mj) schema):
+    the sketch union. Estimating the merged file counts the distinct
+    union of all inputs — no rescan of any corpus."""
+    out = reg_files[0]
+    for r in reg_files[1:]:
+        out = out.unionByName(r)
+    keys = [c for c in out.columns if c not in ("mj",)]
+    return out.groupBy(*keys).agg(F.max("mj").cast("int").alias("mj"))
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: list[str], p: int = 8
+) -> DataFrame:
+    """Digest + estimate from a register file (see hll_distinct for
+    the output contract)."""
+    m = 1 << p
+    q = 61 - p
+    term = F.pow(F.lit(2.0), F.lit(q) - F.col("mj")).cast("long")
     sums = regs.groupBy(*group_cols).agg(
         F.count("*").alias("_n_regs"),
         F.sum(term).alias("_present_sum"),
@@ -84,6 +102,25 @@ def hll_distinct(
         zeros.alias("n_zero_regs"),
         reg_sum.alias("reg_sum_scaled"),
         est_q,
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """Per-group portable-HLL distinct estimate of ``key_col``.
+
+    Output: group cols + n_zero_regs (empty registers),
+    reg_sum_scaled (the exact integer harmonic sum, scaled by
+    2^(61 - p) — the register digest), hll_estimate (bias-corrected:
+    linear counting below the 2.5m small-range threshold, raw harmonic
+    estimate above; micro-quantized). Composition of
+    :func:`hll_registers` + :func:`hll_estimate_from_registers`."""
+    return hll_estimate_from_registers(
+        hll_registers(df, group_cols, key_col, p), group_cols, p
     )
 
 

@@ -323,3 +323,27 @@ def test_hll_portable_accuracy_and_stability(spark):
         for r in sketches.hll_distinct(d, ["g"], "k", p=p).collect():
             n = exact[r.g]
             assert abs(r.hll_estimate - n) / n < tol, (p, r.g, n, r.hll_estimate)
+
+
+def test_hll_merge_equals_union_sketch(spark):
+    """The mergeability contract: MAX-merging the register files of two
+    overlapping corpora yields EXACTLY the union's register file (and
+    therefore its digest/estimate) — per-shard sketches combine without
+    rescanning."""
+    from pyspark.sql import functions as F
+
+    from etl_fraud_detection_spark.operators import sketches
+
+    a = spark.range(0, 1500).select(F.lit("g").alias("g"), F.col("id").alias("k"))
+    b = spark.range(1000, 2500).select(F.lit("g").alias("g"), F.col("id").alias("k"))
+    merged = sketches.hll_merge(
+        sketches.hll_registers(a, ["g"], "k"),
+        sketches.hll_registers(b, ["g"], "k"),
+    )
+    union = sketches.hll_registers(a.unionByName(b), ["g"], "k")
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in union.collect()}
+    est_m = sketches.hll_estimate_from_registers(merged, ["g"]).collect()[0]
+    est_u = sketches.hll_estimate_from_registers(union, ["g"]).collect()[0]
+    assert (est_m.reg_sum_scaled, est_m.hll_estimate) == (
+        est_u.reg_sum_scaled, est_u.hll_estimate,
+    )
