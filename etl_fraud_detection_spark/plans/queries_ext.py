@@ -1958,6 +1958,27 @@ def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_hll_merge", oracle=_hll_oracle())
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGE without rescan: the corpus splits into two halves
+    (doc_id parity), each half builds its own register file, and
+    MAX-merging the files then estimating must equal the whole-corpus
+    sketch EXACTLY — the oracle is deliberately the same SQL as
+    q_hll_portable (one sketch over all documents). This is the
+    per-shard/per-day combine pattern that replaces COUNT(DISTINCT)
+    re-aggregation at 100 TB."""
+    from ..operators import sketches
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    merged = sketches.hll_merge(
+        sketches.hll_registers(a, ["lang"], "doc_id"),
+        sketches.hll_registers(b, ["lang"], "doc_id"),
+    )
+    return sketches.hll_estimate_from_registers(merged, ["lang"])
+
+
 @query("q_sketch_distinct")  # HLL/t-digest values are engine-specific: rows-only
 def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates per language: HyperLogLog++ distinct counts and
