@@ -88,13 +88,23 @@ def build(
 def ingest(
     wh,
     batch: DataFrame,
-    run_id: int,
+    run_id: int | None = None,
     tau: float = 0.8,
     num_hashes: int = NUM_HASHES,
     bands: int = BANDS,
+    commit: bool = True,
 ) -> DataFrame:
     """Admit a batch against the persisted index; returns the admission
     frame (doc_id, admitted, dup_of, jaccard) for every batch doc.
+
+    ``commit=False`` is the WHAT-IF / read-only mode: verdicts are
+    computed against the current index but nothing is appended — the
+    returned frame stays lazy (its full probe/verify plan is
+    inspectable), intermediates register with
+    ``dedup.release_shingles`` instead of being eagerly dropped, and
+    ``run_id`` is not required. Use it for reproducible backfill
+    checks or admission previews; the default committing mode is the
+    service path.
 
     Steps (cost ∝ batch, never corpus):
     1. batch fingerprints + bands — linear in batch shingles.
@@ -150,9 +160,6 @@ def ingest(
     )
     rejects = dedup._jaccard_between(sh_union, candidates, tau)
 
-    # materialize the verdict ONCE (eager) — the two appends and the
-    # returned frame all read this checkpoint, never re-running the
-    # candidate/verify pipeline
     admission = (
         batch.select("doc_id")
         .join(
@@ -168,9 +175,22 @@ def ingest(
             "dup_of",
             "jaccard",
         )
-        .localCheckpoint()
     )
 
+    if not commit:
+        # read-only: hand the persisted intermediates to the shared
+        # release registry (callers/sweeps drop them after
+        # materializing) and return the LAZY plan
+        for frame in (fps, batch_bands, sh_union, candidates):
+            dedup._PERSISTED_SHINGLES.append(frame)
+        return admission
+
+    if run_id is None:
+        raise ValueError("run_id is required when commit=True")
+    # materialize the verdict ONCE (eager) — the two appends and the
+    # returned frame all read this checkpoint, never re-running the
+    # candidate/verify pipeline
+    admission = admission.localCheckpoint()
     admitted_ids = admission.where("admitted").select("doc_id")
     wh.begin_run(run_id)
     wh.append(

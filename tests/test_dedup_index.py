@@ -113,3 +113,31 @@ def test_index_layer_in_commit_manifest(spark, wh):
     assert at_build is not None and at_build.select("doc_id").distinct().count() == 1
     at_ingest = wh.read_at("index", "nd_bands", 2)
     assert {r.doc_id for r in at_ingest.select("doc_id").distinct().collect()} == {1, 11}
+
+
+def test_readonly_ingest_matches_commit_and_leaves_index_pristine(spark, wh):
+    """commit=False must produce identical verdicts to the committing
+    path and leave both index tables untouched."""
+    from etl_fraud_detection_spark.operators import dedup
+
+    dedup_index.build(wh, _docs(spark, [(1, BASE), (2, OTHER)]), run_id=1)
+    batch = _docs(spark, [(10, BASE), (11, THIRD)])
+    dry = {
+        r.doc_id: (r.admitted, r.dup_of)
+        for r in dedup_index.ingest(wh, batch, commit=False).collect()
+    }
+    dedup.release_shingles()
+    assert dry == {10: (False, 1), 11: (True, None)}
+    ids = {r.doc_id for r in wh.read("index", "nd_bands").select("doc_id").distinct().collect()}
+    assert ids == {1, 2}  # nothing appended
+    wet = {
+        r.doc_id: (r.admitted, r.dup_of)
+        for r in dedup_index.ingest(wh, batch, run_id=2).collect()
+    }
+    assert wet == dry
+
+
+def test_commit_requires_run_id(spark, wh):
+    dedup_index.build(wh, _docs(spark, [(1, BASE)]), run_id=1)
+    with pytest.raises(ValueError, match="run_id"):
+        dedup_index.ingest(wh, _docs(spark, [(10, OTHER)]))
