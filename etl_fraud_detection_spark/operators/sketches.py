@@ -167,3 +167,91 @@ def hll_oracle_sql(
              END * 1000000 + 0.5) / 1000000 AS hll_estimate
     FROM e
     """
+
+
+def _bloom_h(key_col: str):
+    """Two independent 60-bit hashes from one md5 (hex slices 1-15 and
+    16-30) — the Kirsch-Mitzenmacher double-hash base: position_i =
+    (h1 + i*h2) mod m simulates k independent hash functions with
+    provably preserved false-positive behavior."""
+    md5 = F.md5(F.col(key_col).cast("string"))
+    h1 = F.conv(F.substring(md5, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md5, 16, 15), 16, 10).cast("long")
+    return h1, h2
+
+
+def bloom_positions(
+    keys: DataFrame, key_col: str, m_bits: int = 1 << 16, k: int = 3
+) -> DataFrame:
+    """Portable Bloom filter of a key set, materialized as its DISTINCT
+    set bit positions (one bigint per set bit) — the exchange/merge
+    unit: filters over two key sets union by DISTINCT-union of their
+    position tables, and any engine that can compute md5 can build or
+    probe the same filter (the DuckDB oracle does). Size is at most
+    min(|keys|*k, m_bits) rows ≤ m_bits — broadcastable by
+    construction."""
+    h1, h2 = _bloom_h(key_col)
+    poss = F.array(*[(h1 + F.lit(i) * h2) % m_bits for i in range(k)])
+    return (
+        keys.select(F.explode(poss).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_might_contain(
+    df: DataFrame,
+    key_col: str,
+    positions: DataFrame,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """Keep the rows of ``df`` whose key MIGHT be in the Bloom filter:
+    k broadcast LEFT SEMI joins, one per probe position — the big side
+    never shuffles and never materializes its own hash table. This is
+    the shuffle-avoidance pre-filter for a selective join at 100 TB:
+    drop the (1 - fp-rate) of the fact table that provably cannot
+    match BEFORE the real join pays any network. No false negatives;
+    false-positive rate ~ (1 - e^(-kn/m))^k."""
+    h1, h2 = _bloom_h(key_col)
+    out = df
+    for i in range(k):
+        probe = ((h1 + F.lit(i) * h2) % m_bits).alias("_probe")
+        out = (
+            out.withColumn("_probe", probe)
+            .join(F.broadcast(positions), F.col("_probe") == F.col("pos"), "left_semi")
+            .drop("_probe")
+        )
+    return out
+
+
+def bloom_oracle_sql(
+    big_table: str,
+    key_col: str,
+    keys_sql: str,
+    select_cols: str,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> str:
+    """DuckDB mirror of bloom_positions + bloom_might_contain:
+    ``keys_sql`` is a SELECT producing the filter's key column named
+    ``key``; rows of ``big_table`` survive when every probe position
+    exists in the position set."""
+    def h(expr: str, i: int) -> str:
+        return (
+            f"(CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 15)) AS BIGINT)"
+            f" + {i} * CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 16, 15)) AS BIGINT))"
+            f" % {m_bits}"
+        )
+
+    pos_union = "\n        UNION ".join(
+        f"SELECT {h('key', i)} AS pos FROM keyset" for i in range(k)
+    )
+    probes = " AND ".join(
+        f"EXISTS (SELECT 1 FROM pos WHERE pos = {h(f'b.{key_col}', i)})"
+        for i in range(k)
+    )
+    return f"""
+    WITH keyset AS ({keys_sql}),
+    pos AS ({pos_union})
+    SELECT {select_cols} FROM {big_table} b WHERE {probes}
+    """

@@ -1992,6 +1992,44 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hll_estimate_from_registers(merged, ["lang"])
 
 
+def _bloom_oracle() -> str:
+    from ..operators import sketches
+
+    return sketches.bloom_oracle_sql(
+        "events",
+        "user_id",
+        "SELECT DISTINCT user_id AS key FROM events WHERE user_id % 97 = 0",
+        "b.event_id, b.user_id",
+        m_bits=1024,
+        k=3,
+    )
+
+
+@query("q_bloom_prefilter", oracle=_bloom_oracle())
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom pre-join filter (operators/sketches): a small
+    suspect key set (user_id % 97 == 0) becomes a 1024-bit filter
+    materialized as its distinct set-bit positions; the event stream
+    keeps only might-contain rows via k=3 broadcast semi-joins — the
+    big side never shuffles, no false negatives, and the same md5
+    double-hash positions verify bit-identically in DuckDB. The
+    shuffle-avoidance shape for selective fact×dim joins at 100 TB
+    (Spark's own runtime bloom join is engine-internal; this one is an
+    exchangeable artifact another system can build or probe)."""
+    from ..operators import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    susp = (
+        ev.where(F.col("user_id") % 97 == 0)
+        .select(F.col("user_id").alias("key"))
+        .distinct()
+    )
+    pos = sketches.bloom_positions(susp, "key", m_bits=1024, k=3)
+    return sketches.bloom_might_contain(
+        ev.select("event_id", "user_id"), "user_id", pos, m_bits=1024, k=3
+    )
+
+
 @query("q_sketch_distinct")  # HLL/t-digest values are engine-specific: rows-only
 def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates per language: HyperLogLog++ distinct counts and

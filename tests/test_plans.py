@@ -416,3 +416,11 @@ def test_ivf_nprobe_broadcast_assignment(spark):
     assert "BroadcastNestedLoopJoin" in p  # N x K centroid assignment
     assert count_nodes(p, "BroadcastHashJoin") >= 1  # cell-key join
     assert "CartesianProduct" not in p
+
+
+def test_bloom_prefilter_big_side_never_shuffles(spark):
+    """The k probe joins must all be broadcast semi-joins — the event
+    stream reaches the filter without a shuffle or sort-merge."""
+    p = plan_of(q(spark, "q_bloom_prefilter"))
+    assert count_nodes(p, "BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p

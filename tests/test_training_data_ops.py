@@ -347,3 +347,32 @@ def test_hll_merge_equals_union_sketch(spark):
     assert (est_m.reg_sum_scaled, est_m.hll_estimate) == (
         est_u.reg_sum_scaled, est_u.hll_estimate,
     )
+
+
+def test_bloom_no_false_negatives_and_union_merge(spark):
+    from pyspark.sql import functions as F
+
+    from etl_fraud_detection_spark.operators import sketches
+
+    keys_a = spark.range(0, 100, 7).select(F.col("id").alias("key"))
+    big = spark.range(0, 500).select(F.col("id").alias("k"))
+    pos = sketches.bloom_positions(keys_a, "key", m_bits=256, k=3)
+    kept = {
+        r.k
+        for r in sketches.bloom_might_contain(
+            big, "k", pos, m_bits=256, k=3
+        ).collect()
+    }
+    member = set(range(0, 100, 7))
+    assert member <= kept  # NO false negatives, ever
+    assert kept != set(range(500))  # the filter actually filters
+
+    # merge = distinct-union of position tables == filter of the union
+    keys_b = spark.range(200, 300, 11).select(F.col("id").alias("key"))
+    merged = pos.unionByName(
+        sketches.bloom_positions(keys_b, "key", m_bits=256, k=3)
+    ).distinct()
+    direct = sketches.bloom_positions(
+        keys_a.unionByName(keys_b), "key", m_bits=256, k=3
+    )
+    assert {r.pos for r in merged.collect()} == {r.pos for r in direct.collect()}
