@@ -255,3 +255,108 @@ def bloom_oracle_sql(
     pos AS ({pos_union})
     SELECT {select_cols} FROM {big_table} b WHERE {probes}
     """
+
+
+def cms_build(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 1 << 10
+) -> DataFrame:
+    """Portable Count-Min sketch of a key stream: a (row, col, cnt)
+    cell table — depth rows of width counters, cell (i, (h1 + i*h2)
+    mod width) incremented per input row (same md5 double-hash family
+    as the Bloom filter). Cells are exact BIGINT counts, so two
+    sketches MERGE by cell-wise SUM (`cms_merge`) and any md5-capable
+    engine builds the bit-identical table. At most depth*width cells
+    regardless of input size — broadcastable by construction.
+
+    Completes the portable sketch trio: HLL (how many distinct), Bloom
+    (is it present), CMS (how often) — the three answers a 100 TB
+    frequency/dedup pipeline needs without exact per-key state."""
+    h1, h2 = _bloom_h(key_col)
+    cells = F.array(*[
+        F.struct(
+            F.lit(i).alias("row"),
+            ((h1 + F.lit(i) * h2) % width).alias("col"),
+        )
+        for i in range(depth)
+    ])
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise SUM of CMS cell tables (same depth/width): the sketch
+    of the concatenated streams, no rescan."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1 << 10,
+) -> DataFrame:
+    """Point-frequency estimates for a key set: each key probes its
+    depth cells and takes the MIN counter — never an undercount,
+    overcount bounded by collisions (~2n/width with prob 1-2^-depth).
+    The probe is an explode of the (small) key set joined against the
+    broadcast cell table: the sketch side is bounded by depth*width,
+    the stream that built it is long gone."""
+    h1, h2 = _bloom_h(key_col)
+    probes = F.array(*[
+        F.struct(
+            F.lit(i).alias("row"),
+            ((h1 + F.lit(i) * h2) % width).alias("col"),
+        )
+        for i in range(depth)
+    ])
+    exploded = keys.select(F.col(key_col), F.explode(probes).alias("c")).select(
+        key_col, F.col("c.row").alias("row"), F.col("c.col").alias("col")
+    )
+    return (
+        exploded.join(F.broadcast(cms), ["row", "col"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_count"))
+    )
+
+
+def cms_oracle_sql(
+    stream_sql: str,
+    keys_sql: str,
+    key_out: str,
+    depth: int = 4,
+    width: int = 1 << 10,
+) -> str:
+    """DuckDB mirror of cms_build + cms_estimate. ``stream_sql``
+    yields the counted stream with column ``key``; ``keys_sql`` the
+    probe keys with column ``key``; output (``key_out``, cms_count)."""
+    def h(i: int) -> str:
+        return (
+            f"(CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15)) AS BIGINT)"
+            f" + {i} * CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 16, 15)) AS BIGINT))"
+            f" % {width}"
+        )
+
+    cell_union = "\n        UNION ALL ".join(
+        f"SELECT {i} AS row, {h(i)} AS col FROM stream" for i in range(depth)
+    )
+    probe_union = "\n        UNION ALL ".join(
+        f"SELECT key, {i} AS row, {h(i)} AS col FROM keyset" for i in range(depth)
+    )
+    return f"""
+    WITH stream AS ({stream_sql}),
+    keyset AS ({keys_sql}),
+    cells AS (SELECT row, col, COUNT(*) AS cnt
+              FROM ({cell_union}) GROUP BY 1, 2),
+    probes AS ({probe_union})
+    SELECT p.key AS {key_out},
+           MIN(COALESCE(c.cnt, 0)) AS cms_count
+    FROM probes p LEFT JOIN cells c USING (row, col)
+    GROUP BY 1
+    """

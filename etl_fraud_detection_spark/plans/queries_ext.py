@@ -2030,6 +2030,44 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cms_oracle() -> str:
+    from ..operators import sketches
+
+    return sketches.cms_oracle_sql(
+        "SELECT user_id AS key FROM events",
+        "SELECT DISTINCT user_id AS key FROM events WHERE user_id % 50 = 0",
+        key_out="user_id",
+        depth=4,
+        width=1024,
+    )
+
+
+@query("q_cms_frequency", oracle=_cms_oracle())
+def q_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Count-Min frequency estimates (operators/sketches):
+    the full event stream folds into a 4x1024 exact-integer cell table
+    (built once, mergeable by cell-wise SUM), then a probe key set
+    (user_id % 50 == 0) reads per-key MIN-of-cells estimates — never
+    an undercount, collisions bounded by width. Same md5 double-hash
+    family as the Bloom filter; the DuckDB oracle builds the
+    bit-identical sketch. Completes the portable trio: HLL distinct,
+    Bloom membership, CMS frequency."""
+    from ..operators import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    cms = sketches.cms_build(
+        ev.select(F.col("user_id").alias("key")), "key", depth=4, width=1024
+    )
+    probe = (
+        ev.where(F.col("user_id") % 50 == 0)
+        .select(F.col("user_id").alias("key"))
+        .distinct()
+    )
+    return sketches.cms_estimate(
+        cms, probe, "key", depth=4, width=1024
+    ).withColumnRenamed("key", "user_id")
+
+
 @query("q_sketch_distinct")  # HLL/t-digest values are engine-specific: rows-only
 def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates per language: HyperLogLog++ distinct counts and

@@ -376,3 +376,34 @@ def test_bloom_no_false_negatives_and_union_merge(spark):
         keys_a.unionByName(keys_b), "key", m_bits=256, k=3
     )
     assert {r.pos for r in merged.collect()} == {r.pos for r in direct.collect()}
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    from pyspark.sql import functions as F
+
+    from etl_fraud_detection_spark.operators import sketches
+
+    # stream where key i appears i+1 times, i in 0..19
+    rows = [(i,) for i in range(20) for _ in range(i + 1)]
+    stream = spark.createDataFrame(rows, "key long")
+    keys = spark.range(20).select(F.col("id").alias("key"))
+    cms = sketches.cms_build(stream, "key", depth=4, width=64)
+    est = {
+        r.key: r.cms_count
+        for r in sketches.cms_estimate(cms, keys, "key", depth=4, width=64).collect()
+    }
+    for i in range(20):
+        assert est[i] >= i + 1  # never an undercount
+    # absent key: estimate is collision noise only (>= 0, tiny here)
+    absent = spark.createDataFrame([(999,)], "key long")
+    (r,) = sketches.cms_estimate(cms, absent, "key", depth=4, width=64).collect()
+    assert r.cms_count >= 0
+
+    # merge(A, B) == build(A ++ B), cell for cell
+    a, b = stream.where("key < 10"), stream.where("key >= 10")
+    merged = sketches.cms_merge(
+        sketches.cms_build(a, "key", depth=4, width=64),
+        sketches.cms_build(b, "key", depth=4, width=64),
+    )
+    direct = sketches.cms_build(stream, "key", depth=4, width=64)
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in direct.collect()}
