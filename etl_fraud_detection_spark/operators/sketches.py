@@ -360,3 +360,65 @@ def cms_oracle_sql(
     FROM probes p LEFT JOIN cells c USING (row, col)
     GROUP BY 1
     """
+
+
+def value_histogram(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bins: int = 16,
+) -> DataFrame:
+    """Per-group equi-width histogram: two passes, both
+    map-side-combinable aggregations — (1) per-group min/max broadcast
+    back, (2) exact BIGINT counts per bin. bin = floor((v - mn) * bins
+    / (mx - mn)) clamped to bins-1 (the max lands in the last bin);
+    degenerate groups (mx == mn) collapse to bin 0. Histograms over
+    shards with SHARED bounds merge by bin-wise count sum — the
+    mergeable basis for approximate quantiles / optimizer stats when
+    the exact per-group sort is off the table at 100 TB. All float ops
+    are one shared expression tree, so the DuckDB oracle matches
+    bin-for-bin."""
+    stats = df.groupBy(group_col).agg(
+        F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx")
+    )
+    joined = df.join(F.broadcast(stats), [group_col])
+    span = F.col("_mx") - F.col("_mn")
+    bin_col = F.when(span == 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(bins - 1),
+            F.floor((F.col(value_col) - F.col("_mn")) * bins / span),
+        )
+    ).cast("int")
+    return (
+        joined.select(group_col, bin_col.alias("bin"), "_mn", "_mx")
+        .groupBy(group_col, "bin")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.first("_mn").alias("lo"),
+            F.first("_mx").alias("hi"),
+        )
+    )
+
+
+def value_histogram_oracle_sql(
+    table: str, group_col: str, value_col: str, bins: int = 16
+) -> str:
+    """DuckDB mirror of :func:`value_histogram`."""
+    return f"""
+    WITH stats AS (
+        SELECT {group_col}, MIN({value_col}) AS mn, MAX({value_col}) AS mx
+        FROM {table} GROUP BY 1
+    ),
+    binned AS (
+        SELECT t.{group_col},
+               CASE WHEN s.mx = s.mn THEN 0
+                    ELSE CAST(LEAST({bins - 1},
+                         FLOOR((t.{value_col} - s.mn) * {bins} / (s.mx - s.mn)))
+                         AS INTEGER) END AS bin,
+               s.mn, s.mx
+        FROM {table} t JOIN stats s USING ({group_col})
+    )
+    SELECT {group_col}, bin, COUNT(*) AS cnt,
+           MIN(mn) AS lo, MIN(mx) AS hi
+    FROM binned GROUP BY 1, 2
+    """

@@ -2068,6 +2068,30 @@ def q_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("key", "user_id")
 
 
+def _histogram_oracle() -> str:
+    from ..operators import sketches
+
+    return sketches.value_histogram_oracle_sql("events", "event_type", "value")
+
+
+@query("q_value_histogram", oracle=_histogram_oracle())
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type equi-width value histogram (operators/sketches):
+    two map-side-combinable aggregations — bounds broadcast back, then
+    exact BIGINT bin counts. Shard histograms with shared bounds merge
+    by bin-wise sum: the mergeable basis for approximate quantiles and
+    optimizer-style stats when a per-group sort is off the table at
+    100 TB. Bin arithmetic is one shared float expression tree, so the
+    oracle matches bin-for-bin."""
+    from ..operators import sketches
+
+    return sketches.value_histogram(
+        _t(spark, sf_dir, "events").select("event_type", "value"),
+        "event_type",
+        "value",
+    )
+
+
 @query("q_sketch_distinct")  # HLL/t-digest values are engine-specific: rows-only
 def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates per language: HyperLogLog++ distinct counts and

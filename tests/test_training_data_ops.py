@@ -407,3 +407,19 @@ def test_cms_never_undercounts_and_merges(spark):
     )
     direct = sketches.cms_build(stream, "key", depth=4, width=64)
     assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in direct.collect()}
+
+
+def test_value_histogram_counts_and_edges(spark):
+    from pyspark.sql import functions as F
+
+    from etl_fraud_detection_spark.operators import sketches
+
+    rows = [("a", float(v)) for v in range(0, 32)] + [("b", 5.0), ("b", 5.0)]
+    d = spark.createDataFrame(rows, "g string, v double")
+    out = sketches.value_histogram(d, "g", "v", bins=4)
+    a = {r.bin: r.cnt for r in out.where("g = 'a'").collect()}
+    assert a == {0: 8, 1: 8, 2: 8, 3: 8}  # 0..31 into 4 equal bins
+    (b,) = out.where("g = 'b'").collect()
+    assert (b.bin, b.cnt, b.lo, b.hi) == (0, 2, 5.0, 5.0)  # degenerate span
+    total = sum(r.cnt for r in out.collect())
+    assert total == len(rows)  # max value lands in the last bin, nothing lost
