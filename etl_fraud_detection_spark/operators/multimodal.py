@@ -263,3 +263,58 @@ def sample_frames(media: DataFrame, frame_size: int = 4, stride: int = 2) -> Dat
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+AHASH_SCHEMA = "media_id long, ahash long"
+
+
+def ahash_64(w: int, h: int, ch: int, px: bytes) -> int:
+    """64-bit average-hash of a decoded raster: sample an 8x8 grid with
+    the same floor-index nearest-neighbor mapping as resize_media, gray
+    = integer channel sum (no float), bit i set iff 64*gray_i > total
+    (strict integer compare — no mean rounding to diverge on). Images
+    that differ only by scale hash identically when the sample grids
+    align; near-duplicate crops/edits differ in a few bits, so Hamming
+    distance over these hashes is the image near-dup signal. Returned
+    as a SIGNED 64-bit value (bit 63 wraps) for Arrow/parquet
+    friendliness."""
+    grays = []
+    for gy in range(8):
+        sy = (gy * h) // 8
+        for gx in range(8):
+            sx = (gx * w) // 8
+            base = (sy * w + sx) * ch
+            grays.append(sum(px[base:base + ch]))
+    total = sum(grays)
+    bits = 0
+    for i, g in enumerate(grays):
+        if 64 * g > total:
+            bits |= 1 << i
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """Per-blob average-hash via the real decode path (PNG/baseline
+    JPEG); undecodable payloads stay honestly NULL. Map-only Arrow
+    batches — the dedup step downstream is a groupBy on the hash (or a
+    Hamming-bucket join), never pairwise pixels."""
+
+    def one(payload: bytes):
+        try:
+            w, h, ch, px = real_decode(payload)
+        except _DECODE_ERRORS:
+            return None
+        return ahash_64(w, h, ch, px)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ahash": pd.array(
+                        [one(p) for p in pdf["payload"]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=AHASH_SCHEMA)

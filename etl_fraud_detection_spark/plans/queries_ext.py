@@ -629,6 +629,45 @@ def _media_rows():
 MEDIA_ROWS = _media_rows()
 
 
+def _ahash_oracle() -> str:
+    """Ground-truth VALUES: the 8x8 average-hash computed from the
+    fixture PIXEL DEFINITIONS (_media_px / _media_jpeg_px) — the
+    engine must reach the same 64 bits through its real decode."""
+    from ..operators.multimodal import ahash_64
+
+    vals = []
+    for mid, fmt, _w, _h, _hexs in MEDIA_ROWS:
+        if mid in _MEDIA_PNG_DIMS:
+            rw, rh, ch = _MEDIA_PNG_DIMS[mid]
+            hv = ahash_64(rw, rh, ch, _media_px(rw, rh, ch))
+        elif mid in _MEDIA_JPEG_DIMS:
+            rw, rh = _MEDIA_JPEG_DIMS[mid]
+            hv = ahash_64(rw, rh, 1, _media_jpeg_px(mid))
+        else:
+            hv = "NULL"
+        vals.append(f"({mid}, {hv})")
+    joined = ",\n        ".join(vals)
+    return f"""
+    SELECT * FROM (VALUES
+        {joined}
+    ) AS t(media_id, ahash)
+    """
+
+
+@query("q_multimodal_ahash", oracle=_ahash_oracle())
+def q_multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup signal: 64-bit average-hash over REALLY
+    decoded pixels (PNG + baseline JPEG through the pure-stdlib
+    codecs), integer-exact thresholding, scale-invariant when sample
+    grids align — the image twin of the text fingerprint family.
+    Undecodable payloads stay NULL instead of fake-hashing. The oracle
+    recomputes every hash from the fixture pixel DEFINITIONS, so a
+    decode bug cannot agree with it."""
+    from ..operators.multimodal import perceptual_hash
+
+    return perceptual_hash(_media_df(spark))
+
+
 def _features_oracle() -> str:
     """Ground-truth VALUES: decoded dims + brightness from the fixture
     pixel definition for PNGs (independent of the decoder), byte-level

@@ -423,3 +423,34 @@ def test_value_histogram_counts_and_edges(spark):
     assert (b.bin, b.cnt, b.lo, b.hi) == (0, 2, 5.0, 5.0)  # degenerate span
     total = sum(r.cnt for r in out.collect())
     assert total == len(rows)  # max value lands in the last bin, nothing lost
+
+
+def test_ahash_scale_invariant_and_discriminative(spark):
+    """2x nearest-neighbor upscale hashes identically (aligned sample
+    grids); a different pattern hashes differently; opaque bytes are
+    NULL."""
+    from etl_fraud_detection_spark.functions.png import encode_png
+    from etl_fraud_detection_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        ahash_64,
+        perceptual_hash,
+    )
+
+    base = [(x * 31 + y * 7) % 256 for y in range(8) for x in range(8)]
+    up = [base[(y // 2) * 8 + (x // 2)] for y in range(16) for x in range(16)]
+    assert ahash_64(8, 8, 1, bytes(base)) == ahash_64(16, 16, 1, bytes(up))
+
+    other = bytes((x * 97 + y * 3) % 256 for y in range(8) for x in range(8))
+    assert ahash_64(8, 8, 1, bytes(base)) != ahash_64(8, 8, 1, other)
+
+    media = spark.createDataFrame(
+        [
+            (1, "png", 8, 8, encode_png(8, 8, 1, bytes(base))),
+            (2, "png", 16, 16, encode_png(16, 16, 1, bytes(up))),
+            (3, "bin", 0, 0, b"\xff\x00garbage"),
+        ],
+        schema=MEDIA_SCHEMA,
+    ).coalesce(1)
+    rows = {r.media_id: r.ahash for r in perceptual_hash(media).collect()}
+    assert rows[1] == rows[2] and rows[1] is not None
+    assert rows[3] is None
