@@ -53,7 +53,14 @@ def _run_catalog(spark) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name, spec in QUERIES.items():
         # Each query is timed from a clean cache so earlier queries'
-        # persisted frames don't skew later measurements.
+        # persisted frames don't skew later measurements. Draining the
+        # operator persist registries as well keeps the driver from
+        # accumulating references to frames clearCache already evicted.
+        from etl_fraud_detection_spark.operators.dedup import release_shingles
+        from etl_fraud_detection_spark.operators.sampling import release_ranked
+
+        release_shingles()
+        release_ranked()
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = spec.fn(spark, SF_DIR)

@@ -106,7 +106,10 @@ def ingest(
     checks or admission previews; the default committing mode is the
     service path.
 
-    Steps (cost ∝ batch, never corpus):
+    Steps (the probe/verify passes are index SCANS — map-only over
+    nd_bands/nd_shingles — so per-batch cost is batch work + one linear
+    read of the index, never a re-shingle of the corpus; the replay
+    guard in particular scans nd_bands' doc ids each batch):
     1. batch fingerprints + bands — linear in batch shingles.
     2. candidates = batch bands ⋈ nd_bands (batch side broadcastable
        for a daily batch; index side pre-bucketed at scale).
@@ -127,6 +130,12 @@ def ingest(
     itself (jaccard ∞) and duplicate its index rows.
     """
     idx_bands = wh.read(LAYER, T_BANDS)
+    if idx_bands is None:
+        raise ValueError(
+            f"band index not built: table {LAYER}.{T_BANDS} is missing in "
+            f"this warehouse — call dedup_index.build() (or ingest into a "
+            f"warehouse that has one) before admitting batches"
+        )
     batch_ids = batch.select("doc_id")
     already = (
         idx_bands.join(F.broadcast(batch_ids), ["doc_id"], "left_semi")

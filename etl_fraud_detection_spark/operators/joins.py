@@ -109,6 +109,7 @@ def write_bucketed(
     keys: list[str],
     num_buckets: int,
     path: str,
+    reuse_token: str | None = None,
 ) -> None:
     """Materialize ``df`` as a bucketed+sorted external parquet table:
     rows hash-partitioned into ``num_buckets`` files per partition on
@@ -118,9 +119,37 @@ def write_bucketed(
     / join-many-times lever for 100 TB fact tables (the write pays one
     shuffle; every later join/groupBy on the key pays none).
 
-    The table is external (explicit ``path``), dropped+rewritten on
-    re-run; ``spark.table(name)`` reads it back bucket-aware."""
+    The table is external (explicit ``path``); ``spark.table(name)``
+    reads it back bucket-aware.
+
+    ``reuse_token`` makes the write idempotent per SOURCE VERSION: pass
+    a content-address of the input (e.g. source path + mtime + size +
+    schema). If the table directory already carries a matching token
+    marker the shuffle+write is SKIPPED — the existing files are
+    re-registered in the catalog if needed (CREATE TABLE ... CLUSTERED
+    BY, metadata only) — so repeated runs pay the bucketing once and
+    then measure what the operator exists to demonstrate: the
+    zero-exchange probe. Without a token the table is dropped and
+    rewritten every call (the pre-round-5 behavior)."""
+    import os
+
     spark = df.sparkSession
+    marker = os.path.join(path, "._bucket_token")
+    if reuse_token is not None and os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == reuse_token:
+                if not spark.catalog.tableExists(name):
+                    cols = ", ".join(
+                        f"`{f.name}` {f.dataType.simpleString()}"
+                        for f in df.schema.fields
+                    )
+                    ks = ", ".join(f"`{k}`" for k in keys)
+                    spark.sql(
+                        f"CREATE TABLE {name} ({cols}) USING parquet "
+                        f"CLUSTERED BY ({ks}) SORTED BY ({ks}) "
+                        f"INTO {num_buckets} BUCKETS LOCATION '{path}'"
+                    )
+                return
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     (
         df.write.mode("overwrite")
@@ -129,3 +158,6 @@ def write_bucketed(
         .option("path", path)
         .saveAsTable(name)
     )
+    if reuse_token is not None:
+        with open(marker, "w") as fh:
+            fh.write(reuse_token)

@@ -199,7 +199,14 @@ def epoch_shuffle(df: DataFrame, key_col: str) -> DataFrame:
     within each partition, and adds broadcast per-partition offsets —
     no single-partition WindowExec ever touches the corpus. At 100 TB
     you run it once per epoch spec and write the result partitioned by
-    `shuffle_pos` range, so consumers stream sequentially."""
+    `shuffle_pos` range, so consumers stream sequentially.
+
+    Caching contract: the rank machinery persists the range-partitioned
+    frame (a correctness requirement — see _PERSISTED_RANKED), and the
+    returned frame is lazy, so this function cannot drop it itself.
+    Long-lived sessions call :func:`release_ranked` (or
+    ``spark.catalog.clearCache()``) after materializing the result, or
+    the cached corpus-sized frame stays in executor storage."""
     key = F.md5(F.col(key_col).cast("string"))
     return with_global_rank(df, [key.asc()], out_col="shuffle_pos")
 
@@ -219,7 +226,12 @@ def pack_sequences(
     does, minus the intra-pack truncation/splitting (a tokenizer-side
     concern). The cumsum runs distributed via `with_global_cumsum`
     (range-partitioned local cumsum + broadcast partition offsets), so
-    no single partition ever sees the whole corpus."""
+    no single partition ever sees the whole corpus.
+
+    Caching contract: same as :func:`epoch_shuffle` — the rank
+    machinery persists a corpus-sized frame the lazy result depends on;
+    call :func:`release_ranked` after materializing in a long-lived
+    session."""
     key = F.md5(F.col(key_col).cast("string"))
     out = with_global_cumsum(
         df, [key.asc()], F.col(size_col), out_col="_cum"

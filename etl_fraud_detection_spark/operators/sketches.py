@@ -45,7 +45,14 @@ def hll_registers(
     non-empty register — the unit of cross-engine exchange. Two
     register files over disjoint or overlapping inputs MERGE with
     :func:`hll_merge` (union + MAX per register), which is exactly how
-    per-shard / per-day sketches combine at 100 TB without rescanning."""
+    per-shard / per-day sketches combine at 100 TB without rescanning.
+
+    The file CARRIES its precision as a ``p`` column: registers built
+    at one p are meaningless under another p's (m, q) geometry, so the
+    precision travels with the data, ``hll_merge`` groups on it (files
+    of different p can never silently MAX-merge into one register set),
+    and ``hll_estimate_from_registers`` raises at execution time if the
+    stored p disagrees with the requested one."""
     if not 4 <= p <= 9:
         raise ValueError("p must be in [4, 9] (register sum stays exact)")
     m = 1 << p
@@ -60,28 +67,59 @@ def hll_registers(
         hashed.select(*group_cols, (F.col("_h") % m).alias("j"), rho.alias("_rho"))
         .groupBy(*group_cols, "j")
         .agg(F.max("_rho").cast("int").alias("mj"))
+        .withColumn("p", F.lit(p).cast("int"))
     )
 
 
 def hll_merge(*reg_files: DataFrame) -> DataFrame:
     """MAX-merge register files (same group cols + (j, mj) schema):
     the sketch union. Estimating the merged file counts the distinct
-    union of all inputs — no rescan of any corpus."""
+    union of all inputs — no rescan of any corpus. The ``p`` column is
+    part of the grouping key, so register files built at different
+    precisions stay separate groups instead of silently combining
+    (estimating such a merge then raises on the foreign p)."""
+    for r in reg_files:
+        if "p" not in r.columns:
+            raise ValueError(
+                "register file lacks the 'p' precision column — build it "
+                "with hll_registers (files without a precision cannot be "
+                "safely merged)"
+            )
     out = reg_files[0]
     for r in reg_files[1:]:
         out = out.unionByName(r)
     keys = [c for c in out.columns if c not in ("mj",)]
-    return out.groupBy(*keys).agg(F.max("mj").cast("int").alias("mj"))
+    merged = out.groupBy(*keys).agg(F.max("mj").cast("int").alias("mj"))
+    # same column layout as the input register files
+    return merged.select(*reg_files[0].columns)
 
 
 def hll_estimate_from_registers(
     regs: DataFrame, group_cols: list[str], p: int = 8
 ) -> DataFrame:
     """Digest + estimate from a register file (see hll_distinct for
-    the output contract)."""
+    the output contract). Validates the precision contract: p must be
+    in the exact-arithmetic range, and if the file carries its ``p``
+    column (all files built by :func:`hll_registers` do), any stored
+    row whose p differs from the requested one raises at execution
+    time — a register file built at one p silently estimated at
+    another is the one wrong-answer hazard of portable sketches."""
+    if not 4 <= p <= 9:
+        raise ValueError("p must be in [4, 9] (register sum stays exact)")
     m = 1 << p
     q = 61 - p
-    term = F.pow(F.lit(2.0), F.lit(q) - F.col("mj")).cast("long")
+    mj = F.col("mj")
+    if "p" in regs.columns:
+        mj = F.when(
+            F.col("p") != p,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"register file p mismatch: estimating at p={p}, file has p="),
+                    F.col("p").cast("string"),
+                )
+            ).cast("int"),
+        ).otherwise(F.col("mj"))
+    term = F.pow(F.lit(2.0), F.lit(q) - mj).cast("long")
     sums = regs.groupBy(*group_cols).agg(
         F.count("*").alias("_n_regs"),
         F.sum(term).alias("_present_sum"),

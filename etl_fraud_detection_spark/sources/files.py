@@ -232,30 +232,52 @@ def read_xlsx_dist(
 
     ``columns`` is the output contract; when omitted it is inferred
     from one file (bounded driver read of a single workbook — the same
-    class of peek as CSV schema inference). The non-splittable zip
-    container makes per-FILE parallelism the correct distribution atom:
-    10k daily snapshots = 10k independent tasks."""
+    class of peek as CSV schema inference). In quarantine mode the
+    inference tries a few smallest candidates, so one corrupt snapshot
+    cannot fail the load that quarantine promises to survive — but if
+    EVERY sampled candidate is corrupt the call still raises: pass
+    ``columns=`` explicitly for guaranteed robustness against
+    arbitrarily dirty batches. The non-splittable zip container makes
+    per-FILE parallelism the correct distribution atom: 10k daily
+    snapshots = 10k independent tasks."""
     import pandas as pd
 
     if on_error not in ("fail", "quarantine"):
         raise ValueError(f"on_error must be fail|quarantine, got {on_error!r}")
     bf = spark.read.format("binaryFile").load(path)
     if columns is None:
-        # infer from the SMALLEST file (binaryFile lists largest-first,
+        # infer from the SMALLEST files (binaryFile lists largest-first,
         # so a naive limit(1) would pull the biggest workbook's bytes
-        # onto the driver) and hold it to the same driver-size guard as
-        # read_xlsx
-        first = bf.select("content").orderBy("length").limit(1).collect()
+        # onto the driver) and hold each to the same driver-size guard
+        # as read_xlsx. In quarantine mode a corrupt candidate falls
+        # through to the next-smallest (bounded sample) instead of
+        # failing the batch.
+        n_candidates = 4 if on_error == "quarantine" else 1
+        first = (
+            bf.select("content").orderBy("length").limit(n_candidates).collect()
+        )
         if not first:
             raise FileNotFoundError(f"no files match {path}")
-        blob = bytes(first[0]["content"])
-        if len(blob) > XLSX_DRIVER_MAX_BYTES:
+        last_exc: Exception | None = None
+        for cand in first:
+            blob = bytes(cand["content"])
+            if len(blob) > XLSX_DRIVER_MAX_BYTES:
+                raise ValueError(
+                    f"cannot infer columns: smallest workbook under {path} is "
+                    f"{len(blob)} bytes (> {XLSX_DRIVER_MAX_BYTES}); pass "
+                    "columns= explicitly"
+                )
+            try:
+                columns, _ = _parse_xlsx_bytes(blob)
+                break
+            except Exception as exc:  # corrupt candidate
+                last_exc = exc
+        if columns is None:
             raise ValueError(
-                f"cannot infer columns: smallest workbook under {path} is "
-                f"{len(blob)} bytes (> {XLSX_DRIVER_MAX_BYTES}); pass "
-                "columns= explicitly"
-            )
-        columns, _ = _parse_xlsx_bytes(blob)
+                f"cannot infer columns: the {len(first)} smallest "
+                f"workbook(s) under {path} failed to parse (last error: "
+                f"{last_exc}); pass columns= explicitly"
+            ) from last_exc
     out_cols = list(columns)
     quarantine = on_error == "quarantine"
 

@@ -378,6 +378,63 @@ def test_bloom_no_false_negatives_and_union_merge(spark):
     assert {r.pos for r in merged.collect()} == {r.pos for r in direct.collect()}
 
 
+def test_bloom_false_positive_rate_tracks_theory(spark):
+    """Parameter-dependent hardening: the empirical false-positive rate
+    of the md5 double-hash Bloom filter must sit near the textbook
+    (1 - e^(-kn/m))^k for more than one (m, k) geometry — a biased
+    position family would pass the no-false-negative test yet blow the
+    FPR. Deterministic inputs; the 3x-of-theory ceiling leaves room for
+    double-hash correlation while still catching a broken hash mix."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_fraud_detection_spark.operators import sketches
+
+    members = spark.range(0, 200).select(F.col("id").alias("key"))
+    # probe keys disjoint from members: any kept row is a false positive
+    probes = spark.range(10_000, 14_000).select(F.col("id").alias("k"))
+    for m_bits, k in ((2048, 3), (4096, 5)):
+        pos = sketches.bloom_positions(members, "key", m_bits=m_bits, k=k)
+        fp = sketches.bloom_might_contain(
+            probes, "k", pos, m_bits=m_bits, k=k
+        ).count()
+        rate = fp / 4_000
+        theory = (1.0 - math.exp(-k * 200 / m_bits)) ** k
+        assert rate <= max(3.0 * theory, 0.01), (m_bits, k, rate, theory)
+
+
+def test_hll_p_contract_blocks_mismatched_estimate(spark):
+    """A register file carries its p; estimating (or merging then
+    estimating) at a different p must raise rather than silently
+    produce a wrong-geometry estimate."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from etl_fraud_detection_spark.operators import sketches
+
+    d = spark.range(0, 500).select(F.lit("g").alias("g"), F.col("id").alias("k"))
+    regs6 = sketches.hll_registers(d, ["g"], "k", p=6)
+    with pytest.raises(Exception, match="p mismatch"):
+        sketches.hll_estimate_from_registers(regs6, ["g"], p=8).collect()
+    # out-of-range p rejected before any plan is built
+    with pytest.raises(ValueError):
+        sketches.hll_registers(d, ["g"], "k", p=12)
+    with pytest.raises(ValueError):
+        sketches.hll_estimate_from_registers(regs6, ["g"], p=3)
+    # a file stripped of its p column cannot be merged
+    with pytest.raises(ValueError, match="precision column"):
+        sketches.hll_merge(regs6.drop("p"), regs6.drop("p"))
+    # mixed-width merge keeps the files apart (grouped by p), and
+    # estimating the mix at either p raises on the foreign rows
+    regs8 = sketches.hll_registers(d, ["g"], "k", p=8)
+    mixed = sketches.hll_merge(regs6, regs8)
+    assert mixed.select("p").distinct().count() == 2
+    with pytest.raises(Exception, match="p mismatch"):
+        sketches.hll_estimate_from_registers(mixed, ["g"], p=6).collect()
+
+
 def test_cms_never_undercounts_and_merges(spark):
     from pyspark.sql import functions as F
 

@@ -140,9 +140,15 @@ def main() -> int:
             f"SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
         )
 
+    from etl_fraud_detection_spark.operators.dedup import release_shingles
+    from etl_fraud_detection_spark.operators.sampling import release_ranked
+
     names = args.names or list(QUERIES)
     n_pass = n_fail = n_skip = 0
     for name in names:
+        release_shingles()
+        release_ranked()
+        spark.catalog.clearCache()
         t0 = time.monotonic()
         spec = QUERIES[name]
         sdf = spec.fn(spark, args.sf)
