@@ -1,0 +1,212 @@
+"""Persisted IVF vector index: ANN admission and search whose daily
+cost scales with the BATCH (and the probed cells), never the corpus.
+
+This is the vector twin of the text band index
+(operators/dedup_index.py) and follows the same build / ingest /
+read-only-probe split over the versioned warehouse:
+
+- ``ivf_centroids``: (cid, cen_vec array<double>, cen_norm) — the
+  coarse quantizer. Either the deterministic lowest-id vectors (the
+  oracle-expressible variant, exactly ``similarity.ivf_topk``'s
+  default) or trained MLlib KMeans centers
+  (``similarity.kmeans_centroids``). Small — always broadcast.
+- ``ivf_assign``: (vid, vec, vnorm, cid) — one row per indexed vector
+  with its nearest-centroid cell. At scale this table is written
+  partitioned/bucketed by ``cid`` so a probe's nprobe cells prune to
+  a few files; locally it is plain parquet under the warehouse.
+
+Both tables commit atomically (``Warehouse.begin_run``/``commit_run``)
+— the index can never hold assignments without the quantizer that
+produced them, and a crash mid-ingest rolls the append back.
+
+Why persistence is the point: ``ivf_topk`` (the pure-DataFrame
+operator) re-assigns the whole corpus to cells on every call, and
+``q_ann_ivf_kmeans`` even retrains the quantizer per session. Fine for
+a one-shot query; fatal for a daily-batch user at 100 TB, where
+re-assigning N vectors to amortize a Q-query session inverts the cost
+model. With the stored index:
+
+- ``build``  — once per quantizer version: one broadcast O(N·K)
+  assignment pass, the only corpus-sized job in the lifecycle.
+- ``ingest`` — per batch: assigns ONLY the batch against the STORED
+  centroids (O(batch·K)), appends; existing assignments are never
+  recomputed (pinned by test_ann_index.py).
+- ``probe``  — per query set: ranks queries against the broadcast
+  centroids, searches the nprobe nearest cells via a cid-key join —
+  no KMeans job, no corpus re-assignment, results identical to
+  ``ivf_topk`` given the same centroids.
+
+The quantizer is deliberately FROZEN between builds: ingest never
+moves a centroid (standard IVF practice — drifted cells are fixed by
+a periodic rebuild, not by mutating the index under readers), so
+admission is append-only and replays are idempotent.
+
+Reference parity: ANN extension (SURVEY.md §2 LLM-ops table); the
+reference engine (a psycopg2 batch job, trsh_etl.py) has no vector
+surface — this is new capability, designed Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .similarity import dot, norm
+
+LAYER = "index"
+T_CENTROIDS = "ivf_centroids"
+T_ASSIGN = "ivf_assign"
+
+
+def _require(df: DataFrame | None, table: str) -> DataFrame:
+    if df is None:
+        raise ValueError(
+            f"IVF index not built: table {LAYER}.{table} is missing in this "
+            f"warehouse — call ann_index.build() before ingest/probe"
+        )
+    return df
+
+
+def _assign(vectors: DataFrame, cen: DataFrame) -> DataFrame:
+    """Nearest-centroid cell per vector (cosine argmax, ties by lowest
+    cid — bit-identical to similarity.ivf_topk's assignment): one
+    broadcast map pass over ``vectors``, cost O(rows · K)."""
+    w = Window.partitionBy("vid").orderBy(F.col("a_cos").desc(), F.col("cid"))
+    return (
+        vectors.crossJoin(F.broadcast(cen))
+        .select(
+            "vid", "vec", "vnorm", "cid",
+            (dot(F.col("vec"), F.col("cen_vec")) / (F.col("vnorm") * F.col("cen_norm"))).alias("a_cos"),
+        )
+        .withColumn("_arn", F.row_number().over(w))
+        .where(F.col("_arn") == 1)
+        .select("vid", "vec", "vnorm", "cid")
+    )
+
+
+def _vrows(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("vnorm"),
+    )
+
+
+def build(
+    wh,
+    emb: DataFrame,
+    run_id: int,
+    n_centroids: int = 16,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Initial (or re-)build: quantizer + full-corpus assignment,
+    overwritten atomically. ``centroids`` accepts a trained frame
+    (cid, cen_vec, cen_norm) — e.g. ``similarity.kmeans_centroids`` —
+    otherwise the ``n_centroids`` lowest-id vectors act as the
+    deterministic, oracle-expressible quantizer."""
+    if centroids is None:
+        centroids = emb.where(F.col(id_col) < n_centroids).select(
+            F.col(id_col).cast("int").alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cen_vec"),
+            norm(F.col(vec_col)).alias("cen_norm"),
+        )
+    else:
+        centroids = centroids.select(
+            F.col("cid").cast("int"),
+            F.col("cen_vec").cast("array<double>"),
+            "cen_norm",
+        )
+    wh.begin_run(run_id)
+    wh.overwrite(LAYER, T_CENTROIDS, centroids)
+    cen = wh.read(LAYER, T_CENTROIDS)  # assignments derive from the STORED quantizer
+    wh.overwrite(LAYER, T_ASSIGN, _assign(_vrows(emb, id_col, vec_col), cen))
+    wh.commit_run(run_id)
+
+
+def ingest(
+    wh,
+    batch: DataFrame,
+    run_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    commit: bool = True,
+) -> DataFrame:
+    """Admit a vector batch: assign ONLY the batch against the stored
+    (frozen) centroids and append — existing assignments are never
+    recomputed, so daily cost is O(batch · K) + the replay-guard index
+    scan, independent of corpus size.
+
+    IDEMPOTENT on replay: vids already present in ``ivf_assign``
+    (foreachBatch redelivery after a crash between index commit and
+    stream checkpoint) are skipped, not re-appended. Returns the
+    (vid, cid) assignment frame for the genuinely new vectors;
+    ``commit=False`` computes it read-only (admission preview)."""
+    cen = _require(wh.read(LAYER, T_CENTROIDS), T_CENTROIDS)
+    idx = _require(wh.read(LAYER, T_ASSIGN), T_ASSIGN)
+    batch_ids = batch.select(F.col(id_col).alias("vid"))
+    already = idx.select("vid").join(F.broadcast(batch_ids), ["vid"], "left_semi")
+    new_rows = _vrows(batch, id_col, vec_col).join(
+        F.broadcast(already), ["vid"], "left_anti"
+    )
+    assigned = _assign(new_rows, cen)
+    if not commit:
+        return assigned.select("vid", "cid")
+    if run_id is None:
+        raise ValueError("run_id is required when commit=True")
+    assigned = assigned.localCheckpoint()  # one eager pass feeds append + return
+    wh.begin_run(run_id)
+    wh.append(LAYER, T_ASSIGN, assigned)
+    wh.commit_run(run_id)
+    return assigned.select("vid", "cid")
+
+
+def probe(
+    wh,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search the stored index for each query vector's cosine top-k
+    among the vectors of its ``nprobe`` nearest cells. READ-ONLY: no
+    KMeans job, no corpus re-assignment — the plan is (broadcast
+    centroid rank over the bounded query set) ⋈ (ivf_assign scan on
+    cid). Candidates live in exactly one cell, so no (query, cand)
+    pair scores twice and no dedup pass is needed. Output
+    (query_id, cand_id, rnk, cos) — identical to similarity.ivf_topk
+    given the same centroids (pinned by test_ann_index.py)."""
+    cen = _require(wh.read(LAYER, T_CENTROIDS), T_CENTROIDS)
+    idx = _require(wh.read(LAYER, T_ASSIGN), T_ASSIGN)
+    w_cells = Window.partitionBy("query_id").orderBy(F.col("qa_cos").desc(), F.col("cid"))
+    q_cells = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("q_norm"),
+        )
+        .crossJoin(F.broadcast(cen))
+        .select(
+            "query_id", "q_vec", "q_norm", "cid",
+            (dot(F.col("q_vec"), F.col("cen_vec")) / (F.col("q_norm") * F.col("cen_norm"))).alias("qa_cos"),
+        )
+        .withColumn("_qrn", F.row_number().over(w_cells))
+        .where(F.col("_qrn") <= nprobe)
+        .select("query_id", "q_vec", "q_norm", "cid")
+    )
+    scored = (
+        idx.join(F.broadcast(q_cells), ["cid"])
+        .where(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vid").alias("cand_id"),
+            (dot(F.col("q_vec"), F.col("vec")) / (F.col("q_norm") * F.col("vnorm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "rnk", "cos")
+    )

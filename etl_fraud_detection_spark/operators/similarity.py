@@ -291,9 +291,116 @@ def semantic_dedup_cells(
     )
 
 
+def cosine_near_dup_pairs_lsh(
+    emb: DataFrame,
+    tau: float = 0.4,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs GATED on sign-LSH bucket
+    equality — the 100 TB shape: pairs only form inside a bucket, so
+    the join is an equi-join on the bucket code (shuffle keyed on
+    bucket, skew split by AQE) instead of a broadcast-nested-loop over
+    all N² pairs. Recall < 1 by construction (a true near-dup pair
+    split across buckets is missed — more bits = smaller buckets =
+    lower recall, the standard dial); every emitted pair is exact.
+    Same output contract as :func:`cosine_near_dup_pairs` (a < b, cos),
+    which remains the exact-recall quadratic baseline for bounded
+    corpora."""
+    bucketed = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sign_lsh_bucket(vec_col, n_bits).alias("bucket"),
+        norm(F.col(vec_col)).alias("nrm"),
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+        F.col("nrm").alias("na"), "bucket",
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+        F.col("nrm").alias("nb"), "bucket",
+    )
+    return (
+        a.join(b, ["bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+        .where(F.col("cos") >= tau)
+    )
+
+
+def cosine_near_dup_pairs_banded(
+    emb: DataFrame,
+    tau: float = 0.4,
+    bands: int = 8,
+    band_bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """OR-amplified sign-LSH near-dup pairs — the recall dial the
+    single-bucket gate (:func:`cosine_near_dup_pairs_lsh`) lacks:
+    band ``b`` hashes sign bits of dims [b·r+1, b·r+r]; a pair becomes
+    a candidate by agreeing on ALL bits of ANY band (probability
+    1-(1-s^r)^B vs s^n for one n-bit bucket), then verifies with exact
+    cosine ≥ tau. Same banding scheme as the MinHash text path
+    (dedup._band_explode): candidates meet via an equi-join on
+    (band_idx, code) — per-band buckets co-locate at scale, AQE splits
+    skewed ones — and each distinct pair is verified once. Requires
+    ``bands × band_bits`` ≤ the embedding dimension (each band reads
+    its own dim slice, so bands are independent hashes)."""
+    def band_code(b: int) -> Column:
+        code = None
+        for d in range(band_bits):
+            term = F.when(
+                F.element_at(F.col(vec_col), b * band_bits + d + 1) >= 0,
+                F.lit(1 << d),
+            ).otherwise(F.lit(0))
+            code = term if code is None else (code + term)
+        return code.cast("int")
+
+    banded = emb.select(
+        F.col(id_col).alias("vid"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_idx"), band_code(b).alias("code"))
+                for b in range(bands)
+            ])
+        ).alias("bd"),
+    ).select("vid", "bd.band_idx", "bd.code")
+    cand = (
+        banded.select(F.col("vid").alias("a"), "band_idx", "code")
+        .join(banded.select(F.col("vid").alias("b"), "band_idx", "code"),
+              ["band_idx", "code"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    vecs = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"),
+    )
+    return (
+        cand.join(vecs.select(F.col("vid").alias("a"), F.col("v").alias("va"),
+                              F.col("n").alias("na")), ["a"])
+        .join(vecs.select(F.col("vid").alias("b"), F.col("v").alias("vb"),
+                          F.col("n").alias("nb")), ["b"])
+        .select(
+            "a", "b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+        .where(F.col("cos") >= tau)
+    )
+
+
 def cosine_near_dup_pairs(emb: DataFrame, tau: float = 0.4, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, cosine >= tau). Quadratic
-    baseline; at scale gate it behind sign_lsh_bucket equality first.
+    EXACT-recall baseline — bounded corpora only; the scale path is
+    :func:`cosine_near_dup_pairs_lsh`, which gates the pair join on
+    sign_lsh_bucket equality so candidates only meet inside a bucket.
 
     Norms are computed ONCE per row before the pair blow-up (N folds,
     not N² extra) — bit-identical to folding inside the pair because the

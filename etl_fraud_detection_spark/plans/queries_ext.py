@@ -432,8 +432,91 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (tau=0.4 on this corpus)."""
+    """Embedding-cosine near-dup pairs (tau=0.4 on this corpus) —
+    the EXACT-RECALL QUADRATIC BASELINE (broadcast all-pairs), kept in
+    the catalog for bounded corpora and as the recall reference. Do
+    NOT copy this shape to a large corpus: the scale path is
+    q_dedup_embedding_lsh, which gates the same cosine verify on
+    sign-LSH bucket equality so the join is bucket-keyed instead of
+    all-pairs."""
     return similarity.cosine_near_dup_pairs(_t(spark, sf_dir, "embeddings"), tau=0.4)
+
+
+def _emb_lsh_oracle() -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{d + 1}] >= 0 THEN {1 << d} ELSE 0 END)" for d in range(8)
+    )
+    return f"""
+    WITH bk AS (
+        SELECT vec_id, embedding, CAST({bucket} AS INTEGER) AS bucket FROM embeddings
+    ),
+    a AS (SELECT vec_id AS a, embedding AS va, bucket FROM bk),
+    b AS (SELECT vec_id AS b, embedding AS vb, bucket FROM bk)
+    SELECT a, b, {_cos_sql('va', 'vb')} AS cos
+    FROM a JOIN b USING (bucket)
+    WHERE a < b AND {_cos_sql('va', 'vb')} >= 0.4
+    """
+
+
+@query("q_dedup_embedding_lsh", oracle=_emb_lsh_oracle())
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs gated on 8-bit sign-LSH bucket equality
+    — the scale path q_dedup_embedding's docstring prescribes: the pair
+    join is an equi-join on the bucket code (plan-pinned: no broadcast
+    nested loop — tests/test_plans.py), so at 100 TB candidates
+    co-locate per bucket and the quadratic blow-up is bounded by the
+    largest bucket, with AQE splitting skewed ones. Recall < 1 by
+    construction (bucket-split true pairs are missed); the oracle
+    applies the identical gate, so the approximation itself is
+    verified, not just sampled."""
+    return similarity.cosine_near_dup_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), tau=0.4
+    )
+
+
+def _emb_bands_oracle(bands: int = 8, r: int = 6) -> str:
+    band_selects = "\n    UNION ALL ".join(
+        "SELECT vec_id, {b} AS band_idx, CAST({code} AS INTEGER) AS code FROM embeddings".format(
+            b=b,
+            code=" + ".join(
+                f"(CASE WHEN embedding[{b * r + d + 1}] >= 0 THEN {1 << d} ELSE 0 END)"
+                for d in range(r)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH banded AS ({band_selects}),
+    cand AS (
+        SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+        FROM banded l JOIN banded r
+          ON l.band_idx = r.band_idx AND l.code = r.code
+        WHERE l.vec_id < r.vec_id
+    ),
+    scored AS (
+        SELECT a, b, {_cos_sql('va', 'vb')} AS cos
+        FROM cand
+        JOIN (SELECT vec_id, embedding AS va FROM embeddings) x ON x.vec_id = a
+        JOIN (SELECT vec_id, embedding AS vb FROM embeddings) y ON y.vec_id = b
+    )
+    SELECT a, b, cos FROM scored WHERE cos >= 0.4
+    """
+
+
+@query("q_dedup_embedding_bands", oracle=_emb_bands_oracle())
+def q_dedup_embedding_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-AMPLIFIED sign-LSH embedding near-dup (8 bands × 6 sign
+    bits, each band hashing its own dim slice): a pair candidates by
+    agreeing on ANY band — recall 1-(1-s^6)^8 instead of the single
+    64-bucket gate's s^8 — then verifies exact cosine ≥ tau once per
+    distinct pair. The vector twin of the MinHash banding the text
+    path uses (dedup._band_explode): equi-join on (band_idx, code),
+    never all-pairs; the recall/cost dial is (bands, band_bits). The
+    oracle applies the identical banding, so the amplification itself
+    is value-verified."""
+    return similarity.cosine_near_dup_pairs_banded(
+        _t(spark, sf_dir, "embeddings"), tau=0.4
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -557,6 +640,45 @@ def q_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         _t(spark, sf_dir, "embeddings"), k=3, nprobe=2
     )
+
+
+@query("q_ann_ivf_index", oracle=_ivf_nprobe_oracle())
+def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED IVF index probe (operators/ann_index — the vector twin
+    of q_dedup_band_index): the corpus is assigned ONCE per source
+    version into two warehouse tables — ivf_centroids (the frozen
+    coarse quantizer; deterministic lowest-id variant here so the probe
+    is oracle-expressible) and ivf_assign (vector → cell), written
+    under the warehouse's atomic multi-table commit — then the query
+    set searches its nprobe=2 nearest cells READ-ONLY against the
+    stored tables. Deliberately the same oracle as q_ann_ivf_nprobe:
+    the stored-index path must return bit-identical neighbors while
+    doing none of the per-session corpus re-assignment that ivf_topk
+    (and a per-run KMeans) pays — the shape whose daily cost at a
+    100 TB corpus is O(batch·K) admission + O(probed cells) search."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import ann_index
+    from ..pipeline import Warehouse
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:v1".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_ivfindex_{tag}")
+    marker = os.path.join(root, ".built")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        ann_index.build(Warehouse(spark, root), emb, run_id=1, n_centroids=16)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    wh = Warehouse(spark, root)
+    return ann_index.probe(wh, emb.where("vec_id < 50"), k=3, nprobe=2)
 
 
 # ---------------------------------------------------------------------------
@@ -2189,6 +2311,10 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("q_ann_ivf_kmeans")  # KMeans training is iterative: rows-only check
+# NOTE: retrains per run BY DESIGN (it demonstrates the training path);
+# a daily-batch user stores the trained quantizer + assignments once via
+# operators/ann_index.build(centroids=kmeans_centroids(...)) and then
+# probes/ingests read-only — see q_ann_ivf_index.
 def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a *trained* coarse quantizer: MLlib KMeans (seeded,
     k-means|| init) supplies the centroids; assignment/search identical

@@ -124,6 +124,18 @@ def _shingle_only_join_keys(plan: str) -> list[str]:
     return bad
 
 
+def test_embedding_lsh_pairs_join_on_bucket_key(spark):
+    """q_dedup_embedding_lsh must pair vectors via an equi-join on the
+    LSH bucket code — never the broadcast-nested-loop all-pairs shape
+    of the quadratic baseline (which is exactly what q_dedup_embedding
+    is pinned TO, proving the detector works)."""
+    p_gated = plan_of(q(spark, "q_dedup_embedding_lsh"))
+    assert "BroadcastNestedLoopJoin" not in p_gated, p_gated
+    assert re.search(r"keys \[1\]: \[bucket", p_gated), p_gated
+    p_base = plan_of(q(spark, "q_dedup_embedding"))
+    assert "BroadcastNestedLoopJoin" in p_base
+
+
 def test_cluster_candidates_avoid_coshingle_self_join(spark):
     """near_dup_clusters must generate candidate edges via the bucketed
     MinHash+LSH join, never the quadratic co-shingle self-join."""
