@@ -121,9 +121,10 @@ def with_repetition_stats(docs: DataFrame, text_col: str = "text", n: int = 2) -
 
 def contamination_check(
     train: DataFrame,
-    benchmark: DataFrame,
+    benchmark: DataFrame | None = None,
     text_col: str = "text",
     n: int = 5,
+    bench_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Eval-set decontamination: for every training document sharing at
     least one word ``n``-gram with any benchmark document, report how
@@ -132,11 +133,30 @@ def contamination_check(
     The join key is the n-gram itself — the standard decontamination
     shuffle. The benchmark side (distinct grams of an eval suite) is
     orders of magnitude smaller than the corpus, so it is broadcast:
-    the 100 TB side never shuffles at all."""
-    train_grams = ngram_rows(train, text_col, n, distinct=True)
-    bench_grams = ngram_rows(
-        benchmark, text_col, n, distinct=True
-    ).withColumnRenamed("doc_id", "bench_id")
+    the 100 TB side never shuffles its GRAMS at all. An eval suite is
+    static across runs, so callers may pass ``bench_grams`` — a
+    precomputed/persisted (bench_id, gram) frame — instead of
+    ``benchmark``; production recomputing the benchmark grams per daily
+    batch is wasted work (q_contamination stores them once per source
+    version).
+
+    The train side repartitions on doc_id before the gram explode —
+    the same spread-the-explode discipline as dedup.shingles (a
+    single-split local scan would otherwise explode the whole corpus in
+    one task). The post-aggregate exchanges that remain carry HIT rows
+    only (the distinct-count Expand resets partitioning info, so they
+    cannot be elided), and hits are orders of magnitude smaller than
+    the corpus."""
+    if bench_grams is None:
+        if benchmark is None:
+            raise ValueError("pass either benchmark or bench_grams")
+        bench_grams = ngram_rows(
+            benchmark, text_col, n, distinct=True
+        ).withColumnRenamed("doc_id", "bench_id")
+    n_part = train.sparkSession.sparkContext.defaultParallelism
+    train_grams = ngram_rows(
+        train.repartition(n_part, F.col("doc_id")), text_col, n, distinct=True
+    )
     hits = train_grams.join(F.broadcast(bench_grams), "gram")
     return (
         hits.groupBy("doc_id")

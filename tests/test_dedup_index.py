@@ -141,3 +141,73 @@ def test_commit_requires_run_id(spark, wh):
     dedup_index.build(wh, _docs(spark, [(1, BASE)]), run_id=1)
     with pytest.raises(ValueError, match="run_id"):
         dedup_index.ingest(wh, _docs(spark, [(10, OTHER)]))
+
+
+def test_ingest_before_build_raises_clearly(spark, wh):
+    with pytest.raises(ValueError, match="not built"):
+        dedup_index.ingest(wh, _docs(spark, [(1, BASE)]), run_id=1)
+
+
+def _parquet_files(wh, table):
+    import os
+
+    p = wh.path("index", table)
+    vdir = wh._vdir(p, wh._current(p))
+    return [
+        os.path.join(root, f)
+        for root, _, fs in os.walk(vdir)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+
+
+def test_compaction_preserves_probe_results_and_admission(spark, wh):
+    """Compaction in anger: N append batches accrete small files; after
+    pipeline.compact rewrites both index tables, (1) probe verdicts
+    are unchanged row-for-row, (2) the replay guard still recognizes
+    already-ingested docs (admission idempotence survives the file
+    rewrite), and (3) the file count actually dropped — the property
+    that restores scan/list efficiency at 100 TB."""
+    dedup_index.build(wh, _docs(spark, [(1, BASE), (2, OTHER)]), run_id=1)
+    batches = [
+        [(10, THIRD)],
+        [(20, "aa bb cc dd ee ff gg hh ii jj")],
+        [(30, "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10")],
+    ]
+    for i, rows in enumerate(batches):
+        dedup_index.ingest(wh, _docs(spark, rows), run_id=2 + i)
+
+    probe_batch = _docs(spark, [(99, BASE), (98, THIRD), (97, "zz yy xx")])
+    before = sorted(
+        tuple(r)
+        for r in dedup_index.ingest(wh, probe_batch, commit=False).collect()
+    )
+    files_before = {t: len(_parquet_files(wh, t)) for t in ("nd_shingles", "nd_bands")}
+    rows_before = {
+        t: wh.read("index", t).count() for t in ("nd_shingles", "nd_bands")
+    }
+    assert files_before["nd_bands"] > 1  # appends really did accrete files
+
+    for t in ("nd_shingles", "nd_bands"):
+        n_files = wh.compact("index", t)
+        assert n_files == 1  # toy size -> one target file
+
+    after = sorted(
+        tuple(r)
+        for r in dedup_index.ingest(wh, probe_batch, commit=False).collect()
+    )
+    assert after == before
+    for t in ("nd_shingles", "nd_bands"):
+        assert wh.read("index", t).count() == rows_before[t]
+        assert len(_parquet_files(wh, t)) < files_before[t]
+
+    # admission after compaction: replays skip, near-dups of docs
+    # admitted BEFORE the rewrite still reject
+    adm = {
+        r.doc_id: (r.admitted, r.dup_of)
+        for r in dedup_index.ingest(
+            wh, _docs(spark, [(10, THIRD), (40, THIRD)]), run_id=9
+        ).collect()
+    }
+    assert adm[10] == (True, None)  # replayed doc: skipped, not re-matched
+    assert adm[40] == (False, 10)   # rejects against the compacted index

@@ -251,6 +251,31 @@ def test_near_dup_clusters_transitive(spark):
     assert out[9] == 9
 
 
+def test_near_dup_clusters_deep_chain_converges(spark):
+    """Pointer-doubling worst case: a pure CHAIN d0~d1~...~d9 (each doc
+    shares enough shingles only with its neighbors) must still collapse
+    to one cluster rooted at the minimum id — plain one-hop propagation
+    would need ~10 rounds here; shortcutting must get the same answer
+    (and the round loop must actually terminate)."""
+    # overlapping 6-token windows over a 16-token sequence: consecutive
+    # windows share 5 of 7 shingle-grams (jaccard > 0.5), windows two
+    # apart share fewer (jaccard < 0.5) -> chain edges only
+    toks = [f"t{i}" for i in range(16)]
+    rows = [(i, " ".join(toks[i : i + 6])) for i in range(10)]
+    d = docs_df(spark, rows)
+    out = {
+        r.doc_id: r.cluster_id
+        for r in dedup.near_dup_clusters(d, tau=0.4, candidates="exact").collect()
+    }
+    # sanity on the fixture: it IS a chain under this tau
+    pairs = {
+        (r.a, r.b)
+        for r in dedup.ngram_jaccard_pairs(d, tau=0.4).select("a", "b").collect()
+    }
+    assert pairs == {(i, i + 1) for i in range(9)}, pairs
+    assert all(out[i] == 0 for i in range(10)), out
+
+
 # ---------------------------------------------------------------------------
 # ml
 # ---------------------------------------------------------------------------
