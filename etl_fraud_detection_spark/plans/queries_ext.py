@@ -642,20 +642,11 @@ def q_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_ann_ivf_index", oracle=_ivf_nprobe_oracle())
-def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PERSISTED IVF index probe (operators/ann_index — the vector twin
-    of q_dedup_band_index): the corpus is assigned ONCE per source
-    version into two warehouse tables — ivf_centroids (the frozen
-    coarse quantizer; deterministic lowest-id variant here so the probe
-    is oracle-expressible) and ivf_assign (vector → cell), written
-    under the warehouse's atomic multi-table commit — then the query
-    set searches its nprobe=2 nearest cells READ-ONLY against the
-    stored tables. Deliberately the same oracle as q_ann_ivf_nprobe:
-    the stored-index path must return bit-identical neighbors while
-    doing none of the per-session corpus re-assignment that ivf_topk
-    (and a per-run KMeans) pays — the shape whose daily cost at a
-    100 TB corpus is O(batch·K) admission + O(probed cells) search."""
+def _ivf_warehouse(spark: SparkSession, sf_dir: str):
+    """Shared IVF index warehouse for the stored-index queries: built
+    ONCE per source version (marker keyed by the embeddings table's
+    path+mtime+size — the band-index discipline) with the deterministic
+    lowest-id quantizer, then opened read-only."""
     import hashlib
     import os
     import shutil
@@ -677,8 +668,70 @@ def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_index.build(Warehouse(spark, root), emb, run_id=1, n_centroids=16)
         with open(marker, "w") as fh:
             fh.write("ok")
-    wh = Warehouse(spark, root)
+    return Warehouse(spark, root)
+
+
+@query("q_ann_ivf_index", oracle=_ivf_nprobe_oracle())
+def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED IVF index probe (operators/ann_index — the vector twin
+    of q_dedup_band_index): the corpus is assigned ONCE per source
+    version into two warehouse tables — ivf_centroids (the frozen
+    coarse quantizer; deterministic lowest-id variant here so the probe
+    is oracle-expressible) and ivf_assign (vector → cell), written
+    under the warehouse's atomic multi-table commit — then the query
+    set searches its nprobe=2 nearest cells READ-ONLY against the
+    stored tables. Deliberately the same oracle as q_ann_ivf_nprobe:
+    the stored-index path must return bit-identical neighbors while
+    doing none of the per-session corpus re-assignment that ivf_topk
+    (and a per-run KMeans) pays — the shape whose daily cost at a
+    100 TB corpus is O(batch·K) admission + O(probed cells) search."""
+    from ..operators import ann_index
+
+    wh = _ivf_warehouse(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
     return ann_index.probe(wh, emb.where("vec_id < 50"), k=3, nprobe=2)
+
+
+def _semdedup_index_oracle() -> str:
+    return f"""
+    WITH cen AS (SELECT vec_id AS cid, embedding AS cen_vec FROM embeddings WHERE vec_id < 16),
+    assign AS (
+        SELECT e.vec_id AS vid, e.embedding AS vec, cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e.embedding', 'cen_vec')} DESC, cid) AS arn
+        FROM embeddings e CROSS JOIN cen
+    ),
+    cells AS (SELECT vid, vec, cid FROM assign WHERE arn = 1),
+    d AS (
+        SELECT DISTINCT b.vid AS did
+        FROM cells a JOIN cells b ON a.cid = b.cid AND a.vid < b.vid
+        WHERE {_cos_sql('a.vec', 'b.vec')} >= 0.3
+    )
+    SELECT c.vid AS vec_id, c.cid, d.did IS NULL AS is_kept
+    FROM cells c LEFT JOIN d ON c.vid = d.did
+    """
+
+
+@query("q_semdedup_index", oracle=_semdedup_index_oracle())
+def q_semdedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the PERSISTED IVF cells: the stored ivf_assign
+    table already holds (vector, cell) — exactly the cluster structure
+    SemDeDup prunes within — so the semantic-dedup pass reads the index
+    instead of re-clustering the corpus (the production pairing:
+    quantizer trained once, both ANN search AND semantic pruning reuse
+    its cells). Quadratic only within a cell; the cell is the stored
+    assignment. Deterministic lowest-id quantizer keeps the whole
+    pipeline — assignment, cells, greedy lower-id pruning —
+    oracle-expressible; q_semdedup (label cells) and q_ann_ivf_kmeans
+    (trained cells) are the session-scoped siblings."""
+    from ..operators import similarity
+
+    wh = _ivf_warehouse(spark, sf_dir)
+    assign = wh.read("index", "ivf_assign")
+    out = similarity.semantic_dedup_cells(
+        assign, tau=0.3, cell_col="cid", id_col="vid", vec_col="vec"
+    )
+    return out.select(F.col("vid").alias("vec_id"), "cid", "is_kept")
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,81 @@
+"""Streaming vector admission over the PERSISTED IVF index: an
+embedding file-stream applied batch-by-batch through foreachBatch +
+ann_index.ingest — the streaming twin of daily vector-batch admission.
+Properties under test: cross-micro-batch growth (a vector admitted in
+batch N is probe-visible after batch N+1), assignment against the
+FROZEN quantizer only (centroids byte-stable across the whole run),
+and redelivery idempotence carried by the warehouse, not stream
+state."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_fraud_detection_spark.operators import ann_index
+from etl_fraud_detection_spark.pipeline import Warehouse
+
+SCHEMA = "vec_id long, embedding array<float>"
+
+
+def _vec(i):
+    return [float((i * 7 + d * 3) % 11 - 5) for d in range(4)]
+
+
+def _write_stream_files(spark, tmp_path, batches):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, ids in enumerate(batches):
+        d = os.path.join(str(tmp_path), f"b{i}.dir")
+        spark.createDataFrame(
+            [(j, _vec(j)) for j in ids], SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(d, part), os.path.join(src, f"b{i}.parquet"))
+    return src
+
+
+def test_streaming_vector_admission_grows_frozen_index(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    # quantizer from a seed corpus; the stream then grows the index
+    seed = spark.createDataFrame([(i, _vec(i)) for i in range(16)], SCHEMA)
+    ann_index.build(wh, seed, run_id=1, n_centroids=4)
+    cen_before = sorted(
+        map(tuple, wh.read("index", "ivf_centroids").collect())
+    )
+
+    # batch 2 redelivers vec 20 (already admitted in batch 0)
+    src = _write_stream_files(
+        spark, tmp_path, [[20, 21], [22, 23], [20, 24]]
+    )
+
+    def admit(batch_df, batch_id):
+        ann_index.ingest(wh, batch_df, run_id=100 + batch_id)
+
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(admit)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    idx = wh.read("index", "ivf_assign")
+    assert {r.vid for r in idx.select("vid").collect()} == set(range(16)) | {
+        20, 21, 22, 23, 24
+    }
+    assert idx.count() == 21  # the redelivered vid 20 was not duplicated
+    # quantizer frozen across every streamed batch
+    assert sorted(
+        map(tuple, wh.read("index", "ivf_centroids").collect())
+    ) == cen_before
+    # a vector admitted mid-stream is probe-visible
+    probe = ann_index.probe(
+        wh,
+        spark.createDataFrame([(99, _vec(22))], SCHEMA),
+        k=21,
+        nprobe=4,
+    )
+    assert 22 in {r.cand_id for r in probe.collect()}
