@@ -11,9 +11,10 @@ read-only-probe split over the versioned warehouse:
   default) or trained MLlib KMeans centers
   (``similarity.kmeans_centroids``). Small — always broadcast.
 - ``ivf_assign``: (vid, vec, vnorm, cid) — one row per indexed vector
-  with its nearest-centroid cell. At scale this table is written
-  partitioned/bucketed by ``cid`` so a probe's nprobe cells prune to
-  a few files; locally it is plain parquet under the warehouse.
+  with its nearest-centroid cell, written PARTITIONED BY cid (build
+  and every append): a probe's cid-key join prunes the scan to its
+  nprobe cells' files (dynamic partition pruning off the broadcast
+  query side) — the IVF access pattern expressed as disk layout.
 
 Both tables commit atomically (``Warehouse.begin_run``/``commit_run``)
 — the index can never hold assignments without the quantizer that
@@ -120,7 +121,13 @@ def build(
     wh.begin_run(run_id)
     wh.overwrite(LAYER, T_CENTROIDS, centroids)
     cen = wh.read(LAYER, T_CENTROIDS)  # assignments derive from the STORED quantizer
-    wh.overwrite(LAYER, T_ASSIGN, _assign(_vrows(emb, id_col, vec_col), cen))
+    # partitioned by cell id: a probe reads only its nprobe cells'
+    # files (partition pruning / DPP), the IVF access pattern on disk
+    wh.overwrite(
+        LAYER, T_ASSIGN,
+        _assign(_vrows(emb, id_col, vec_col), cen),
+        partition_by=["cid"],
+    )
     wh.commit_run(run_id)
 
 
@@ -156,7 +163,7 @@ def ingest(
         raise ValueError("run_id is required when commit=True")
     assigned = assigned.localCheckpoint()  # one eager pass feeds append + return
     wh.begin_run(run_id)
-    wh.append(LAYER, T_ASSIGN, assigned)
+    wh.append(LAYER, T_ASSIGN, assigned, partition_by=["cid"])
     wh.commit_run(run_id)
     return assigned.select("vid", "cid")
 

@@ -241,10 +241,13 @@ class Warehouse:
         self.spark.catalog.refreshByPath(p)
         return n
 
-    def append(self, layer: str, table: str, df: DataFrame) -> int:
+    def append(self, layer: str, table: str, df: DataFrame, partition_by: list[str] | None = None) -> int:
         """Append as a new version: hardlink the current files, write
         the increment beside them (Spark part filenames are UUIDs — no
-        collision), flip the pointer."""
+        collision), flip the pointer. ``partition_by`` must match the
+        layout the table was created with (a partitioned table appended
+        without it would mix root-level files into a partition-dir
+        tree and break the read)."""
         p = self.path(layer, table)
         cur = self._current(p)
         v = (cur or 0) + 1
@@ -256,7 +259,10 @@ class Warehouse:
         if cur is not None:
             _link_tree(self._vdir(p, cur), tmp)
         n = df.count()
-        df.write.mode("append").parquet(tmp)
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
         if os.path.exists(vdir):
             # same crash-orphan case as overwrite(): unreachable stale dir
             shutil.rmtree(vdir)

@@ -659,7 +659,7 @@ def _ivf_warehouse(spark: SparkSession, sf_dir: str):
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     tag = hashlib.md5(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:v1".encode()
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:v2".encode()  # v2: cid-partitioned layout
     ).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"spark_graft_ivfindex_{tag}")
     marker = os.path.join(root, ".built")

@@ -107,9 +107,14 @@ def test_probe_plan_is_readonly_scan(spark, wh):
     ann_index.build(wh, emb, run_id=1, n_centroids=4)
     plan = ann_index.probe(wh, emb.where("vec_id < 5"), k=3, nprobe=2)._jdf.queryExecution().executedPlan().toString()
     # both stored tables feed the plan as parquet scans (locations are
-    # truncated in toString, so match the tables' ReadSchema signatures)
+    # truncated in toString, so match the tables' ReadSchema signatures;
+    # cid is a PARTITION column of ivf_assign, so it is absent from its
+    # ReadSchema and present in PartitionFilters instead)
     assert "vid:bigint,vec:array<float>" in plan.replace(" ", "")  # ivf_assign scan
     assert "cid:int,cen_vec:array<double>" in plan.replace(" ", "")  # ivf_centroids scan
+    # the probe reads ONLY its nprobe cells' files: dynamic partition
+    # pruning off the broadcast query-cells side reaches the scan
+    assert "dynamicpruning" in plan, plan
     for bad in ("Python", "mapInPandas", "KMeans"):
         assert bad not in plan, f"{bad} in probe plan"
 
