@@ -31,6 +31,15 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Cached frames otherwise pin their pre-AQE output partitioning, so
+    # every stage downstream of a persist() (the iterative dedup loop,
+    # the LSH verify, anything reading a persisted intermediate) inherits
+    # the full shuffle-partition fan-out no matter how small the cached
+    # data is. Letting AQE re-plan cached output partitioning sizes those
+    # stages to the data (measured ~40% off near_dup_clusters at sf0.1);
+    # at 100 TB the same flag keeps large caches large — it only removes
+    # the "cache freezes partitioning" cliff.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
 }
 
 
