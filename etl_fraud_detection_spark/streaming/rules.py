@@ -104,10 +104,11 @@ def _stream_dir(sf_dir: str) -> str:
 class _few_state_partitions:
     """Run a stream with few state partitions: local state store instances
     cost ~RocksDB/HDFS-backed overhead per partition per micro-batch; at
-    test scale 8 partitions beat 32. (On a real cluster you would size
-    this to executor count instead.)"""
+    test scale 4 partitions beat 8 beat 32 (measured on the drained
+    replay harness). (On a real cluster you would size this to executor
+    count instead.)"""
 
-    def __init__(self, spark: SparkSession, n: int = 8):
+    def __init__(self, spark: SparkSession, n: int = 4):
         self.spark, self.n = spark, n
 
     def __enter__(self):
