@@ -1134,6 +1134,73 @@ def q_ingest_xlsx_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("_src_file", "_error")
 
 
+@query(
+    "q_ingest_jsonl",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 'en', CAST(0.9  AS DOUBLE), CAST(2 AS INTEGER), 'ok', CAST(NULL AS VARCHAR)),
+        (2, 'fr', CAST(0.75 AS DOUBLE), CAST(0 AS INTEGER), 'ok', CAST(NULL AS VARCHAR)),
+        (3, 'zh', CAST(NULL AS DOUBLE), CAST(1 AS INTEGER), 'ok', CAST(NULL AS VARCHAR)),
+        (CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+         CAST(NULL AS INTEGER), 'quarantined', 'not json at all'),
+        (CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+         CAST(NULL AS INTEGER), 'quarantined',
+         '{"doc_id": "oops", "text": "bad id", "meta": {"lang": "en", "quality": 0.5}, "tags": []}'),
+        (CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+         CAST(NULL AS INTEGER), 'quarantined',
+         '{"doc_id": 6, "text": "trailing", "meta": {"lang": "de", "quality": 0.6}, "tags": ["x"]')
+    ) AS t(doc_id, lang, quality, n_tags, status, raw_line)
+    """,
+)
+def q_ingest_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest with nested metadata and the S1b quarantine
+    contract — the standard LLM-corpus wire format as a first-class
+    source. One PERMISSIVE scan: well-formed lines surface with REAL
+    nested types (struct field extraction, array cardinality below);
+    a non-JSON line, a type-mismatched field, and a truncated object
+    all route to the quarantine side with their verbatim raw line.
+    Schema is explicit, so nothing infers over the corpus at scale."""
+    import tempfile
+
+    from ..sources import files as src
+
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_ingest_jsonl")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, "docs_05032024.jsonl")
+    lines = [
+        '{"doc_id": 1, "text": "hello world", "meta": {"lang": "en", "quality": 0.9}, "tags": ["a", "b"]}',
+        '{"doc_id": 2, "text": "bonjour", "meta": {"lang": "fr", "quality": 0.75}, "tags": []}',
+        '{"doc_id": 3, "text": "ni hao", "meta": {"lang": "zh"}, "tags": ["c"]}',
+        "not json at all",
+        '{"doc_id": "oops", "text": "bad id", "meta": {"lang": "en", "quality": 0.5}, "tags": []}',
+        '{"doc_id": 6, "text": "trailing", "meta": {"lang": "de", "quality": 0.6}, "tags": ["x"]',
+    ]
+    with open(p, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+    schema = (
+        "doc_id int, text string, "
+        "meta struct<lang: string, quality: double>, tags array<string>"
+    )
+    good, bad = src.read_jsonl_validated(spark, p, schema)
+    ok = good.select(
+        "doc_id",
+        F.col("meta.lang").alias("lang"),
+        F.col("meta.quality").alias("quality"),
+        F.size("tags").cast("int").alias("n_tags"),
+        F.lit("ok").alias("status"),
+        F.lit(None).cast("string").alias("raw_line"),
+    )
+    quarantined = bad.select(
+        F.lit(None).cast("int").alias("doc_id"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("double").alias("quality"),
+        F.lit(None).cast("int").alias("n_tags"),
+        F.lit("quarantined").alias("status"),
+        "raw_line",
+    )
+    return ok.unionByName(quarantined)
+
+
 # Extension operators (dedup / similarity / text / ML) register on import.
 from . import queries_ext  # noqa: E402,F401
 

@@ -1736,6 +1736,67 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_group_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 100 AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q_group_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical multi-level aggregate via ROLLUP: per
+    (returnflag, linestatus), per returnflag subtotal, and grand total
+    in ONE pass — Catalyst's Expand replicates each row once per
+    grouping set before a single shuffle, so the corpus is scanned once
+    however many levels roll up. grouping_id() disambiguates data NULLs
+    from subtotal NULLs (bit-identical to the oracle's GROUPING()).
+    Sums go through cents-exact BIGINT so group totals are
+    order-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty_c = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    return (
+        li.select("l_returnflag", "l_linestatus", qty_c.alias("qty_c"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            (F.sum("qty_c").cast("double") / 100).alias("sum_qty"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q_group_cube",
+    oracle="""
+    SELECT lang, source,
+           CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY CUBE(lang, source)
+    """,
+)
+def q_group_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report via CUBE over (lang, source): all four
+    grouping sets — per pair, per lang, per source, grand total — from
+    ONE scan + one shuffle (Expand), the standard single-pass corpus
+    dashboard at 100 TB. Aggregates are integer-exact (count, sum of
+    int chars), so every marginal matches the oracle bitwise."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", "source", "n_chars")
+        .cube("lang", "source")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+@query(
     "q_json_extract",
     oracle="""
     SELECT event_id,

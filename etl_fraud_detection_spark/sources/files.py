@@ -121,6 +121,41 @@ def read_delimited_validated(
     return good, bad
 
 
+def read_jsonl_validated(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-Lines scan with the S1b quarantine contract: one PERMISSIVE
+    scan routes lines that are not valid JSON, or whose fields cannot
+    parse to the declared schema, to a quarantine side output carrying
+    the verbatim raw line. JSONL is the lingua franca of LLM training
+    corpora (one document per line, nested metadata objects), so the
+    engine treats it as a first-class source next to delimited text and
+    XLSX — same dispatch, same quarantine discipline, and nested fields
+    (structs, arrays) come back as real Spark types, not strings.
+
+    Returns (good, quarantine); both derive from ONE cached scan (the
+    corrupt-record column is populated by the parser — no second pass).
+    Scale: a plain distributed json scan, split by file/line exactly
+    like CSV; schema is explicit so there is no inference pass over
+    100 TB of text."""
+    df = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .schema(schema + ", _corrupt string")
+        .json(path)
+    )
+    # Same contract as read_delimited_validated: a plan touching only
+    # the corrupt column is rejected by Spark — cache the parsed batch.
+    df = df.cache()
+    good = df.where(F.col("_corrupt").isNull()).drop("_corrupt")
+    bad = df.where(F.col("_corrupt").isNotNull()).select(
+        F.col("_corrupt").alias("raw_line")
+    )
+    return good, bad
+
+
 _XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 
 
