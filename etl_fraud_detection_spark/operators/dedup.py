@@ -133,7 +133,14 @@ def _jaccard_between(
         # point of LSH — instead of the corpus-wide co-shingle self-join
         # (which the exact branch above does by definition).
         co = F.broadcast(pairs).join(a, ["a"]).join(b, ["b", "shingle"])
-    common = co.groupBy("a", "b").agg(F.count("*").alias("n_common"))
+    # Candidate frames may carry DUPLICATE (a, b) rows (a pair matching
+    # in several LSH bands — the generators skip the dedup shuffle and
+    # let this groupBy collapse them). count_distinct keeps n_common
+    # exact under that duplication; in the exact branch shingles are
+    # already distinct per doc, so it degenerates to count(*).
+    common = co.groupBy("a", "b").agg(
+        F.count_distinct("shingle").alias("n_common")
+    )
     jac = (
         common.join(cnt.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), ["a"])
         .join(cnt.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), ["b"])
@@ -240,7 +247,10 @@ def minhash_lsh_pairs(
         left.join(right, ["band_idx", "band_hash"])
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
-        .distinct()
+        # NO distinct: a pair agreeing in k bands rides k times into the
+        # verify, whose groupBy(a, b) + count_distinct(shingle) collapses
+        # the duplicates exactly — cheaper than a dedicated dedup shuffle
+        # of the candidate set (one whole exchange off the critical path)
         # feeds the verify twice (candidate-id semi-filter + the pair
         # fan-out join) — persist the tiny pair frame so the banded
         # self-join runs once
@@ -295,7 +305,9 @@ def minhash_incremental_pairs(
         )
     )
     candidates = (
-        left.join(right, ["band_idx", "band_hash"]).select("a", "b").distinct()
+        left.join(right, ["band_idx", "band_hash"]).select("a", "b")
+        # no distinct — multi-band duplicates collapse in the verify's
+        # groupBy + count_distinct (see minhash_lsh_pairs)
         .persist()  # feeds the verify twice; see minhash_lsh_pairs
     )
     _PERSISTED_SHINGLES.append(candidates)
