@@ -135,12 +135,12 @@ def _jaccard_between(
         co = F.broadcast(pairs).join(a, ["a"]).join(b, ["b", "shingle"])
     # Candidate frames may carry DUPLICATE (a, b) rows (a pair matching
     # in several LSH bands — the generators skip the dedup shuffle and
-    # let this groupBy collapse them). count_distinct keeps n_common
-    # exact under that duplication; in the exact branch shingles are
-    # already distinct per doc, so it degenerates to count(*).
-    common = co.groupBy("a", "b").agg(
-        F.count_distinct("shingle").alias("n_common")
-    )
+    # let this groupBy collapse them), so the LSH branch counts DISTINCT
+    # shingles. The exact branch's co-shingle rows are unique per
+    # (a, b, shingle) by construction (shingles are distinct per doc) —
+    # plain count(*) there avoids the distinct-agg's extra exchange.
+    n_common = F.count("*") if pairs is None else F.count_distinct("shingle")
+    common = co.groupBy("a", "b").agg(n_common.alias("n_common"))
     jac = (
         common.join(cnt.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), ["a"])
         .join(cnt.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), ["b"])
