@@ -63,6 +63,8 @@ PROBES = [
     "q_pack_sequences",
     "q_dedup_band_index",
     "q_hll_portable",
+    # round-5: single-pass grouping-set report over the scaled corpus
+    "q_group_cube",
 ]
 
 _STREAM_VIEWS = (
