@@ -1201,6 +1201,79 @@ def q_ingest_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ok.unionByName(quarantined)
 
 
+@query(
+    "q_stream_jsonl",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 'en', CAST(0.9  AS DOUBLE), CAST(2 AS INTEGER), 'ok', CAST(NULL AS VARCHAR)),
+        (2, 'fr', CAST(0.75 AS DOUBLE), CAST(0 AS INTEGER), 'ok', CAST(NULL AS VARCHAR)),
+        (3, 'zh', CAST(NULL AS DOUBLE), CAST(1 AS INTEGER), 'ok', CAST(NULL AS VARCHAR)),
+        (CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+         CAST(NULL AS INTEGER), 'quarantined', 'not json at all'),
+        (CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+         CAST(NULL AS INTEGER), 'quarantined',
+         '{"doc_id": "oops", "text": "bad id", "meta": {"lang": "en", "quality": 0.5}, "tags": []}'),
+        (CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+         CAST(NULL AS INTEGER), 'quarantined',
+         '{"doc_id": 6, "text": "trailing", "meta": {"lang": "de", "quality": 0.6}, "tags": ["x"]')
+    ) AS t(doc_id, lang, quality, n_tags, status, raw_line)
+    """,
+)
+def q_stream_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous corpus intake: the JSONL quarantine contract as a
+    STREAM. readStream.json over a document drop-directory (the
+    production shape: files land, micro-batches pick them up), corrupt
+    lines routed in-plan via one CASE over the parser's corrupt-record
+    column — no second scan, no foreachBatch split — and drained via
+    AvailableNow. Must equal the batch ingest (same rows as
+    q_ingest_jsonl's oracle). At scale the same plan tails a bucket
+    notification stream; per-file atomicity comes from the file
+    source's committed-offset log."""
+    import tempfile
+
+    from ..streaming.rules import _drain_append
+
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_stream_jsonl")
+    os.makedirs(d, exist_ok=True)
+    batches = {
+        "b0_05032024.jsonl": [
+            '{"doc_id": 1, "text": "hello world", "meta": {"lang": "en", "quality": 0.9}, "tags": ["a", "b"]}',
+            '{"doc_id": 2, "text": "bonjour", "meta": {"lang": "fr", "quality": 0.75}, "tags": []}',
+            "not json at all",
+        ],
+        "b1_06032024.jsonl": [
+            '{"doc_id": 3, "text": "ni hao", "meta": {"lang": "zh"}, "tags": ["c"]}',
+            '{"doc_id": "oops", "text": "bad id", "meta": {"lang": "en", "quality": 0.5}, "tags": []}',
+            '{"doc_id": 6, "text": "trailing", "meta": {"lang": "de", "quality": 0.6}, "tags": ["x"]',
+        ],
+    }
+    for fname, lines in batches.items():
+        with open(os.path.join(d, fname), "w", encoding="utf-8") as fh:
+            fh.write("\n".join(lines) + "\n")
+    schema = (
+        "doc_id int, text string, "
+        "meta struct<lang: string, quality: double>, tags array<string>, "
+        "_corrupt string"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .option("maxFilesPerTrigger", 1)  # one drop-file per micro-batch
+        .json(d)
+    )
+    ok = F.col("_corrupt").isNull()
+    routed = raw.select(
+        F.when(ok, F.col("doc_id")).alias("doc_id"),
+        F.when(ok, F.col("meta.lang")).alias("lang"),
+        F.when(ok, F.col("meta.quality")).alias("quality"),
+        F.when(ok, F.size("tags").cast("int")).alias("n_tags"),
+        F.when(ok, F.lit("ok")).otherwise(F.lit("quarantined")).alias("status"),
+        F.col("_corrupt").alias("raw_line"),
+    )
+    return _drain_append(spark, routed, "stream_jsonl")
+
+
 # Extension operators (dedup / similarity / text / ML) register on import.
 from . import queries_ext  # noqa: E402,F401
 
