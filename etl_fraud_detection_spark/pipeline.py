@@ -465,13 +465,27 @@ class Warehouse:
             os.remove(ip)
         return j["run_id"]
 
-    def compact(self, layer: str, table: str, target_mb: int = 128) -> int:
+    def compact(
+        self,
+        layer: str,
+        table: str,
+        target_mb: int = 128,
+        partition_by: list[str] | None = None,
+    ) -> int:
         """Small-file compaction: rewrite the table into
         ceil(bytes / target_mb) files via the same swap-on-overwrite
         path. Daily appends (and per-batch streaming sinks) accrete
         small files that tax scan planning and the file-listing step at
         scale; periodic compaction to ~HDFS-block-sized files restores
-        scan efficiency. Returns the new file count."""
+        scan efficiency. Returns the new file count.
+
+        ``partition_by`` MUST be passed for tables created with a
+        partition layout (e.g. the IVF index's cid-partitioned
+        ivf_assign): the rewrite then clusters rows by the partition
+        key before a partitioned overwrite, so each partition directory
+        collapses toward one file and the layout — and every probe's
+        dynamic partition pruning — survives the compaction. A plain
+        coalesce here would silently flatten the directory tree."""
         import math
 
         p = self.path(layer, table)
@@ -483,8 +497,14 @@ class Warehouse:
             if f.endswith(".parquet")
         )
         n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
-        df = self.read(layer, table).coalesce(n_files)
-        self.overwrite(layer, table, df)
+        if partition_by:
+            df = self.read(layer, table).repartition(
+                *[F.col(c) for c in partition_by]
+            )
+            self.overwrite(layer, table, df, partition_by=partition_by)
+        else:
+            df = self.read(layer, table).coalesce(n_files)
+            self.overwrite(layer, table, df)
         new_vdir = self._vdir(p, self._current(p))
         return sum(
             1

@@ -148,3 +148,36 @@ def test_build_and_ingest_are_atomic(spark, wh):
     m = wh._manifest(41)
     tables = {t.split("/")[-1] for t in m["tables"]}
     assert {"ivf_centroids", "ivf_assign"} <= tables
+
+
+def test_partition_aware_compaction_preserves_layout_and_probes(spark, wh):
+    """Batch admissions accrete per-batch files inside each cid=*/
+    partition directory; compact(partition_by=["cid"]) must collapse
+    them WITHOUT flattening the partition tree — the layout is what the
+    probe's dynamic partition pruning prunes on — and probe results
+    must be byte-identical across the rewrite."""
+    import glob
+    import os
+
+    ann_index.build(wh, _emb(spark, range(40)), run_id=1, n_centroids=8)
+    for b in range(3):
+        ann_index.ingest(
+            wh, _emb(spark, range(40 + b * 5, 45 + b * 5)), run_id=2 + b
+        )
+    queries = _emb(spark, range(8))
+    before = sorted(map(tuple, ann_index.probe(wh, queries, k=3).collect()))
+
+    p = wh.path("index", "ivf_assign")
+    vdir = wh._vdir(p, wh._current(p))
+    files_before = len(glob.glob(os.path.join(vdir, "cid=*", "*.parquet")))
+    assert files_before > 0  # layout is partitioned pre-compaction
+
+    wh.compact("index", "ivf_assign", partition_by=["cid"])
+
+    vdir2 = wh._vdir(p, wh._current(p))
+    part_files = glob.glob(os.path.join(vdir2, "cid=*", "*.parquet"))
+    root_files = glob.glob(os.path.join(vdir2, "*.parquet"))
+    assert part_files and not root_files  # tree survived, nothing flattened
+    assert len(part_files) <= files_before
+    after = sorted(map(tuple, ann_index.probe(wh, queries, k=3).collect()))
+    assert after == before
