@@ -91,6 +91,91 @@ def brute_force_topk(
     )
 
 
+def hard_negatives(
+    emb: DataFrame,
+    k: int = 3,
+    query_pred: str = "vec_id < 10",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for each
+    query vector, the k most-similar candidates with a DIFFERENT label —
+    the negatives closest to the decision boundary, which carry the
+    training signal easy (random) negatives lack. Same execution shape
+    as :func:`brute_force_topk`: the bounded query set broadcasts, the
+    corpus side streams through one scan with no shuffle, per-query
+    top-k via a partitioned window; ties break on candidate id. At
+    scale, swap the scored cross join for the IVF cell-restricted
+    candidate generator and keep the label-inequality filter."""
+    q = emb.where(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+        F.col(label_col).alias("c_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("c_label") != F.col("q_label"))
+        .select(
+            "query_id", "cand_id",
+            (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "rnk", "cos")
+    )
+
+
+def quantize_int8(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    code_i = clamp(floor(x_i/scale + 0.5), ±127) — the standard 4×
+    storage/bandwidth reduction for a 100 TB vector store (dequantize
+    is code·scale). Pure codegen array folds, no UDF; the arithmetic is
+    plain IEEE double ops so codes are bit-identical across engines
+    (each step is oracle-expressible). An all-zero vector quantizes to
+    all-zero codes (scale 0 guard), not NaNs."""
+    xd = lambda x: x.cast("double")  # noqa: E731 — float→double once
+    absmax = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: F.abs(xd(x))),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    with_scale = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        (absmax / F.lit(127.0)).alias("scale"),
+    )
+    code = lambda x: F.when(  # noqa: E731
+        F.col("scale") == 0, F.lit(0).cast("long")
+    ).otherwise(
+        F.least(
+            F.lit(127).cast("long"),
+            F.greatest(
+                F.lit(-127).cast("long"),
+                F.floor(xd(x) / F.col("scale") + F.lit(0.5)),
+            ),
+        )
+    )
+    return with_scale.select(
+        "vec_id",
+        "scale",
+        F.transform(F.col("v"), code).alias("qvec"),
+        F.col("v").alias("vec"),
+    )
+
+
 def sign_lsh_bucket(vec_col: str = "embedding", n_bits: int = 8) -> Column:
     """Sign-bit LSH code: bit d set when embedding[d] >= 0 — a fixed
     axis-aligned hyperplane family (deterministic, oracle-expressible)."""

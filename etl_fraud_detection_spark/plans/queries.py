@@ -1312,7 +1312,7 @@ def family(name: str) -> str:
         return "tpch"
     if name.startswith("q_dedup_") or name == "q_semdedup":
         return "dedup"
-    if name.startswith("q_ann_") or name == "q_embed_normalize":
+    if name.startswith("q_ann_") or name.startswith("q_embed_"):
         return "ann"
     if name.startswith("q_multimodal_"):
         return "multimodal"

@@ -545,6 +545,80 @@ def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(_t(spark, sf_dir, "embeddings"), k=5)
 
 
+@query(
+    "q_ann_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec, label AS q_label
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS cand_id, embedding AS c_vec, label AS c_label
+               FROM embeddings),
+         scored AS (
+             SELECT query_id, cand_id, {_cos_sql('q_vec', 'c_vec')} AS cos
+             FROM c, q WHERE c_label <> q_label
+         ),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, cand_id) AS rnk
+               FROM scored)
+    SELECT query_id, cand_id, rnk, cos FROM r WHERE rnk <= 3
+    """,
+)
+def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the 3 most-similar WRONG-label candidates — the negatives nearest
+    the decision boundary. Broadcast query set, one corpus scan, no big
+    shuffle (operators/similarity.hard_negatives)."""
+    return similarity.hard_negatives(_t(spark, sf_dir, "embeddings"), k=3)
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        FROM embeddings
+    ),
+    c AS (
+        SELECT vec_id, scale, embedding,
+               list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+                   ELSE LEAST(127, GREATEST(-127,
+                        CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)))
+                   END) AS codes
+        FROM s
+    )
+    SELECT vec_id, scale,
+           CAST(list_sum(codes) AS BIGINT) AS q_sum,
+           list_max(list_transform(range(1, len(codes) + 1),
+               i -> abs(codes[i] * scale - CAST(embedding[i] AS DOUBLE))))
+               AS max_err
+    FROM c
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the 4x storage/bandwidth
+    lever for a 100 TB vector store. Codes and scales are pure-codegen
+    array folds over IEEE double arithmetic, so every code (and the
+    reconstruction error bound surfaced as max_err) verifies
+    bit-identical in the oracle. The recall impact of searching over
+    dequantized codes is pinned in tests/test_ann_index.py."""
+    qz = similarity.quantize_int8(_t(spark, sf_dir, "embeddings"))
+    q_sum = F.aggregate(
+        F.col("qvec"), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    max_err = F.aggregate(
+        F.zip_with(
+            F.col("qvec"), F.col("vec"),
+            lambda c, x: F.abs(c * F.col("scale") - x.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    return qz.select(
+        "vec_id", "scale", q_sum.alias("q_sum"), max_err.alias("max_err")
+    )
+
+
 def _lsh_ann_oracle() -> str:
     bucket = " + ".join(
         f"(CASE WHEN embedding[{d + 1}] >= 0 THEN {1 << d} ELSE 0 END)" for d in range(8)
@@ -1764,34 +1838,6 @@ def q_group_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping_id().cast("long").alias("gid"),
             (F.sum("qty_c").cast("double") / 100).alias("sum_qty"),
             F.count("*").cast("long").alias("n_rows"),
-        )
-    )
-
-
-@query(
-    "q_group_cube",
-    oracle="""
-    SELECT lang, source,
-           CAST(GROUPING(lang, source) AS BIGINT) AS gid,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-    FROM documents GROUP BY CUBE(lang, source)
-    """,
-)
-def q_group_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus composition report via CUBE over (lang, source): all four
-    grouping sets — per pair, per lang, per source, grand total — from
-    ONE scan + one shuffle (Expand), the standard single-pass corpus
-    dashboard at 100 TB. Aggregates are integer-exact (count, sum of
-    int chars), so every marginal matches the oracle bitwise."""
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.select("lang", "source", "n_chars")
-        .cube("lang", "source")
-        .agg(
-            F.grouping_id().cast("long").alias("gid"),
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("sum_chars"),
         )
     )
 

@@ -181,3 +181,22 @@ def test_partition_aware_compaction_preserves_layout_and_probes(spark, wh):
     assert len(part_files) <= files_before
     after = sorted(map(tuple, ann_index.probe(wh, queries, k=3).collect()))
     assert after == before
+
+
+def test_int8_quantization_preserves_ann_recall(spark):
+    """Searching over DEQUANTIZED int8 codes must keep recall@3 >= 0.9
+    vs full-precision brute force — the accuracy side of the 4x storage
+    trade q_embed_quantize buys."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qz = similarity.quantize_int8(emb)
+    deq = qz.select(
+        "vec_id",
+        F.transform(
+            F.col("qvec"), lambda c: (c * F.col("scale")).cast("float")
+        ).alias("embedding"),
+    )
+    exact = similarity.brute_force_topk(emb, k=3)
+    approx = similarity.brute_force_topk(deq, k=3)
+    want = {(r.query_id, r.cand_id) for r in exact.collect()}
+    got = {(r.query_id, r.cand_id) for r in approx.collect()}
+    assert len(want & got) / len(want) >= 0.9

@@ -64,7 +64,7 @@ PROBES = [
     "q_dedup_band_index",
     "q_hll_portable",
     # round-5: single-pass grouping-set report over the scaled corpus
-    "q_group_cube",
+    "q_cube_grouping",
 ]
 
 _STREAM_VIEWS = (
