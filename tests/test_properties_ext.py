@@ -51,3 +51,29 @@ def test_wav_roundtrip_any_pcm(samples, rate):
     payload = wav.encode_wav(rate, 1, samples)
     got_rate, got_ch, got = wav.decode_wav(payload)
     assert (got_rate, got_ch, got) == (rate, 1, samples)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e4, max_value=1e4, allow_nan=False, width=32),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_int8_quantization_error_bound(vec):
+    """Pure-python mirror of quantize_int8's arithmetic: codes stay in
+    [-127, 127] and per-element reconstruction error <= scale/2 + eps
+    (the bound symmetric round-to-nearest guarantees for |x| <= max)."""
+    import math
+
+    xs = [float(x) for x in vec]
+    scale = max(abs(x) for x in xs) / 127.0
+    for x in xs:
+        if scale == 0:
+            code = 0
+        else:
+            code = min(127, max(-127, int(math.floor(x / scale + 0.5))))
+        assert -127 <= code <= 127
+        err = abs(code * scale - x)
+        assert err <= scale / 2 + 1e-9 * max(1.0, abs(x))
