@@ -2597,6 +2597,79 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_contamination",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, unnest(list_distinct({_GRAM4})) AS gram FROM ({_TOKS})
+    ),
+    tr AS (SELECT * FROM g WHERE doc_id % 50 <> 0),
+    be AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 50 = 0)
+    SELECT tr.doc_id,
+           CAST(COUNT(DISTINCT tr.gram) AS BIGINT) AS n_shared_grams,
+           CAST(COUNT(DISTINCT be.bench_id) AS BIGINT) AS n_bench_docs
+    FROM tr JOIN be ON tr.gram = be.gram
+    GROUP BY 1
+    """,
+)
+def q_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination guard — the admission twin of
+    q_contamination: documents ARRIVE as a stream and every one is
+    checked against the STATIC benchmark-gram store (the same
+    content-addressed scratch parquet the batch query builds) through a
+    stream-static broadcast join. The streaming side is STATELESS —
+    tokenize, explode distinct 4-grams, broadcast-hash-join — so state
+    is zero regardless of stream length; the drained hit rows are then
+    aggregated batch-side into the per-doc report (in production the
+    same per-micro-batch hit frame feeds a quarantine sink directly —
+    each doc's grams ride in its own batch, so the verdict is
+    batch-local). Must equal the batch contamination report."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..streaming.rules import _drain_append
+
+    docs = _t(spark, sf_dir, "documents")
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:grams4:v1".encode()
+    ).hexdigest()[:12]
+    bg_path = os.path.join(tempfile.gettempdir(), f"spark_graft_benchgrams_{tag}")
+    if not os.path.exists(os.path.join(bg_path, "_SUCCESS")):
+        ngrams.ngram_rows(
+            docs.where(F.col("doc_id") % 50 == 0), "text", 4, distinct=True
+        ).withColumnRenamed("doc_id", "bench_id").write.mode(
+            "overwrite"
+        ).parquet(bg_path)
+
+    # stream the train docs from a linked drop-directory
+    sdir = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_docs_{tag}")
+    if not os.path.exists(os.path.join(sdir, "documents.parquet")):
+        os.makedirs(sdir, exist_ok=True)
+        try:
+            os.link(src, os.path.join(sdir, "documents.parquet"))
+        except OSError:  # cross-device fallback
+            import shutil as _sh
+
+            _sh.copy(src, os.path.join(sdir, "documents.parquet"))
+    schema = spark.read.parquet(src).schema
+    train = (
+        spark.readStream.schema(schema).parquet(sdir)
+        .where(F.col("doc_id") % 50 != 0)
+    )
+    grams = ngrams.ngram_rows(train, "text", 4, distinct=True)
+    hits = grams.join(
+        F.broadcast(spark.read.parquet(bg_path)), "gram"
+    ).select("doc_id", "gram", "bench_id")
+    drained = _drain_append(spark, hits, "stream_contamination")
+    return drained.groupBy("doc_id").agg(
+        F.countDistinct("gram").cast("long").alias("n_shared_grams"),
+        F.countDistinct("bench_id").cast("long").alias("n_bench_docs"),
+    )
+
+
+@query(
     "q_chunk_docs",
     oracle=f"""
     WITH s AS (
