@@ -1712,6 +1712,59 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_layout_hypertable",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+               AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+    GROUP BY 1
+    """,
+)
+def q_layout_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-partitioned (hypertable) layout: events materialized ONCE
+    per source version partitioned by event_date (content-addressed
+    scratch, same reuse discipline as the bucket tables), then a
+    one-day query scans ONLY that day's partition directory — the plan
+    carries the day as a PartitionFilter, so at 100 TB the scan cost
+    is one day of files, not a month (plan-pinned in
+    tests/test_plans.py). Values equal the unpartitioned oracle; the
+    layout changes what is READ, never what is computed."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..catalog import load_table
+
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    tag = hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}:hyper:v1".encode()
+    ).hexdigest()[:12]
+    p = os.path.join(tempfile.gettempdir(), f"spark_graft_hypertable_{tag}")
+    if not os.path.exists(os.path.join(p, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events")
+        (
+            ev.withColumn("event_date", F.col("ts").cast("date"))
+            .repartition(F.col("event_date"))  # ~one file per day dir
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(p)
+        )
+    day = spark.read.parquet(p).where(
+        F.col("event_date") == F.lit("2024-01-15").cast("date")
+    )
+    return day.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        (
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("double") / 100
+        ).alias("sum_value"),
+    )
+
+
+@query(
     "q_group_quantiles",
     oracle="""
     SELECT event_type,

@@ -446,3 +446,12 @@ def test_rollup_single_expand_single_shuffle(spark):
         assert count_nodes(p, "Expand") == 1, p
         assert count_nodes(p, "Exchange") == 1, p
         assert "Join" not in p
+
+
+def test_hypertable_probe_prunes_to_one_day(spark):
+    """The one-day query must reach the scan as a PartitionFilter on
+    event_date (directory pruning — the 100 TB lever), with no
+    residual ts predicate forcing a full scan."""
+    p = plan_of(q(spark, "q_layout_hypertable"))
+    scan = p.split("PartitionFilters:")[1].splitlines()[0]
+    assert "event_date" in scan and "2024-01-15" in scan, p
