@@ -283,6 +283,63 @@ def pack_sequences_sharded(
     )
 
 
+def pack_sequences_ffd(
+    df: DataFrame,
+    size_col: str,
+    key_col: str,
+    capacity: int = 4096,
+    shards: int = 64,
+) -> DataFrame:
+    """NO-SPLIT bin packing (first-fit-decreasing): documents hash into
+    ``shards`` deterministic md5-prefix shards; within a shard, docs
+    sort by size desc (md5 tiebreak) and each lands in the FIRST open
+    pack with room, else opens a new pack. Every document stays WHOLE in
+    exactly one pack — the packing a dataloader needs when documents
+    must not straddle context windows — and FFD keeps the padding waste
+    near-optimal (≤ 11/9·OPT + 1 packs, the classical bound). The
+    contiguous-fill packers (:func:`pack_sequences`) are the zero-waste
+    alternative when straddling/truncation is acceptable.
+
+    Oversized docs (size > capacity) get a pack of their own (splitting
+    is a tokenizer-side concern, parity with pack_sequences).
+
+    Scale shape: ONE shuffle (hash by shard), then an Arrow-batched
+    per-shard pass; the greedy is sequential ONLY within a shard, so
+    the ``shards`` dial bounds both group memory and skew exactly like
+    pack_sequences_sharded. ``pack_id = shard·2^32 + local``."""
+    import pandas as pd
+
+    key = F.md5(F.col(key_col).cast("string"))
+    shard = F.conv(F.substring(key, 1, 15), 16, 10).cast("long") % shards
+    tagged = df.select("*", key.alias("_mk"), shard.alias("shard"))
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in tagged.schema.fields
+        if f.name != "_mk"
+    ) + ", pack_id long"
+
+    def ffd(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            [size_col, "_mk"], ascending=[False, True], kind="mergesort"
+        )
+        sh = int(pdf["shard"].iloc[0])
+        room: list[int] = []  # remaining capacity per open pack
+        packs = []
+        for sz in pdf[size_col].astype("int64"):
+            for i, r in enumerate(room):
+                if sz <= r:
+                    room[i] -= sz
+                    packs.append(i)
+                    break
+            else:
+                room.append(max(0, capacity - sz))
+                packs.append(len(room) - 1)
+        pdf = pdf.drop(columns=["_mk"])
+        pdf["pack_id"] = [(sh << 32) + p for p in packs]
+        return pdf
+
+    return tagged.groupBy("shard").applyInPandas(ffd, out_schema)
+
+
 def domain_mix_sample(
     df: DataFrame,
     budgets: dict[str, int],

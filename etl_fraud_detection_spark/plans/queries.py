@@ -1298,7 +1298,8 @@ _TEMPORAL = {
 _CURATION = {
     "q_pii_redact", "q_quality_filter", "q_sample_stratified",
     "q_sample_topk_hash", "q_sample_weighted", "q_contamination",
-    "q_domain_mix", "q_epoch_shuffle", "q_pack_sequences", "q_chunk_docs",
+    "q_domain_mix", "q_epoch_shuffle", "q_pack_sequences", "q_pack_ffd",
+    "q_chunk_docs",
     "q_length_buckets", "q_corpus_pipeline", "q_dq_checks",
 }
 _SCD = {"q_scd1_merge", "q_scd2_versions", "q_current_version"}

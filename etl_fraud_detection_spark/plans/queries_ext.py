@@ -1957,6 +1957,22 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.pack_sequences(docs, size_col="n_chars", key_col="doc_id")
 
 
+@query("q_pack_ffd")
+def q_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split FFD bin packing (operators/sampling.pack_sequences_ffd):
+    every doc whole in exactly one 4096-char pack, padding waste
+    near-optimal. Sequential greedy only within a shard — rows-only
+    check (the per-shard first-fit order is not SQL-expressible);
+    capacity, determinism, and waste-vs-contiguous properties are
+    pinned in tests/test_curation_ops.py."""
+    from ..operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return sampling.pack_sequences_ffd(
+        docs, size_col="n_chars", key_col="doc_id"
+    )
+
+
 @query(
     "q_dq_checks",
     oracle="""

@@ -182,3 +182,48 @@ def test_global_rank_edge_cases(spark):
     (r,) = sampling.with_global_cumsum(s, key, F.col("n"), "c").collect()
     assert r.c == 3
     sampling.release_ranked()
+
+
+def test_pack_ffd_no_split_capacity_and_determinism(spark):
+    """FFD packing: every doc whole in one pack, per-pack total <=
+    capacity (oversized docs alone in theirs), and byte-identical
+    across runs."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    out = sampling.pack_sequences_ffd(
+        docs, size_col="n_chars", key_col="doc_id", capacity=4096
+    )
+    rows = out.collect()
+    assert len(rows) == docs.count()  # every doc packed exactly once
+    by_pack: dict[int, list] = {}
+    for r in rows:
+        by_pack.setdefault(r.pack_id, []).append(r.n_chars)
+    for sizes in by_pack.values():
+        assert sum(sizes) <= 4096 or len(sizes) == 1  # oversized -> alone
+    again = sampling.pack_sequences_ffd(
+        docs, size_col="n_chars", key_col="doc_id", capacity=4096
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_pack_ffd_waste_is_bounded(spark):
+    """Fill ratio = Σsize / (packs x capacity) must stay near-optimal
+    (FFD classical guarantee); on the real corpus it lands well above
+    the 0.7 floor asserted here."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    # shards=4 so each shard holds many packs: at the 500-doc test SF
+    # the default 64 shards leave ~1 under-filled pack per shard, which
+    # measures shard granularity, not the packing
+    out = sampling.pack_sequences_ffd(
+        docs, size_col="n_chars", key_col="doc_id", capacity=4096, shards=4
+    )
+    from pyspark.sql import functions as F2
+
+    agg = out.agg(
+        F2.sum("n_chars").alias("tok"),
+        F2.countDistinct("pack_id").alias("packs"),
+    ).first()
+    assert agg.tok / (agg.packs * 4096) >= 0.7
