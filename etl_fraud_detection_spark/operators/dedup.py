@@ -288,8 +288,13 @@ def minhash_incremental_pairs(
     more than the tiny broadcast side-split at candidate time); the
     batch id set broadcasts into a semi/anti split of the banded
     frame."""
-    sh = shingles(batch.unionByName(ledger))
-    sig = minhash_signatures(sh, num_hashes, with_count=True)
+    sh = shingles(batch.unionByName(ledger)).persist()
+    _PERSISTED_SHINGLES.append(sh)
+    # persist: sig feeds BOTH the banding branch and the verify's
+    # cardinality join (cnt=) — without it the 12-MIN-agg signature
+    # aggregation executes twice per incremental batch
+    sig = minhash_signatures(sh, num_hashes, with_count=True).persist()
+    _PERSISTED_SHINGLES.append(sig)
     banded = _band_explode(sig, num_hashes, bands)
     batch_ids = batch.select(F.col("doc_id").alias("a"))
     left = (

@@ -130,10 +130,22 @@ def write_bucketed(
     BY, metadata only) — so repeated runs pay the bucketing once and
     then measure what the operator exists to demonstrate: the
     zero-exchange probe. Without a token the table is dropped and
-    rewritten every call (the pre-round-5 behavior)."""
+    rewritten every call (the pre-round-5 behavior).
+
+    The BUCKETING SPEC (keys, num_buckets, schema) is folded into the
+    stored marker here, not trusted to the caller's token: re-registering
+    existing files under a different declared spec would make Spark
+    plan exchange-free merge joins over wrongly-hashed buckets — rows
+    silently missing from the join output."""
     import os
 
     spark = df.sparkSession
+    spec = (
+        f"|keys={','.join(keys)}|buckets={num_buckets}"
+        f"|schema={df.schema.simpleString()}"
+    )
+    if reuse_token is not None:
+        reuse_token = reuse_token + spec
     marker = os.path.join(path, "._bucket_token")
     if reuse_token is not None and os.path.exists(marker):
         with open(marker) as fh:

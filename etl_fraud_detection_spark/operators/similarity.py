@@ -436,7 +436,18 @@ def cosine_near_dup_pairs_banded(
     (band_idx, code) — per-band buckets co-locate at scale, AQE splits
     skewed ones — and each distinct pair is verified once. Requires
     ``bands × band_bits`` ≤ the embedding dimension (each band reads
-    its own dim slice, so bands are independent hashes)."""
+    its own dim slice, so bands are independent hashes) — enforced
+    below: past-the-end element_at returns NULL, which would silently
+    give every vector the SAME code in the trailing bands and turn
+    their equi-join into the full N² self-join this operator exists to
+    avoid."""
+    dim_row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is not None and dim_row["d"] < bands * band_bits:
+        raise ValueError(
+            f"bands*band_bits = {bands * band_bits} exceeds embedding "
+            f"dimension {dim_row['d']}: trailing bands would hash every "
+            f"vector into one bucket (quadratic candidates)"
+        )
     def band_code(b: int) -> Column:
         code = None
         for d in range(band_bits):

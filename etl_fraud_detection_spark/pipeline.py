@@ -199,6 +199,36 @@ class Warehouse:
             keep.add(self._journal["pre"].get(key, 0))
         self._prune_versions(p, keep)
 
+    # -- partition-spec metadata -------------------------------------------
+    # The layout a table was created with is TABLE metadata, not per-call
+    # caller discipline: append() without the right partition_by would mix
+    # root-level files into a partition-dir tree, and compact() would
+    # silently flatten it. overwrite() records the spec once (_PARTITION
+    # next to _CURRENT); append/compact resolve it automatically and
+    # reject a conflicting explicit spec.
+
+    def _partition_spec(self, layer: str, table: str) -> list[str] | None:
+        f = os.path.join(self.path(layer, table), "_PARTITION")
+        if not os.path.exists(f):
+            return None
+        with open(f) as fh:
+            cols = fh.read().strip()
+        return cols.split(",") if cols else None
+
+    def _resolve_partition_by(
+        self, layer: str, table: str, partition_by: list[str] | None
+    ) -> list[str] | None:
+        stored = self._partition_spec(layer, table)
+        if partition_by is None:
+            return stored
+        if stored is not None and list(partition_by) != stored:
+            raise ValueError(
+                f"{layer}.{table} was created partitioned by {stored}; "
+                f"got partition_by={list(partition_by)} — layout changes "
+                f"require an explicit overwrite()"
+            )
+        return list(partition_by)
+
     def read(self, layer: str, table: str) -> DataFrame | None:
         p = self.path(layer, table)
         v = self._current(p)
@@ -233,6 +263,12 @@ class Warehouse:
             shutil.rmtree(vdir)
         os.replace(tmp, vdir)
         self._set_current(layer, table, v, pre=cur)
+        # overwrite DEFINES the layout: record (or clear) the partition
+        # spec so append/compact can resolve it without caller discipline
+        _atomic_write(
+            os.path.join(p, "_PARTITION"),
+            ",".join(partition_by) if partition_by else "",
+        )
         # Invalidate cached plans/file listings over the table: the SCD
         # merge persists intermediates, and Spark's CacheManager would
         # otherwise match a later run's structurally-equal plan to the
@@ -244,10 +280,12 @@ class Warehouse:
     def append(self, layer: str, table: str, df: DataFrame, partition_by: list[str] | None = None) -> int:
         """Append as a new version: hardlink the current files, write
         the increment beside them (Spark part filenames are UUIDs — no
-        collision), flip the pointer. ``partition_by`` must match the
-        layout the table was created with (a partitioned table appended
-        without it would mix root-level files into a partition-dir
-        tree and break the read)."""
+        collision), flip the pointer. The partition layout is resolved
+        from the table's stored spec (recorded by overwrite), so callers
+        normally omit ``partition_by``; passing one that conflicts with
+        the stored layout raises instead of mixing root-level files
+        into a partition-dir tree."""
+        partition_by = self._resolve_partition_by(layer, table, partition_by)
         p = self.path(layer, table)
         cur = self._current(p)
         v = (cur or 0) + 1
@@ -479,15 +517,21 @@ class Warehouse:
         scale; periodic compaction to ~HDFS-block-sized files restores
         scan efficiency. Returns the new file count.
 
-        ``partition_by`` MUST be passed for tables created with a
-        partition layout (e.g. the IVF index's cid-partitioned
-        ivf_assign): the rewrite then clusters rows by the partition
-        key before a partitioned overwrite, so each partition directory
-        collapses toward one file and the layout — and every probe's
-        dynamic partition pruning — survives the compaction. A plain
-        coalesce here would silently flatten the directory tree."""
+        The partition layout is resolved from the table's stored spec
+        (recorded by overwrite), so a partitioned table (e.g. the IVF
+        index's cid-partitioned ivf_assign) compacts correctly with no
+        caller discipline: rows re-cluster by the partition key before
+        a partitioned overwrite, each partition directory collapses to
+        one file, and the layout — and every probe's dynamic partition
+        pruning — survives the rewrite. (``target_mb`` applies to the
+        unpartitioned path; the partitioned path targets one file per
+        partition directory, which is the right granularity when
+        partitions are value-bounded like cid/event_date.) A plain
+        coalesce would silently flatten the directory tree — resolving
+        the spec here is what prevents that."""
         import math
 
+        partition_by = self._resolve_partition_by(layer, table, partition_by)
         p = self.path(layer, table)
         vdir = self._vdir(p, self._current(p))
         total = sum(

@@ -1233,7 +1233,13 @@ def q_stream_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.rules import _drain_append
 
+    import shutil
+
     d = os.path.join(tempfile.gettempdir(), "spark_graft_stream_jsonl")
+    # wipe first: the stream ingests the WHOLE directory, so a stale
+    # file from an older fixture layout would add rows and break the
+    # pinned oracle (same discipline as q_ingest_xlsx_dist)
+    shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     batches = {
         "b0_05032024.jsonl": [

@@ -2618,6 +2618,32 @@ def q_repetition_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.with_repetition_removal(_t(spark, sf_dir, "documents"))
 
 
+def _bench_gram_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once (content-addressed by source path+mtime+size, the
+    band-index discipline) scratch parquet of the benchmark split's
+    distinct 4-grams — the STATIC side both decontamination queries
+    (batch q_contamination, streaming q_stream_contamination) broadcast
+    against. One shared builder so the two can never drift apart."""
+    import hashlib
+    import os
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:grams4:v1".encode()
+    ).hexdigest()[:12]
+    bg_path = os.path.join(tempfile.gettempdir(), f"spark_graft_benchgrams_{tag}")
+    if not os.path.exists(os.path.join(bg_path, "_SUCCESS")):
+        ngrams.ngram_rows(
+            docs.where(F.col("doc_id") % 50 == 0), "text", 4, distinct=True
+        ).withColumnRenamed("doc_id", "bench_id").write.mode(
+            "overwrite"
+        ).parquet(bg_path)
+    return bg_path
+
+
 @query(
     "q_contamination",
     oracle=f"""
@@ -2638,30 +2664,15 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     share a word 4-gram with the benchmark split (doc_id % 50 == 0).
     The benchmark gram set — static per eval-suite version — is built
     ONCE per source version into a scratch parquet (marker keyed by
-    path+mtime+size, the band-index discipline) and broadcast from
-    there, so each run pays only the train-side pass (explode spread
-    over doc_id partitions) plus shuffles of the tiny hit set."""
-    import hashlib
-    import os
-    import tempfile
-
+    path+mtime+size, the band-index discipline — _bench_gram_store) and
+    broadcast from there, so each run pays only the train-side pass
+    (explode spread over doc_id partitions) plus shuffles of the tiny
+    hit set."""
     docs = _t(spark, sf_dir, "documents")
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    tag = hashlib.md5(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:grams4:v1".encode()
-    ).hexdigest()[:12]
-    bg_path = os.path.join(tempfile.gettempdir(), f"spark_graft_benchgrams_{tag}")
-    if not os.path.exists(os.path.join(bg_path, "_SUCCESS")):
-        ngrams.ngram_rows(
-            docs.where(F.col("doc_id") % 50 == 0), "text", 4, distinct=True
-        ).withColumnRenamed("doc_id", "bench_id").write.mode(
-            "overwrite"
-        ).parquet(bg_path)
     return ngrams.contamination_check(
         docs.where(F.col("doc_id") % 50 != 0),
         n=4,
-        bench_grams=spark.read.parquet(bg_path),
+        bench_grams=spark.read.parquet(_bench_gram_store(spark, sf_dir)),
     )
 
 
@@ -2698,19 +2709,12 @@ def q_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.rules import _drain_append
 
-    docs = _t(spark, sf_dir, "documents")
+    bg_path = _bench_gram_store(spark, sf_dir)
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     tag = hashlib.md5(
         f"{src}:{st.st_mtime_ns}:{st.st_size}:grams4:v1".encode()
     ).hexdigest()[:12]
-    bg_path = os.path.join(tempfile.gettempdir(), f"spark_graft_benchgrams_{tag}")
-    if not os.path.exists(os.path.join(bg_path, "_SUCCESS")):
-        ngrams.ngram_rows(
-            docs.where(F.col("doc_id") % 50 == 0), "text", 4, distinct=True
-        ).withColumnRenamed("doc_id", "bench_id").write.mode(
-            "overwrite"
-        ).parquet(bg_path)
 
     # stream the train docs from a linked drop-directory
     sdir = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_docs_{tag}")

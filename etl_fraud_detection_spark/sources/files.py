@@ -294,13 +294,23 @@ def read_xlsx_dist(
         if not first:
             raise FileNotFoundError(f"no files match {path}")
         last_exc: Exception | None = None
-        for cand in first:
+        for idx, cand in enumerate(first):
             blob = bytes(cand["content"])
             if len(blob) > XLSX_DRIVER_MAX_BYTES:
+                # candidates are size-ordered, so every later one is
+                # bigger — stop rather than skip (report WHICH candidate
+                # tripped the guard: earlier, smaller ones were corrupt)
                 raise ValueError(
-                    f"cannot infer columns: smallest workbook under {path} is "
-                    f"{len(blob)} bytes (> {XLSX_DRIVER_MAX_BYTES}); pass "
-                    "columns= explicitly"
+                    f"cannot infer columns: candidate #{idx + 1} "
+                    f"(size-ordered) under {path} is {len(blob)} bytes "
+                    f"(> {XLSX_DRIVER_MAX_BYTES})"
+                    + (
+                        f"; the {idx} smaller candidate(s) failed to parse "
+                        f"(last error: {last_exc})"
+                        if idx
+                        else ""
+                    )
+                    + "; pass columns= explicitly"
                 )
             try:
                 columns, _ = _parse_xlsx_bytes(blob)

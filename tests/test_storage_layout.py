@@ -66,3 +66,69 @@ def test_sketch_aggregates_within_tolerance(spark):
     assert abs(row.approx - row.exact) / row.exact < 0.05  # HLL ±5%
     # t-digest median lands within the central band of the exact median
     assert abs(row.p50_sketch - row.p50_exact) / max(row.p50_exact, 1e-9) < 0.25
+
+
+def test_bucket_reuse_marker_binds_spec(spark, tmp_path):
+    """A reuse_token only skips the rebuild when keys/num_buckets/schema
+    also match: re-registering existing files under a different declared
+    bucketing would silently drop join rows."""
+    from etl_fraud_detection_spark.operators.joins import write_bucketed
+
+    df = spark.range(100).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    p = str(tmp_path / "bkt")
+    write_bucketed(df, "bkt_spec_t", ["k"], 4, p, reuse_token="src-v1")
+    import os
+    import time
+
+    mtime = max(
+        os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p)
+    )
+    # same token + same spec -> skip (no files rewritten)
+    time.sleep(0.05)
+    write_bucketed(df, "bkt_spec_t", ["k"], 4, p, reuse_token="src-v1")
+    assert max(
+        os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p)
+    ) == mtime
+    # same token, DIFFERENT num_buckets -> marker mismatch -> rebuild
+    write_bucketed(df, "bkt_spec_t", ["k"], 8, p, reuse_token="src-v1")
+    n_buckets = (
+        spark.sql("DESCRIBE TABLE EXTENDED bkt_spec_t")
+        .where("col_name = 'Num Buckets'")
+        .first()["data_type"]
+    )
+    assert n_buckets == "8"
+    spark.sql("DROP TABLE IF EXISTS bkt_spec_t")
+
+
+def test_warehouse_partition_spec_is_table_metadata(spark, tmp_path):
+    """overwrite records the partition layout; append/compact resolve it
+    with no caller discipline, and a conflicting explicit spec raises
+    instead of corrupting the directory tree."""
+    import glob
+
+    import pytest
+
+    from etl_fraud_detection_spark.pipeline import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(20).select(
+        (F.col("id") % 3).alias("part"), F.col("id").alias("v")
+    )
+    wh.overwrite("l", "t", df, partition_by=["part"])
+    # append WITHOUT partition_by must land inside part=*/ dirs
+    wh.append("l", "t", df)
+    p = wh.path("l", "t")
+    vdir = wh._vdir(p, wh._current(p))
+    assert glob.glob(vdir + "/part=*/*.parquet")
+    assert not glob.glob(vdir + "/*.parquet")
+    # compact WITHOUT partition_by preserves the tree
+    wh.compact("l", "t")
+    vdir = wh._vdir(p, wh._current(p))
+    assert glob.glob(vdir + "/part=*/*.parquet")
+    assert not glob.glob(vdir + "/*.parquet")
+    assert wh.read("l", "t").count() == 40
+    # conflicting explicit layout is an error, not silent corruption
+    with pytest.raises(ValueError, match="partitioned by"):
+        wh.append("l", "t", df, partition_by=["v"])
