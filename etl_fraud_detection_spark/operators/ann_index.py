@@ -43,7 +43,7 @@ a periodic rebuild, not by mutating the index under readers), so
 admission is append-only and replays are idempotent.
 
 Reference parity: ANN extension (SURVEY.md §2 LLM-ops table); the
-reference engine (a psycopg2 batch job, trsh_etl.py) has no vector
+reference engine (a psycopg2 batch job, etl.py) has no vector
 surface — this is new capability, designed Spark-first.
 """
 
@@ -146,11 +146,15 @@ def ingest(
 
     IDEMPOTENT on replay: vids already present in ``ivf_assign``
     (foreachBatch redelivery after a crash between index commit and
-    stream checkpoint) are skipped, not re-appended. Returns the
-    (vid, cid) assignment frame for the genuinely new vectors;
-    ``commit=False`` computes it read-only (admission preview)."""
+    stream checkpoint) are skipped, not re-appended, and duplicate vids
+    WITHIN the batch collapse to one row (same contract as
+    dedup_index.ingest — without it a doubled vector would score itself
+    in every later probe). Returns the (vid, cid) assignment frame for
+    the genuinely new vectors; ``commit=False`` computes it read-only
+    (admission preview)."""
     cen = _require(wh.read(LAYER, T_CENTROIDS), T_CENTROIDS)
     idx = _require(wh.read(LAYER, T_ASSIGN), T_ASSIGN)
+    batch = batch.dropDuplicates([id_col])
     batch_ids = batch.select(F.col(id_col).alias("vid"))
     already = idx.select("vid").join(F.broadcast(batch_ids), ["vid"], "left_semi")
     new_rows = _vrows(batch, id_col, vec_col).join(

@@ -148,8 +148,15 @@ def write_bucketed(
         reuse_token = reuse_token + spec
     marker = os.path.join(path, "._bucket_token")
     if reuse_token is not None and os.path.exists(marker):
+        # a matching marker alone is not proof the data survived: under
+        # /tmp reaping the parquet parts can vanish while the tiny marker
+        # file's atime keeps it alive — re-registering an empty directory
+        # would feed a silently row-less table into the join
+        has_parts = any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        )
         with open(marker) as fh:
-            if fh.read() == reuse_token:
+            if has_parts and fh.read() == reuse_token:
                 if not spark.catalog.tableExists(name):
                     cols = ", ".join(
                         f"`{f.name}` {f.dataType.simpleString()}"

@@ -187,8 +187,19 @@ class Warehouse:
         p = self.path(layer, table)
         key = f"{layer}/{table}"
         if self._journal is not None and key not in self._journal["pre"]:
-            # first touch inside this run: journal the rollback point
+            # first touch inside this run: journal the rollback point.
+            # The partition spec is journaled too — overwrite() rewrites
+            # _PARTITION after the pointer flip, so a crashed
+            # layout-changing run would otherwise leave a stale spec that
+            # later append()/compact() silently resolve against the
+            # rolled-back data (the mixed-layout hazard _PARTITION
+            # exists to prevent). _set_current runs BEFORE overwrite's
+            # _PARTITION write, so the file still holds pre-run content.
             self._journal["pre"][key] = pre
+            pf = os.path.join(p, "_PARTITION")
+            self._journal.setdefault("part_pre", {})[key] = (
+                open(pf).read() if os.path.exists(pf) else None
+            )
             self._flush_journal()
         _atomic_write(os.path.join(p, "_CURRENT"), str(v))
         # keep the live version, (inside a run) the journaled rollback
@@ -481,6 +492,16 @@ class Warehouse:
                     shutil.rmtree(p, ignore_errors=True)
             else:
                 _atomic_write(os.path.join(p, "_CURRENT"), str(pre))
+                # restore the journaled partition spec: the crashed run
+                # may have overwritten _PARTITION with a new layout
+                if key in j.get("part_pre", {}):
+                    spec = j["part_pre"][key]
+                    pf = os.path.join(p, "_PARTITION")
+                    if spec is None:
+                        if os.path.exists(pf):
+                            os.remove(pf)
+                    else:
+                        _atomic_write(pf, spec)
                 self._prune_versions(p, retained.get(key, set()))
             self.spark.catalog.refreshByPath(p)
         for rel, content in j["files"].items():

@@ -1863,30 +1863,43 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_group_rollup",
+    "q_grouping_sets",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-           CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE)
-               / 100 AS sum_qty,
+           CAST(ship_year AS INTEGER) AS ship_year,
+           CAST(GROUPING(l_returnflag, l_linestatus, ship_year) AS BIGINT)
+               AS gid,
+           CAST(SUM(qty_c) AS DOUBLE) / 100 AS sum_qty,
            CAST(COUNT(*) AS BIGINT) AS n_rows
-    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    FROM (SELECT l_returnflag, l_linestatus,
+                 EXTRACT(year FROM l_shipdate) AS ship_year,
+                 CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c
+          FROM lineitem)
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (ship_year), ())
     """,
 )
-def q_group_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical multi-level aggregate via ROLLUP: per
-    (returnflag, linestatus), per returnflag subtotal, and grand total
-    in ONE pass — Catalyst's Expand replicates each row once per
-    grouping set before a single shuffle, so the corpus is scanned once
-    however many levels roll up. grouping_id() disambiguates data NULLs
-    from subtotal NULLs (bit-identical to the oracle's GROUPING()).
-    Sums go through cents-exact BIGINT so group totals are
-    order-independent."""
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NON-HIERARCHICAL grouping sets — ((returnflag,
+    linestatus), (ship_year), ()) is not expressible as any single
+    ROLLUP or CUBE call (ship_year appears only alone), which is what
+    distinguishes this pin from q_rollup_grouping / q_cube_grouping:
+    Catalyst's Expand must emit exactly the three requested replicas,
+    not a lattice, before the single aggregation shuffle. grouping_id()
+    disambiguates data NULLs from set-NULLs (bit order = column order,
+    identical in both engines). Sums go through cents-exact BIGINT so
+    group totals are order-independent."""
     li = _t(spark, sf_dir, "lineitem")
     qty_c = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
     return (
-        li.select("l_returnflag", "l_linestatus", qty_c.alias("qty_c"))
-        .rollup("l_returnflag", "l_linestatus")
+        li.select(
+            "l_returnflag", "l_linestatus",
+            F.year("l_shipdate").alias("ship_year"),
+            qty_c.alias("qty_c"),
+        )
+        .groupingSets(
+            [["l_returnflag", "l_linestatus"], ["ship_year"], []],
+            "l_returnflag", "l_linestatus", "ship_year",
+        )
         .agg(
             F.grouping_id().cast("long").alias("gid"),
             (F.sum("qty_c").cast("double") / 100).alias("sum_qty"),

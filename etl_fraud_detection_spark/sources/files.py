@@ -288,30 +288,28 @@ def read_xlsx_dist(
         # through to the next-smallest (bounded sample) instead of
         # failing the batch.
         n_candidates = 4 if on_error == "quarantine" else 1
+        # size-guard ON the length column, BEFORE any bytes move: the
+        # guard must bound the driver memory pull itself, not merely
+        # refuse to parse after the blob already landed on the driver
         first = (
-            bf.select("content").orderBy("length").limit(n_candidates).collect()
+            bf.where(F.col("length") <= XLSX_DRIVER_MAX_BYTES)
+            .select("content")
+            .orderBy("length")
+            .limit(n_candidates)
+            .collect()
         )
         if not first:
-            raise FileNotFoundError(f"no files match {path}")
+            if bf.limit(1).count() == 0:
+                raise FileNotFoundError(f"no files match {path}")
+            raise ValueError(
+                f"cannot infer columns: every workbook under {path} "
+                f"exceeds the driver inference guard "
+                f"({XLSX_DRIVER_MAX_BYTES} bytes); pass columns= "
+                f"explicitly"
+            )
         last_exc: Exception | None = None
         for idx, cand in enumerate(first):
             blob = bytes(cand["content"])
-            if len(blob) > XLSX_DRIVER_MAX_BYTES:
-                # candidates are size-ordered, so every later one is
-                # bigger — stop rather than skip (report WHICH candidate
-                # tripped the guard: earlier, smaller ones were corrupt)
-                raise ValueError(
-                    f"cannot infer columns: candidate #{idx + 1} "
-                    f"(size-ordered) under {path} is {len(blob)} bytes "
-                    f"(> {XLSX_DRIVER_MAX_BYTES})"
-                    + (
-                        f"; the {idx} smaller candidate(s) failed to parse "
-                        f"(last error: {last_exc})"
-                        if idx
-                        else ""
-                    )
-                    + "; pass columns= explicitly"
-                )
             try:
                 columns, _ = _parse_xlsx_bytes(blob)
                 break

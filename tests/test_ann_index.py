@@ -200,3 +200,15 @@ def test_int8_quantization_preserves_ann_recall(spark):
     want = {(r.query_id, r.cand_id) for r in exact.collect()}
     got = {(r.query_id, r.cand_id) for r in approx.collect()}
     assert len(want & got) / len(want) >= 0.9
+
+
+def test_ingest_same_batch_duplicates_collapse(spark, wh):
+    """A vid doubled WITHIN one batch must land as one assignment row —
+    otherwise the duplicate scores itself in every later probe (same
+    contract as dedup_index.ingest)."""
+    ann_index.build(wh, _emb(spark, range(20)), run_id=1, n_centroids=4)
+    out = ann_index.ingest(wh, _emb(spark, [25, 25, 26]), run_id=2)
+    assert sorted(r.vid for r in out.collect()) == [25, 26]
+    idx = wh.read("index", "ivf_assign")
+    assert idx.where("vid = 25").count() == 1
+    assert idx.where("vid = 26").count() == 1

@@ -231,3 +231,39 @@ def test_orphan_version_dir_does_not_block_writes(spark, tmp_path):
     _write(os.path.join(orphan3, "junk.parquet"), ["not parquet"])
     wh.append("stg", "t", spark.range(7, 10))
     assert wh.read("stg", "t").count() == 10
+
+
+def test_partition_spec_restored_on_rollback(spark, tmp_path):
+    """A crashed layout-changing overwrite must not leave a stale
+    _PARTITION spec: recover() flips _CURRENT back AND restores the
+    journaled spec, so a later append() resolves the rolled-back
+    table's real layout instead of silently mixing layouts."""
+    from pyspark.sql import functions as F
+
+    wh_dir = str(tmp_path / "wh")
+    wh = Warehouse(spark, wh_dir)
+    df = spark.range(8).withColumn("p", (F.col("id") % 2).cast("int"))
+    wh.begin_run(1)
+    wh.overwrite("stg", "t", df, partition_by=["p"])
+    wh.commit_run(1)
+    assert wh._partition_spec("stg", "t") == ["p"]
+
+    # run 2 drops the partitioning, then the process dies before commit
+    wh.begin_run(2)
+    wh.overwrite("stg", "t", df)
+    assert wh._partition_spec("stg", "t") is None  # spec already clobbered
+
+    wh2 = Warehouse(spark, wh_dir)  # fresh process
+    assert wh2.recover() == 2
+    assert wh2._partition_spec("stg", "t") == ["p"]  # spec rolled back too
+
+    # append with no explicit spec resolves the restored layout and
+    # lands inside partition dirs, not as root-level files
+    wh2.begin_run(3)
+    wh2.append("stg", "t", df)
+    wh2.commit_run(3)
+    assert wh2.read("stg", "t").count() == 16
+    cur = wh2._current(wh2.path("stg", "t"))
+    vdir = wh2._vdir(wh2.path("stg", "t"), cur)
+    assert any(name.startswith("p=") for name in os.listdir(vdir))
+    assert not any(name.endswith(".parquet") for name in os.listdir(vdir))

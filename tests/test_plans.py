@@ -441,7 +441,7 @@ def test_bloom_prefilter_big_side_never_shuffles(spark):
 def test_rollup_single_expand_single_shuffle(spark):
     """ROLLUP/CUBE compile to ONE Expand + one aggregation exchange —
     the corpus is scanned once however many grouping sets roll up."""
-    for name in ("q_group_rollup", "q_cube_grouping"):
+    for name in ("q_grouping_sets", "q_cube_grouping"):
         p = plan_of(q(spark, name))
         assert count_nodes(p, "Expand") == 1, p
         assert count_nodes(p, "Exchange") == 1, p
