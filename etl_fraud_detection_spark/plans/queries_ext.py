@@ -14,6 +14,7 @@ from ..operators import (
     corpus,
     dedup,
     eventflow,
+    extraction,
     joins,
     ngrams,
     pysurface,
@@ -4615,3 +4616,106 @@ def q_stream_rule4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.rules import rule4_amount_guess_stream
 
     return rule4_amount_guess_stream(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Raw-document extraction: HTML/markup -> clean training text (stage 0 of
+# the corpus pipeline — operators/extraction.py, functions/htmltext.py)
+# ---------------------------------------------------------------------------
+
+
+def _docs_as_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic crawl fixture built IN-PLAN from the documents
+    table (TESTDATA.md ships born-clean text, so the markup stage is
+    reconstructed reversibly): each doc wrapped in a full page — head
+    with title + style, nav boilerplate, h1 (em-wrapped for every 3rd
+    doc so tag counts vary), the text in a p, a trailing script. Text
+    is entity-escaped on the way in, so extraction must decode entities
+    to round-trip. The expected clean text is therefore an exact
+    SQL-expressible function of the source columns — the oracle
+    contract the extraction queries verify against."""
+    docs = _t(spark, sf_dir, "documents")
+    title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
+    esc = F.col("text")
+    for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(raw), F.lit(ent))
+    h1 = F.when(
+        (F.col("doc_id") % 3) == 0,
+        F.concat(F.lit("<em>"), title, F.lit("</em>")),
+    ).otherwise(title)
+    html = F.concat(
+        F.lit("<html><head><title>"), title,
+        F.lit(
+            "</title><style>body{margin:0}</style></head><body>"
+            "<nav><ul><li>home</li><li>about</li></ul></nav><h1>"
+        ),
+        h1,
+        F.lit("</h1><p>"), esc,
+        F.lit("</p><script>var x=1;</script></body></html>"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+@query(
+    "q_html_extract",
+    oracle="""
+    SELECT doc_id,
+           'Doc ' || doc_id AS title,
+           'Doc ' || doc_id || chr(10) || text AS clean_text,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 13 ELSE 12 END AS INTEGER)
+               AS n_tags,
+           CAST(length('Doc ' || doc_id || chr(10) || text) AS BIGINT)
+               AS n_text_chars
+    FROM documents
+    """,
+)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-stripping HTML extraction (pretraining stage 0):
+    nav/style/script subtrees dropped, title excavated from head, block
+    boundaries become single newlines, entities decode, inline em is
+    transparent — so clean_text must round-trip to exactly
+    'Doc N\\n' + original text and n_tags must count the wrapper's
+    real tags. Map-only Arrow batches, no shuffle (pinned in
+    test_plans.py)."""
+    pages = _docs_as_html(spark, sf_dir)
+    return extraction.html_extract(pages, on_error="fail").select(
+        "doc_id", "title", "clean_text", "n_tags", "n_text_chars"
+    )
+
+
+@query(
+    "q_html_extract_quarantine",
+    oracle="""
+    SELECT doc_id,
+           (doc_id % 7 = 0) AS is_quarantined,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE 'Doc ' || doc_id END AS title,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE CAST(length('Doc ' || doc_id || chr(10) || text)
+                          AS BIGINT) END AS n_text_chars
+    FROM documents
+    """,
+)
+def q_html_extract_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction under the S1b quarantine contract: every 7th page is
+    truncated to 2/3 length (a torn crawl — tags left open at EOF), and
+    those rows must route to the quarantine side IN-PLAN (NULL
+    extraction columns, parse error recorded) while the batch
+    succeeds — one dirty page among billions never fails the load."""
+    pages = _docs_as_html(spark, sf_dir)
+    torn = pages.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 7) == 0,
+            F.expr(
+                "substring(html, 1, CAST(floor(length(html) * 2 / 3) AS INT))"
+            ),
+        ).otherwise(F.col("html")).alias("html"),
+    )
+    out = extraction.html_extract(torn, on_error="quarantine")
+    return out.select(
+        "doc_id",
+        F.col("_error").isNotNull().alias("is_quarantined"),
+        "title",
+        "n_text_chars",
+    )
