@@ -172,6 +172,54 @@ def ingest(
     return assigned.select("vid", "cid")
 
 
+def rebuild(
+    wh,
+    run_id: int,
+    n_centroids: int = 16,
+    centroids: DataFrame | None = None,
+) -> None:
+    """Periodic quantizer REBUILD-BY-REPLACEMENT — the lifecycle step
+    the frozen-quantizer contract defers drift correction to (pinned
+    by test_ann_index.py). After N drifting ingests the stored cells no
+    longer reflect the corpus and probe recall degrades; rebuild:
+
+    - derives the corpus FROM the stored index (vid/vec/vnorm rows of
+      ``ivf_assign`` — no external re-read of source tables),
+    - trains a fresh quantizer over it (MLlib KMeans via
+      ``similarity.kmeans_centroids``, or an explicit ``centroids``
+      frame),
+    - re-assigns every vector and swaps BOTH tables under one atomic
+      commit (``begin_run``/``commit_run``).
+
+    Readers therefore observe either (old quantizer, old assignments)
+    or (new, new) — a mixed-quantizer read is structurally impossible,
+    and a crash mid-rebuild rolls back to the old consistent pair via
+    ``Warehouse.recover()``. Cost: one corpus-sized O(N·K) assignment
+    pass, the same class as ``build`` — amortized over all the batches
+    admitted since the previous rebuild."""
+    idx = _require(wh.read(LAYER, T_ASSIGN), T_ASSIGN)
+    # materialize the corpus once: KMeans iterates over it and the
+    # re-assign pass reads it again after its source table is replaced
+    corpus = idx.select("vid", "vec", "vnorm").localCheckpoint()
+    if centroids is None:
+        from .similarity import kmeans_centroids
+
+        centroids = kmeans_centroids(
+            corpus.select(F.col("vec").alias("embedding")),
+            n_centroids=n_centroids,
+        )
+    centroids = centroids.select(
+        F.col("cid").cast("int"),
+        F.col("cen_vec").cast("array<double>"),
+        "cen_norm",
+    )
+    wh.begin_run(run_id)
+    wh.overwrite(LAYER, T_CENTROIDS, centroids)
+    cen = wh.read(LAYER, T_CENTROIDS)  # re-assign from the STORED v2 quantizer
+    wh.overwrite(LAYER, T_ASSIGN, _assign(corpus, cen), partition_by=["cid"])
+    wh.commit_run(run_id)
+
+
 def probe(
     wh,
     queries: DataFrame,

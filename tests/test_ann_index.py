@@ -212,3 +212,153 @@ def test_ingest_same_batch_duplicates_collapse(spark, wh):
     idx = wh.read("index", "ivf_assign")
     assert idx.where("vid = 25").count() == 1
     assert idx.where("vid = 26").count() == 1
+
+
+# -- rebuild lifecycle ------------------------------------------------------
+
+
+def _drifted(spark, ids):
+    """A drift cluster the FROZEN quantizer splits: all vectors point
+    near (1,1,0,0) — between the initial corpus's axis directions — and
+    a parity bias of 0.05 toward e1 or e2 decides which old cell each
+    lands in, while true neighborhood is decided by the (much larger)
+    e3 component shared by i%5 groups. So brute-force neighbors mix
+    parities, the old nprobe=1 probe sees only one parity's cell, and
+    recall degrades — until rebuild gives the cluster its own cell."""
+    rows = []
+    for i in ids:
+        v = [8.0, 8.0, 0.4 * (i % 5), 0.0]
+        v[i % 2] += 0.05
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _axes(spark, ids):
+    """Initial corpus: axis-aligned directions (the deterministic
+    lowest-id quantizer picks the first 8 = two of each axis)."""
+    rows = []
+    for i in ids:
+        v = [0.0, 0.0, 0.0, 0.0]
+        v[i % 4] = 5.0 + (i % 3)
+        v[(i + 1) % 4] = 0.01 * (i + 1)  # break cosine ties
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _brute_topk(df_rows, query_ids, k):
+    """Exact cosine top-k ground truth, computed driver-side on the
+    tiny test corpus."""
+    import math
+
+    vecs = {r.vid: r.vec for r in df_rows}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    out = {}
+    for q in query_ids:
+        scored = sorted(
+            ((cos(vecs[q], v), vid) for vid, v in vecs.items() if vid != q),
+            key=lambda t: (-t[0], t[1]),
+        )
+        out[q] = {vid for _, vid in scored[:k]}
+    return out
+
+
+def _recall(wh, query_df, truth, k):
+    got = {}
+    for r in ann_index.probe(wh, query_df, k=k, nprobe=1).collect():
+        got.setdefault(r.query_id, set()).add(r.cand_id)
+    return sum(
+        len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
+    ) / len(truth)
+
+
+def test_rebuild_recovers_recall_after_drift(spark, wh):
+    """The docstring's 'drifted cells are fixed by a periodic rebuild'
+    is a pinned behavior: N drifting ingests degrade nprobe=1 recall
+    under the frozen v1 quantizer; rebuild() trains v2 over the stored
+    corpus, re-assigns, and recall recovers."""
+    # v1 quantizer: exactly the four axis directions, so the drift
+    # cluster's parity bias deterministically splits members between
+    # the e1 and e2 cells (cos to e3/e4 stays far below both)
+    cen = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0], 1.0),
+            (1, [0.0, 1.0, 0.0, 0.0], 1.0),
+            (2, [0.0, 0.0, 1.0, 0.0], 1.0),
+            (3, [0.0, 0.0, 0.0, 1.0], 1.0),
+        ],
+        "cid int, cen_vec array<double>, cen_norm double",
+    )
+    ann_index.build(wh, _axes(spark, range(40)), run_id=1, centroids=cen)
+    for b, lo in enumerate((100, 110, 120)):  # three drifting batches
+        ann_index.ingest(wh, _drifted(spark, range(lo, lo + 10)), run_id=2 + b)
+
+    queries = _drifted(spark, range(100, 110))
+    truth = _brute_topk(
+        wh.read("index", "ivf_assign").collect(), list(range(100, 110)), k=3
+    )
+    recall_before = _recall(wh, queries, truth, k=3)
+    assert recall_before < 0.75  # drift split across old cells
+
+    ann_index.rebuild(wh, run_id=9, n_centroids=8)
+    recall_after = _recall(wh, queries, truth, k=3)
+    assert recall_after > recall_before
+    assert recall_after >= 0.9
+
+    # v2 is self-consistent: every stored assignment equals a fresh
+    # argmax against the stored v2 quantizer (no mixed-quantizer rows)
+    cen = wh.read("index", "ivf_centroids")
+    idx = wh.read("index", "ivf_assign")
+    fresh = {
+        (r.vid, r.cid)
+        for r in ann_index._assign(
+            idx.select("vid", "vec", "vnorm"), cen
+        ).select("vid", "cid").collect()
+    }
+    assert {(r.vid, r.cid) for r in idx.select("vid", "cid").collect()} == fresh
+    # and the corpus survived the rebuild exactly
+    assert idx.count() == 70
+
+
+def test_rebuild_crash_rolls_back_to_consistent_pair(spark, wh, monkeypatch):
+    """Crash BETWEEN the two rebuild swaps (v2 centroids written, v2
+    assignments not): recover() must restore the old (quantizer,
+    assignments) pair and the probe must answer exactly as before —
+    the atomic-commit property 'no mixed-quantizer reads' in anger."""
+    ann_index.build(wh, _axes(spark, range(40)), run_id=1, n_centroids=8)
+    ann_index.ingest(wh, _drifted(spark, range(100, 110)), run_id=2)
+    queries = _drifted(spark, range(100, 105))
+    before = sorted(
+        map(tuple, ann_index.probe(wh, queries, k=3, nprobe=2).collect())
+    )
+    cen_before = sorted(map(tuple, wh.read("index", "ivf_centroids").collect()))
+
+    real_overwrite = Warehouse.overwrite
+
+    def crashing(self, layer, table, df, partition_by=None):
+        if table == ann_index.T_ASSIGN:
+            raise RuntimeError("chaos: died between rebuild swaps")
+        return real_overwrite(self, layer, table, df, partition_by)
+
+    monkeypatch.setattr(Warehouse, "overwrite", crashing)
+    with pytest.raises(RuntimeError, match="chaos"):
+        ann_index.rebuild(wh, run_id=3, n_centroids=8)
+    monkeypatch.setattr(Warehouse, "overwrite", real_overwrite)
+
+    # mixed state on disk: v2 centroids live, v1 assignments live
+    assert sorted(
+        map(tuple, wh.read("index", "ivf_centroids").collect())
+    ) != cen_before
+
+    wh2 = Warehouse(spark, wh.root)  # fresh process
+    assert wh2.recover() == 3
+    assert sorted(
+        map(tuple, wh2.read("index", "ivf_centroids").collect())
+    ) == cen_before
+    after = sorted(
+        map(tuple, ann_index.probe(wh2, queries, k=3, nprobe=2).collect())
+    )
+    assert after == before
