@@ -1,0 +1,165 @@
+"""Sized-shard training export: the last mile of the corpus pipeline.
+
+epoch_shuffle/pack_sequences/pack_ffd (operators/sampling.py) produce
+the ORDER and the PACKS; this operator writes the corpus as resumable,
+deterministically-sized training shards under one atomic commit —
+what a training job actually mounts.
+
+Contract:
+
+- **Deterministic shard assignment**: rows are laid out in the
+  md5(key) epoch-shuffle order; ``start_offset`` is the exclusive
+  running byte sum in that order and ``shard_id =
+  floor(start_offset / target_bytes)`` — a pure function of the
+  corpus content and the target size, identical across engines,
+  retries, and partitionings (the same contiguous-fill math as
+  ``pack_sequences``, with bytes for capacity). Shard byte sizes land
+  within one document of ``target_bytes``.
+- **One atomic commit**: the shard table (partitioned by ``shard_id``,
+  one file per shard) and the export manifest (content token + stats)
+  swap together under ``Warehouse.begin_run``/``commit_run`` — a crash
+  mid-export rolls back to the previous complete export, never a
+  half-written shard set.
+- **Exactly-once re-run**: the manifest stores an order-independent
+  content token (count, byte sum, md5-key checksum, target). A re-run
+  over unchanged input matches the token and writes NOTHING — no new
+  table version, no new commit. Changed input (or target) re-exports.
+- **Resumable consumption**: every row carries ``shuffle_pos``, so a
+  data loader restarting mid-epoch seeks to its position; shard_id is
+  monotone in shuffle_pos, so shards stream sequentially.
+
+Scale shape: ONE range shuffle total — rank and byte-cumsum share the
+same ``repartitionByRange`` pass (broadcast per-partition offsets, no
+single-partition window), and the shard write reuses that clustering.
+At 100 TB the export is the same two jobs it is at 100 MB.
+
+Reference parity: extension (reference etl.py has no training-export
+surface); SURVEY.md §2 LLM-ops curation/assembly family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .sampling import _partition_offsets, _ranged_local, release_ranked
+
+LAYER = "export"
+T_SHARDS = "training_shards"
+T_MANIFEST = "export_manifest"
+
+
+def shard_assignments(
+    df: DataFrame,
+    size_col: str,
+    key_col: str = "doc_id",
+    target_bytes: int = 1 << 20,
+) -> DataFrame:
+    """Input columns + (shuffle_pos, start_offset, shard_id), computed
+    in one distributed range-shuffle: global md5-order rank and byte
+    cumsum share the partitioning, per-partition row/byte offsets
+    broadcast back."""
+    key = F.md5(F.col(key_col).cast("string"))
+    order = [key.asc()]
+    ranged = _ranged_local(df, order)
+    w_rn = Window.partitionBy("_pid").orderBy(*order)
+    w_cum = w_rn.rowsBetween(Window.unboundedPreceding, 0)
+    local = ranged.withColumn("_lrn", F.row_number().over(w_rn)).withColumn(
+        "_lcum", F.sum(F.col(size_col)).over(w_cum).cast("long")
+    )
+    row_off = _partition_offsets(ranged).select(
+        "_pid", F.col("_off").alias("_roff")
+    )
+    byte_off = _partition_offsets(ranged, value_col=F.col(size_col)).select(
+        "_pid", F.col("_off").alias("_boff")
+    )
+    start = F.col("_lcum") + F.col("_boff") - F.col(size_col)
+    return (
+        local.join(F.broadcast(row_off), "_pid")
+        .join(F.broadcast(byte_off), "_pid")
+        .select(
+            *df.columns,
+            (F.col("_lrn") + F.col("_roff")).cast("long").alias("shuffle_pos"),
+            start.cast("long").alias("start_offset"),
+            F.floor(start / target_bytes).cast("long").alias("shard_id"),
+        )
+    )
+
+
+def _content_token(
+    df: DataFrame, size_col: str, key_col: str, target_bytes: int
+) -> str:
+    """Order-independent content address of (corpus, export spec):
+    row count, byte sum, and an exact commutative checksum of the md5
+    keys (60-bit hex prefix summed as decimal(38,0) — no overflow, no
+    float). One aggregation job."""
+    agg = df.select(
+        F.count("*").alias("n"),
+        F.sum(F.col(size_col)).cast("long").alias("b"),
+        F.sum(
+            F.conv(
+                F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
+                16, 10,
+            ).cast("decimal(38,0)")
+        ).alias("h"),
+    ).collect()[0]
+    return (
+        f"n={agg['n']}|bytes={agg['b']}|keysum={agg['h']}"
+        f"|target={target_bytes}|key={key_col}|size={size_col}"
+    )
+
+
+def export_shards(
+    wh,
+    df: DataFrame,
+    run_id: int,
+    size_col: str,
+    key_col: str = "doc_id",
+    target_bytes: int = 1 << 20,
+) -> dict:
+    """Export ``df`` as sized training shards. Returns
+    ``{skipped, token, n_rows, n_shards, total_bytes}``; ``skipped``
+    is True when the committed manifest already carries this exact
+    content token (the exactly-once path: no job beyond the token
+    aggregation runs, no version is written, no commit is made)."""
+    token = _content_token(df, size_col, key_col, target_bytes)
+    man = wh.read(LAYER, T_MANIFEST)
+    if man is not None:
+        prev = man.collect()[0]
+        if prev["token"] == token:
+            return {
+                "skipped": True,
+                "token": token,
+                "n_rows": prev["n_rows"],
+                "n_shards": prev["n_shards"],
+                "total_bytes": prev["total_bytes"],
+            }
+    assigned = shard_assignments(df, size_col, key_col, target_bytes)
+    wh.begin_run(run_id)
+    # repartition BY shard: each shard's rows land in one task, so each
+    # shard directory holds exactly one data file of ~target_bytes
+    wh.overwrite(
+        LAYER, T_SHARDS,
+        assigned.repartition("shard_id"),
+        partition_by=["shard_id"],
+    )
+    written = wh.read(LAYER, T_SHARDS)
+    stats = written.select(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("shard_id").alias("n_shards"),
+        F.sum(F.col(size_col)).cast("long").alias("total_bytes"),
+    ).collect()[0]
+    manifest = df.sparkSession.createDataFrame(
+        [(token, int(stats["n_rows"]), int(stats["n_shards"]),
+          int(stats["total_bytes"]))],
+        "token string, n_rows long, n_shards long, total_bytes long",
+    )
+    wh.overwrite(LAYER, T_MANIFEST, manifest)
+    wh.commit_run(run_id)
+    release_ranked()
+    return {
+        "skipped": False,
+        "token": token,
+        "n_rows": int(stats["n_rows"]),
+        "n_shards": int(stats["n_shards"]),
+        "total_bytes": int(stats["total_bytes"]),
+    }

@@ -1307,7 +1307,7 @@ _CURATION = {
     "q_domain_mix", "q_epoch_shuffle", "q_pack_sequences", "q_pack_ffd",
     "q_chunk_docs",
     "q_length_buckets", "q_corpus_pipeline", "q_dq_checks",
-    "q_html_extract", "q_html_extract_quarantine",
+    "q_html_extract", "q_html_extract_quarantine", "q_export_shards",
 }
 _SCD = {"q_scd1_merge", "q_scd2_versions", "q_current_version"}
 

@@ -14,6 +14,7 @@ from ..operators import (
     corpus,
     dedup,
     eventflow,
+    export,
     extraction,
     joins,
     ngrams,
@@ -4718,4 +4719,51 @@ def q_html_extract_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_error").isNotNull().alias("is_quarantined"),
         "title",
         "n_text_chars",
+    )
+
+
+@query(
+    "q_export_shards",
+    oracle="""
+    WITH ordered AS (
+        SELECT doc_id, n_chars,
+               sum(n_chars) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)))
+                   - n_chars AS start_off
+        FROM documents
+    )
+    SELECT CAST(floor(start_off / 16384) AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS shard_bytes
+    FROM ordered
+    GROUP BY 1
+    """,
+)
+def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sized-shard training export, end to end: the corpus is written
+    as deterministic ~16 KiB shards under one atomic commit
+    (operators/export.py — md5 epoch-shuffle order, contiguous byte
+    fill, shard_id = floor(start_offset/target)), then the PERSISTED
+    shard table is read back and its per-shard composition must equal
+    the closed-form oracle. The export is exactly-once: on a re-run
+    over unchanged input the content token matches and nothing is
+    rewritten, so this query also measures the resume path after its
+    first invocation."""
+    import os
+    import tempfile
+
+    from ..pipeline import Warehouse
+
+    docs = _t(spark, sf_dir, "documents")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_export_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    wh = Warehouse(spark, root)
+    export.export_shards(
+        wh, docs, run_id=1, size_col="n_chars", target_bytes=16384
+    )
+    shards = wh.read("export", "training_shards")
+    return shards.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("shard_bytes"),
     )

@@ -1,0 +1,150 @@
+"""Sized-shard training export (operators/export.py): deterministic
+shard assignment, atomic commit, exactly-once re-run."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_fraud_detection_spark.operators import export
+from etl_fraud_detection_spark.pipeline import Warehouse
+
+TARGET = 4096
+
+
+def _docs(spark, n=200, extra=0):
+    rows = [(i, "x" * (50 + (i * 37) % 500)) for i in range(n + extra)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return df.withColumn("n_bytes", F.length("text").cast("long"))
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "expwh"))
+
+
+def test_export_round_trip(spark, wh):
+    docs = _docs(spark)
+    res = export.export_shards(
+        wh, docs, run_id=1, size_col="n_bytes", target_bytes=TARGET
+    )
+    assert not res["skipped"]
+    rows = wh.read("export", "training_shards").collect()
+
+    # nothing lost, nothing duplicated
+    assert sorted(r.doc_id for r in rows) == list(range(200))
+    # shuffle_pos is a complete 1..N permutation a loader can seek into
+    assert sorted(r.shuffle_pos for r in rows) == list(range(1, 201))
+    # shard assignment is the pure function of (start_offset, target)
+    assert all(r.shard_id == r.start_offset // TARGET for r in rows)
+    # shard_id monotone in shuffle_pos: shards stream sequentially
+    in_order = sorted(rows, key=lambda r: r.shuffle_pos)
+    assert all(
+        a.shard_id <= b.shard_id for a, b in zip(in_order, in_order[1:])
+    )
+    # every shard is within one document of the target size
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard_id, []).append(r)
+    max_doc = max(r.n_bytes for r in rows)
+    last = max(by_shard)
+    for sid, members in by_shard.items():
+        size = sum(r.n_bytes for r in members)
+        assert size <= TARGET + max_doc
+        if sid != last:
+            assert size >= TARGET - max_doc
+    assert res["n_shards"] == len(by_shard)
+    assert res["total_bytes"] == sum(r.n_bytes for r in rows)
+
+    # one data file per shard directory
+    p = wh.path("export", "training_shards")
+    vdir = wh._vdir(p, wh._current(p))
+    for d in os.listdir(vdir):
+        if d.startswith("shard_id="):
+            parts = [
+                f for f in os.listdir(os.path.join(vdir, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(parts) == 1, (d, parts)
+
+
+def test_rerun_is_exactly_once(spark, wh):
+    docs = _docs(spark)
+    export.export_shards(wh, docs, run_id=1, size_col="n_bytes",
+                         target_bytes=TARGET)
+    p = wh.path("export", "training_shards")
+    v1, commits1 = wh._current(p), wh.commits()
+
+    res = export.export_shards(wh, docs, run_id=2, size_col="n_bytes",
+                               target_bytes=TARGET)
+    assert res["skipped"]
+    assert wh._current(p) == v1  # no new version written
+    assert wh.commits() == commits1  # no new commit made
+
+    # changed input re-exports; the new doc lands in the shard table
+    res2 = export.export_shards(wh, _docs(spark, extra=1), run_id=3,
+                                size_col="n_bytes", target_bytes=TARGET)
+    assert not res2["skipped"]
+    assert wh._current(p) > v1
+    assert res2["n_rows"] == 201
+    # a different target is a different export spec, not a token match
+    res3 = export.export_shards(wh, _docs(spark, extra=1), run_id=4,
+                                size_col="n_bytes", target_bytes=TARGET * 2)
+    assert not res3["skipped"]
+
+
+def test_assignment_deterministic_across_warehouses(spark, wh, tmp_path):
+    docs = _docs(spark)
+    export.export_shards(wh, docs, run_id=1, size_col="n_bytes",
+                         target_bytes=TARGET)
+    wh2 = Warehouse(spark, str(tmp_path / "expwh2"))
+    export.export_shards(wh2, docs, run_id=1, size_col="n_bytes",
+                         target_bytes=TARGET)
+    a = sorted(
+        (r.doc_id, r.shuffle_pos, r.shard_id)
+        for r in wh.read("export", "training_shards").collect()
+    )
+    b = sorted(
+        (r.doc_id, r.shuffle_pos, r.shard_id)
+        for r in wh2.read("export", "training_shards").collect()
+    )
+    assert a == b
+
+
+def test_crash_mid_export_rolls_back_whole_export(spark, wh, monkeypatch):
+    """Dying between the shard write and the manifest write must leave
+    the PREVIOUS complete export (shards + matching manifest), never a
+    new shard set with a stale manifest."""
+    docs = _docs(spark)
+    export.export_shards(wh, docs, run_id=1, size_col="n_bytes",
+                         target_bytes=TARGET)
+    before = sorted(
+        (r.doc_id, r.shard_id)
+        for r in wh.read("export", "training_shards").collect()
+    )
+
+    real_overwrite = Warehouse.overwrite
+
+    def crashing(self, layer, table, df, partition_by=None):
+        if table == export.T_MANIFEST:
+            raise RuntimeError("chaos: died before manifest swap")
+        return real_overwrite(self, layer, table, df, partition_by)
+
+    monkeypatch.setattr(Warehouse, "overwrite", crashing)
+    with pytest.raises(RuntimeError, match="chaos"):
+        export.export_shards(wh, _docs(spark, extra=5), run_id=2,
+                             size_col="n_bytes", target_bytes=TARGET)
+    monkeypatch.setattr(Warehouse, "overwrite", real_overwrite)
+
+    wh2 = Warehouse(spark, wh.root)  # fresh process
+    assert wh2.recover() == 2
+    after = sorted(
+        (r.doc_id, r.shard_id)
+        for r in wh2.read("export", "training_shards").collect()
+    )
+    assert after == before
+    # and the re-run completes the interrupted export
+    res = export.export_shards(wh2, _docs(spark, extra=5), run_id=3,
+                               size_col="n_bytes", target_bytes=TARGET)
+    assert not res["skipped"] and res["n_rows"] == 205
