@@ -504,3 +504,39 @@ def paragraph_dedup(
             ).alias("text_clean"),
         )
     )
+
+
+def cluster_survivors(
+    docs: DataFrame,
+    tau: float = 0.8,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Pick the surviving document of every near-dup cluster — the
+    "which copy do we keep" stage that turns :func:`near_dup_clusters`'
+    labels into a deduplicated corpus. Survivor policy: largest
+    ``size_col`` (most content), smallest id as the deterministic
+    tie-break. Returns one row per cluster:
+    (cluster_id, kept_id, kept_<size_col>, n_members).
+
+    Scale shape: one window shuffle partitioned by cluster_id on top of
+    the label frame. Real corpora are singleton-dominated, so cluster
+    partitions are tiny and uniform; both the rank and the member count
+    ride the SAME window partitioning (one exchange, two frames)."""
+    labels = near_dup_clusters(docs, tau=tau, id_col=id_col)
+    sized = labels.join(
+        docs.select(F.col(id_col), F.col(size_col)), id_col
+    )
+    w = Window.partitionBy("cluster_id")
+    w_rank = w.orderBy(F.col(size_col).desc(), F.col(id_col))
+    return (
+        sized.withColumn("_rk", F.row_number().over(w_rank))
+        .withColumn("n_members", F.count("*").over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            "cluster_id",
+            F.col(id_col).alias("kept_id"),
+            F.col(size_col).cast("long").alias(f"kept_{size_col}"),
+            "n_members",
+        )
+    )

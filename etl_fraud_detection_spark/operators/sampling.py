@@ -420,3 +420,38 @@ def hash_topk_sample(df: DataFrame, k: int, key_col: str) -> DataFrame:
     (TakeOrderedAndProject), never a full sort."""
     sort_key = F.md5(F.col(key_col).cast("string")).alias("sample_key")
     return df.select("*", sort_key).orderBy("sample_key").limit(k)
+
+
+def holdout_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    splits: tuple[tuple[str, int], ...] = (("train", 90), ("val", 5), ("test", 5)),
+    buckets: int = 100,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: md5-bucket the row key
+    and carve [0, buckets) into contiguous split ranges (default
+    90/5/5). A pure filter-free projection — ZERO shuffle, stable under
+    retries, engine-portable (the oracle computes identical buckets) —
+    the standard hash-split used to freeze evaluation holdouts.
+
+    Leakage note: run this AFTER dedup survivor selection
+    (dedup.cluster_survivors) — hashing raw doc ids sends near-dup
+    copies to different splits; hashing a deduplicated corpus can't.
+
+    Appends ``bucket`` and ``split`` columns; fractions are binomially
+    approximate per stratum (exactness belongs to the budget-fill
+    operator, :func:`domain_mix_sample`)."""
+    b = hash_bucket(F.col(key_col), buckets)
+    total = sum(n for _, n in splits)
+    if total != buckets:
+        raise ValueError(f"split widths sum to {total}, expected {buckets}")
+    expr = None
+    lo = 0
+    for name, width in splits[:-1]:
+        lo += width
+        cond = b < lo
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(splits[-1][0]) if expr is None else expr.otherwise(splits[-1][0])
+    )
+    return df.withColumn("bucket", b).withColumn("split", expr)

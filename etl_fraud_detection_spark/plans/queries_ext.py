@@ -4767,3 +4767,139 @@ def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("shard_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: dedup survivor selection, holdout split, snapshot diff
+# ---------------------------------------------------------------------------
+
+
+def _survivors_oracle() -> str:
+    # clusters = the recursive-CTE closure over the SAME LSH-verified
+    # pair semantics as q_dedup_clusters; survivors extend it with the
+    # keep-longest argmax.
+    return f"""
+    SELECT cluster_id, doc_id AS kept_id, kept_n_chars, n_members FROM (
+        SELECT l.cluster_id, l.doc_id,
+               CAST(d.n_chars AS BIGINT) AS kept_n_chars,
+               row_number() OVER (PARTITION BY l.cluster_id
+                                  ORDER BY d.n_chars DESC, l.doc_id) AS rk,
+               count(*) OVER (PARTITION BY l.cluster_id) AS n_members
+        FROM ({_clusters_oracle()}) l JOIN documents d USING (doc_id)
+    ) WHERE rk = 1
+    """
+
+
+@query("q_dedup_survivors", oracle=_survivors_oracle())
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection — the stage AFTER near-dup clustering that
+    actually deduplicates the corpus: keep the largest document of
+    every cluster (smallest id on ties), emit
+    (cluster_id, kept_id, kept_n_chars, n_members). One window
+    exchange over the label frame; singleton-dominated partitions.
+    Downstream, q_split_holdout hashes THESE survivors so near-dup
+    copies can never straddle a train/test boundary."""
+    return dedup.cluster_survivors(_t(spark, sf_dir, "documents"), tau=0.8)
+
+
+@query(
+    "q_split_holdout",
+    oracle=f"""
+    SELECT doc_id, lang, bucket,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, lang, {_BUCKET_SQL} AS bucket FROM documents)
+    """,
+)
+def q_split_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test holdout: md5-bucket the doc
+    id and carve contiguous bucket ranges — a pure projection (ZERO
+    shuffle; the split column folds into the scan's codegen), stable
+    across engines, retries and repartitioning, so the eval holdout is
+    frozen forever. Run after survivor selection (q_dedup_survivors)
+    so near-dup copies can't leak across splits."""
+    from ..operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.holdout_split(docs, "doc_id")
+
+
+def _diff_warehouse(spark: SparkSession, sf_dir: str):
+    """Two-commit corpus warehouse for q_corpus_diff: run 1 = the base
+    snapshot, run 2 = a deterministic refresh (adds doc_id%17==3,
+    drops doc_id%13==7, revises text of doc_id%11==5), each under the
+    atomic multi-table commit. Built once per source version (marker
+    keyed on the documents file's path+mtime+size)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..pipeline import Warehouse
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:corpusdiff_v1".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_corpusdiff_{tag}")
+    marker = os.path.join(root, ".built")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        wh = Warehouse(spark, root)
+        v1 = docs.where(F.col("doc_id") % 17 != 3)
+        wh.begin_run(1)
+        wh.overwrite("stage", "documents", v1)
+        wh.commit_run(1)
+        v2 = docs.where(F.col("doc_id") % 13 != 7).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 11 == 5, F.concat(F.col("text"), F.lit(" [rev2]"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        wh.begin_run(2)
+        wh.overwrite("stage", "documents", v2)
+        wh.commit_run(2)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return Warehouse(spark, root)
+
+
+@query(
+    "q_corpus_diff",
+    oracle="""
+    SELECT doc_id, status FROM (
+        SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+               CASE WHEN v1.doc_id IS NULL THEN 'added'
+                    WHEN v2.doc_id IS NULL THEN 'removed'
+                    WHEN v1.text <> v2.text THEN 'changed' END AS status
+        FROM (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 3) v1
+        FULL OUTER JOIN (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 11 = 5 THEN text || ' [rev2]'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 13 <> 7
+        ) v2 ON v1.doc_id = v2.doc_id
+    ) WHERE status IS NOT NULL
+    """,
+)
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two committed corpus versions, both read
+    via warehouse TIME TRAVEL (read_at — Delta's VERSION AS OF): every
+    doc classified added/removed/changed by one full-outer join over
+    (key, map-side md5 digest) — the audit trail of an incremental
+    refresh, derived from the snapshots themselves instead of a CDC
+    log. The oracle recomputes both versions from the source table, so
+    a time-travel read returning anything but the exact committed
+    snapshot fails the gate. See operators/snapshot.py."""
+    from ..operators import snapshot
+
+    wh = _diff_warehouse(spark, sf_dir)
+    return snapshot.snapshot_diff(
+        wh.read_at("stage", "documents", 1),
+        wh.read_at("stage", "documents", 2),
+        "doc_id",
+        ["text"],
+    )

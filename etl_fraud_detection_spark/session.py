@@ -83,6 +83,18 @@ def get_spark(
         .config("spark.driver.bindAddress", "127.0.0.1")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
+        # Whole-stage-codegen class cache (static conf, default 100
+        # entries). The catalog runs 150+ distinct queries, each with
+        # several codegen stages, so at the default size every query's
+        # generated classes are evicted before it runs again and each
+        # sweep recompiles the full catalog. Sized to hold the whole
+        # workload's generated classes; on a long-lived cluster serving a
+        # many-query workload the same sizing applies (classes are small
+        # — this trades a few MB of metaspace for recompile latency).
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "4000"),
+        )
     )
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)

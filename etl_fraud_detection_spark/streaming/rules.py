@@ -152,7 +152,11 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "stream_win_agg"
-    with _few_state_partitions(spark):
+    # state here is (user × hour) ≈ corpus-cardinality — an order more
+    # rows than the other drained streams' state — so it pays for more
+    # store instances: 8 partitions beat 4 by ~12% and 32 by ~30%
+    # (same-boot sweep, SCALE.md round 6). Small-state streams keep 4.
+    with _few_state_partitions(spark, 8):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)

@@ -1,0 +1,119 @@
+"""Round-6 curation additions: cluster survivor selection, holdout
+split, snapshot diff (operators/dedup.cluster_survivors,
+sampling.holdout_split, snapshot.snapshot_diff)."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from etl_fraud_detection_spark.operators import dedup, sampling, snapshot
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, n_chars=len(t)) for i, t in rows]
+    )
+
+
+class TestClusterSurvivors:
+    def test_keeps_largest_per_cluster(self, spark):
+        # 1<->2 near-dup (2 longer), 3 singleton
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            (1, base),
+            (2, base + " with an extra trailing clause"),
+            (3, "completely different content about distributed query engines"),
+        ]
+        out = dedup.cluster_survivors(_docs(spark, rows), tau=0.5)
+        got = {r["cluster_id"]: r for r in out.collect()}
+        assert got[1]["kept_id"] == 2  # longest wins
+        assert got[1]["n_members"] == 2
+        assert got[3]["kept_id"] == 3 and got[3]["n_members"] == 1
+
+    def test_tie_breaks_on_min_id(self, spark):
+        t = "identical size text payload for the deterministic tie break case"
+        out = dedup.cluster_survivors(
+            _docs(spark, [(10, t), (7, t)]), tau=0.5
+        )
+        rows = out.collect()
+        assert len(rows) == 1
+        assert rows[0]["kept_id"] == 7
+
+    def test_survivor_count_equals_cluster_count(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [(i, base + f" tail{i % 2}") for i in range(6)] + [
+            (100, "unrelated standalone document text with nothing shared here at all")
+        ]
+        docs = _docs(spark, rows)
+        n_clusters = (
+            dedup.near_dup_clusters(docs, tau=0.5)
+            .select("cluster_id").distinct().count()
+        )
+        assert dedup.cluster_survivors(docs, tau=0.5).count() == n_clusters
+
+
+class TestHoldoutSplit:
+    def test_deterministic_and_exhaustive(self, spark):
+        df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+        out = sampling.holdout_split(df, "doc_id")
+        a = {r["doc_id"]: (r["bucket"], r["split"]) for r in out.collect()}
+        b = {r["doc_id"]: (r["bucket"], r["split"]) for r in out.collect()}
+        assert a == b  # stable across executions
+        assert set(s for _, s in a.values()) == {"train", "val", "test"}
+        # split follows the bucket ranges exactly
+        for bucket, split in a.values():
+            want = "train" if bucket < 90 else ("val" if bucket < 95 else "test")
+            assert split == want
+
+    def test_fractions_roughly_hold(self, spark):
+        df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+        counts = dict(
+            sampling.holdout_split(df, "doc_id")
+            .groupBy("split").count().rdd.map(lambda r: (r["split"], r["count"])).collect()
+        )
+        assert abs(counts["train"] / 5000 - 0.90) < 0.03
+        assert abs(counts["val"] / 5000 - 0.05) < 0.02
+        assert abs(counts["test"] / 5000 - 0.05) < 0.02
+
+    def test_bad_widths_raise(self, spark):
+        df = spark.range(3).withColumnRenamed("id", "doc_id")
+        with pytest.raises(ValueError):
+            sampling.holdout_split(df, "doc_id", splits=(("a", 50), ("b", 20)))
+
+    def test_no_shuffle_in_plan(self, spark):
+        df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+        plan = sampling.holdout_split(df, "doc_id")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestSnapshotDiff:
+    def test_classifies_all_three(self, spark):
+        old = spark.createDataFrame(
+            [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+        )
+        new = spark.createDataFrame(
+            [Row(k=2, v="b"), Row(k=3, v="C"), Row(k=4, v="d")]
+        )
+        got = {
+            r["k"]: r["status"]
+            for r in snapshot.snapshot_diff(old, new, "k", ["v"]).collect()
+        }
+        assert got == {1: "removed", 3: "changed", 4: "added"}
+
+    def test_unchanged_rows_dropped(self, spark):
+        df = spark.createDataFrame([Row(k=i, v=str(i)) for i in range(20)])
+        assert snapshot.snapshot_diff(df, df, "k", ["v"]).count() == 0
+
+    def test_multi_column_digest_order_sensitive(self, spark):
+        old = spark.createDataFrame([Row(k=1, a="x", b="y")])
+        new = spark.createDataFrame([Row(k=1, a="y", b="x")])
+        out = snapshot.snapshot_diff(old, new, "k", ["a", "b"]).collect()
+        assert [r["status"] for r in out] == ["changed"]
+
+    def test_null_vs_value_is_changed(self, spark):
+        old = spark.createDataFrame([Row(k=1, v=None), Row(k=2, v="s")])
+        new = spark.createDataFrame([Row(k=1, v="s"), Row(k=2, v="s")])
+        got = {
+            r["k"]: r["status"]
+            for r in snapshot.snapshot_diff(old, new, "k", ["v"]).collect()
+        }
+        assert got == {1: "changed"}
