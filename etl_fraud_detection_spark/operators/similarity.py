@@ -425,6 +425,7 @@ def cosine_near_dup_pairs_banded(
     band_bits: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """OR-amplified sign-LSH near-dup pairs — the recall dial the
     single-bucket gate (:func:`cosine_near_dup_pairs_lsh`) lacks:
@@ -440,7 +441,21 @@ def cosine_near_dup_pairs_banded(
     below: past-the-end element_at returns NULL, which would silently
     give every vector the SAME code in the trailing bands and turn
     their equi-join into the full N² self-join this operator exists to
-    avoid."""
+    avoid.
+
+    ``collapse_exact`` (default on) first collapses byte-identical
+    vectors to one representative per group (one window shuffle keyed
+    on the vector value), runs banding + verify over REPRESENTATIVES
+    only, and emits member pairs by join expansion — within-group
+    pairs reuse the group's self-cosine, cross-group pairs the
+    verified representative cosine, both BIT-IDENTICAL to per-pair
+    evaluation because the copies are byte-identical. On a real web
+    corpus exact multiplicity is the dominant duplication mode, and
+    without the collapse candidate work grows with (copies per
+    vector)² — the 25x scale probe measured 150x wall from exactly
+    that (SCALE.md round 6); with it, pair verification scales with
+    DISTINCT vectors and the blow-up is only the unavoidable output
+    emission. The collapse composes with any candidate generator."""
     dim_row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
     if dim_row is not None and dim_row["d"] < bands * band_bits:
         raise ValueError(
@@ -448,6 +463,51 @@ def cosine_near_dup_pairs_banded(
             f"dimension {dim_row['d']}: trailing bands would hash every "
             f"vector into one bucket (quadratic candidates)"
         )
+    if collapse_exact:
+        # the membership frame feeds four subplans (reps + both
+        # expansion sides + within-group) — persist so the vector-keyed
+        # window shuffle runs once; released by the dedup registry's
+        # sweep contract (release_shingles), same as the LSH
+        # intermediates
+        from .dedup import _PERSISTED_SHINGLES
+
+        mem = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        mem = mem.withColumn(
+            "gid", F.min("vid").over(Window.partitionBy("v"))
+        ).persist()
+        _PERSISTED_SHINGLES.append(mem)
+        reps = mem.where(F.col("vid") == F.col("gid"))
+        rep_pairs = cosine_near_dup_pairs_banded(
+            reps.select(F.col("gid").alias(id_col), F.col("v").alias(vec_col)),
+            tau=tau, bands=bands, band_bits=band_bits,
+            id_col=id_col, vec_col=vec_col, collapse_exact=False,
+        ).withColumnRenamed("a", "ga").withColumnRenamed("b", "gb")
+        ma = mem.select(F.col("gid").alias("ga"), F.col("vid").alias("ia"))
+        mb = mem.select(F.col("gid").alias("gb"), F.col("vid").alias("ib"))
+        cross = (
+            rep_pairs.join(ma, ["ga"]).join(mb, ["gb"])
+            .select(
+                F.least("ia", "ib").alias("a"),
+                F.greatest("ia", "ib").alias("b"),
+                "cos",
+            )
+        )
+        self_cos = (
+            reps.select(
+                "gid",
+                (dot(F.col("v"), F.col("v"))
+                 / (norm(F.col("v")) * norm(F.col("v")))).alias("cos"),
+            )
+            .where(F.col("cos") >= tau)
+        )
+        within = (
+            mem.select(F.col("gid"), F.col("vid").alias("a"))
+            .join(mem.select(F.col("gid"), F.col("vid").alias("b")), ["gid"])
+            .where(F.col("a") < F.col("b"))
+            .join(self_cos, ["gid"])
+            .select("a", "b", "cos")
+        )
+        return cross.unionByName(within)
     def band_code(b: int) -> Column:
         code = None
         for d in range(band_bits):

@@ -1,0 +1,189 @@
+"""Persisted inverted index with BM25 scoring — the lexical member of
+the stored-index family (text near-dup: dedup_index; vectors:
+ann_index; this: keyword retrieval).
+
+A corpus-scale retrieval system cannot re-tokenize 100 TB per query;
+it tokenizes ONCE per ingest batch into term postings and answers
+queries by reading only the probed terms' postings. Four warehouse
+tables under one atomic multi-table commit (pipeline.Warehouse — the
+same versioning/rollback/time-travel contract as the other indexes):
+
+- ``index/postings`` (bucket, term, doc_id, tf, dl), PARTITIONED BY
+  the term's hash bucket: a query for k terms statically prunes to at
+  most k of ``n_buckets`` partitions — the scan cost is postings of
+  the probed terms, not the corpus. dl (doc length) is denormalized
+  onto each posting so scoring needs no doc-table join.
+- ``index/term_stats`` (term, df) — vocab-bounded (a few MB at any
+  corpus size; natural-language vocabulary grows ~log with corpus).
+- ``index/corpus_stats`` (n_docs, sum_dl) — 1 row. sum_dl (not avgdl)
+  so incremental merges stay exact-integer.
+- ``index/doc_lens`` (doc_id, dl) — the admission ledger: replayed
+  doc ids are anti-joined out, making ingest exactly-once per doc.
+
+Exactness: tf/df/dl/n_docs/sum_dl are all integers, so an index built
+incrementally is BYTE-IDENTICAL to one built in a single pass, and
+query() reproduces operators/corpus.bm25_scores (same ln-then-quantize
+micro-unit discipline) bit-for-bit — pinned by tests/test_text_index.py.
+
+Scale shape (100 TB): build/ingest is one (doc,term) shuffle (doc-
+prefixed key — skew bounded by the longest doc, not term popularity)
+plus a vocab-bounded df aggregate; query reads pruned partitions,
+broadcasts the k-term stats and the 1-row corpus stats, and shuffles
+only matching postings for the per-doc sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .ngrams import tokens
+
+MICRO = 1_000_000
+N_BUCKETS = 32
+
+LAYER = "index"
+
+
+def _bucket(term_col: Column) -> Column:
+    # pruning-only hash: never surfaces in results, so it needs no
+    # cross-engine portability (unlike the md5 minhash contract)
+    return F.pmod(F.xxhash64(term_col), F.lit(N_BUCKETS)).cast("int")
+
+
+def _postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = tokens(text_col)
+    inst = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+    return (
+        inst.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .select(_bucket(F.col("term")).alias("bucket"), "term", "doc_id", "tf", "dl")
+    )
+
+
+def _doc_lens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.size(tokens(text_col)).alias("dl")
+    )
+
+
+def build(wh, docs: DataFrame, run_id: int, id_col: str = "doc_id",
+          text_col: str = "text") -> None:
+    """Tokenize the corpus into the four index tables under one atomic
+    commit. Rebuild-by-replacement: calling build again overwrites all
+    four as a unit (the ann_index rebuild discipline)."""
+    # postings feed two writes (postings + term_stats) and lens two
+    # more — persist so the corpus tokenizes ONCE, not four times
+    post = _postings(docs, id_col, text_col).persist()
+    lens = _doc_lens(docs, id_col, text_col).persist()
+    try:
+        wh.begin_run(run_id)
+        wh.overwrite(LAYER, "postings", post, partition_by=["bucket"])
+        wh.overwrite(
+            LAYER, "term_stats",
+            post.groupBy("term").agg(F.count("*").alias("df")),
+        )
+        wh.overwrite(
+            LAYER, "corpus_stats",
+            lens.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")),
+        )
+        wh.overwrite(LAYER, "doc_lens", lens)
+        wh.commit_run(run_id)
+    finally:
+        post.unpersist()
+        lens.unpersist()
+
+
+def ingest(wh, new_docs: DataFrame, run_id: int, id_col: str = "doc_id",
+           text_col: str = "text") -> None:
+    """Admit a batch: postings/doc_lens APPEND only the batch's rows
+    (work is O(batch), the stored corpus is never re-tokenized);
+    term_stats and corpus_stats merge exact-integer increments. Doc ids
+    already admitted — and duplicates within the batch — are dropped
+    first (doc_lens is the ledger), so a replayed batch is a no-op and
+    the whole admission is exactly-once per doc id."""
+    batch = new_docs.dropDuplicates([id_col])
+    ledger = wh.read(LAYER, "doc_lens")
+    if ledger is not None:
+        batch = batch.join(
+            ledger.select(F.col("doc_id").alias(id_col)), [id_col], "left_anti"
+        )
+    post = _postings(batch, id_col, text_col)
+    lens = _doc_lens(batch, id_col, text_col)
+    old_ts = wh.read(LAYER, "term_stats")
+    new_ts = post.groupBy("term").agg(F.count("*").alias("df"))
+    merged_ts = (
+        new_ts if old_ts is None
+        else old_ts.unionByName(new_ts).groupBy("term").agg(F.sum("df").alias("df"))
+    )
+    old_cs = wh.read(LAYER, "corpus_stats")
+    new_cs = lens.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    merged_cs = (
+        new_cs if old_cs is None
+        else old_cs.unionByName(new_cs).agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum(F.coalesce(F.col("sum_dl"), F.lit(0))).alias("sum_dl"),
+        )
+    )
+    # merged stats read the tables being replaced — materialize the
+    # small frames before the overwrite swaps versions under them
+    merged_ts = merged_ts.localCheckpoint()
+    merged_cs = merged_cs.localCheckpoint()
+    wh.begin_run(run_id)
+    wh.append(LAYER, "postings", post)
+    wh.overwrite(LAYER, "term_stats", merged_ts)
+    wh.overwrite(LAYER, "corpus_stats", merged_cs)
+    wh.append(LAYER, "doc_lens", lens)
+    wh.commit_run(run_id)
+
+
+def query(wh, terms: list[str], k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 over the STORED index: reads only the probed terms'
+    partitions (static partition pruning on the bucket column), never
+    re-tokenizes a document, and reproduces corpus.bm25_scores
+    bit-for-bit — (doc_id, n_matched_terms, score_micro, bm25)."""
+    # Buckets of the (bounded, user-supplied) query terms via one tiny
+    # local-relation query — no hand-rolled Python xxhash64 that could
+    # drift from the JVM's implementation. Bounded collect: |terms| rows.
+    spark = wh.spark
+    buckets = sorted({
+        r["b"]
+        for r in spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(_bucket(F.col("term")).alias("b"))
+        .collect()
+    })
+    post = (
+        wh.read(LAYER, "postings")
+        .where(F.col("bucket").isin(buckets))  # partition pruning
+        .where(F.col("term").isin(*terms))
+    )
+    ts = wh.read(LAYER, "term_stats").where(F.col("term").isin(*terms))
+    cs = wh.read(LAYER, "corpus_stats")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    denom = F.col("tf") + k1 * ((1.0 - b) + b * F.col("dl").cast("double") / avgdl)
+    per_term_micro = F.floor(
+        idf * (F.col("tf") * (k1 + 1.0)) / denom * MICRO + 0.5
+    ).cast("long")
+    return (
+        post.join(F.broadcast(ts.withColumnRenamed("term", "ts_term")),
+                  F.col("term") == F.col("ts_term"))
+        .join(F.broadcast(cs))
+        .select("doc_id", per_term_micro.alias("s_micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_matched_terms"),
+            F.sum("s_micro").alias("score_micro"),
+        )
+        .select(
+            "doc_id", "n_matched_terms", "score_micro",
+            (F.col("score_micro").cast("double") / MICRO).alias("bm25"),
+        )
+    )
+
+

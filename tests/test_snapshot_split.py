@@ -117,3 +117,40 @@ class TestSnapshotDiff:
             for r in snapshot.snapshot_diff(old, new, "k", ["v"]).collect()
         }
         assert got == {1: "changed"}
+
+
+class TestBandedExactCollapse:
+    """collapse_exact must be a pure optimization: identical pair set
+    AND identical cosine values vs per-pair evaluation, on a corpus
+    where exact-duplicate multiplicity dominates."""
+
+    def _emb(self, spark):
+        import random
+
+        rnd = random.Random(7)
+        rows = []
+        vid = 0
+        for g in range(12):  # 12 distinct vectors, varying copy counts
+            vec = [rnd.uniform(-1, 1) for _ in range(48)]
+            for _ in range(1 + g % 4):
+                rows.append((vid, vec))
+                vid += 1
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def test_collapse_matches_per_pair(self, spark):
+        from etl_fraud_detection_spark.operators import similarity
+
+        emb = self._emb(spark)
+        kw = dict(tau=0.2, bands=4, band_bits=6)
+        fast = similarity.cosine_near_dup_pairs_banded(
+            emb, collapse_exact=True, **kw
+        )
+        slow = similarity.cosine_near_dup_pairs_banded(
+            emb, collapse_exact=False, **kw
+        )
+        k_fast = sorted(tuple(r) for r in fast.collect())
+        k_slow = sorted(tuple(r) for r in slow.collect())
+        assert k_fast == k_slow
+        assert len(k_fast) > 0  # duplicates guarantee within-group pairs

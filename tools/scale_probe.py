@@ -123,6 +123,11 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=5)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument(
+        "--keep", action="store_true",
+        help="reuse an existing scaled dir and leave it on disk afterwards "
+        "(lets a large-factor probe run as several short invocations)",
+    )
     ap.add_argument("names", nargs="*", help="probe only these queries")
     args = ap.parse_args()
 
@@ -134,7 +139,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     scaled_dir = os.path.join("/tmp", f"spark_graft_scale_{args.factor}x")
-    build_scaled(spark, args.sf, scaled_dir, args.factor)
+    if not (args.keep and os.path.isdir(os.path.join(scaled_dir, "events.parquet"))):
+        build_scaled(spark, args.sf, scaled_dir, args.factor)
     # the scaled events.parquet is a DIRECTORY; catalog.load_table and
     # the streaming readers (_stream_dir symlinks the dir, the schema
     # probe picks a part file) both handle it.
@@ -167,7 +173,8 @@ def main() -> None:
             f"| {rows['1x']}→{rows[big]} |"
         )
 
-    shutil.rmtree(scaled_dir, ignore_errors=True)
+    if not args.keep:
+        shutil.rmtree(scaled_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
