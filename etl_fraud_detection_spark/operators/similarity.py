@@ -376,12 +376,66 @@ def semantic_dedup_cells(
     )
 
 
+def _pairs_over_exact_groups(emb, tau, id_col, vec_col, rep_pairs_fn):
+    """Run a (a, b, cos) pair generator over one REPRESENTATIVE per
+    group of byte-identical vectors, then expand back to member pairs:
+    cross-group pairs inherit the verified representative cosine,
+    within-group pairs the group's self-cosine — bit-identical to
+    per-pair evaluation because the copies are byte-identical. Exact
+    multiplicity is the dominant duplication mode of any crawled
+    corpus, and without this collapse every bucket/band candidate
+    generator pays (copies per vector)² candidate work (measured 150x
+    wall at the 25x probe, SCALE.md round 6); with it, verification
+    scales with DISTINCT vectors and the only per-copy cost is the
+    unavoidable output emission."""
+    # the membership frame feeds four subplans (reps + both expansion
+    # sides + within-group) — persist so the vector-keyed window
+    # shuffle runs once; released by the dedup registry's sweep
+    # contract (release_shingles), same as the LSH intermediates
+    from .dedup import _PERSISTED_SHINGLES
+
+    mem = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    mem = mem.withColumn(
+        "gid", F.min("vid").over(Window.partitionBy("v"))
+    ).persist()
+    _PERSISTED_SHINGLES.append(mem)
+    reps = mem.where(F.col("vid") == F.col("gid"))
+    rep_pairs = (
+        rep_pairs_fn(
+            reps.select(F.col("gid").alias(id_col), F.col("v").alias(vec_col))
+        )
+        .withColumnRenamed("a", "ga")
+        .withColumnRenamed("b", "gb")
+    )
+    ma = mem.select(F.col("gid").alias("ga"), F.col("vid").alias("ia"))
+    mb = mem.select(F.col("gid").alias("gb"), F.col("vid").alias("ib"))
+    cross = rep_pairs.join(ma, ["ga"]).join(mb, ["gb"]).select(
+        F.least("ia", "ib").alias("a"),
+        F.greatest("ia", "ib").alias("b"),
+        "cos",
+    )
+    self_cos = reps.select(
+        "gid",
+        (dot(F.col("v"), F.col("v"))
+         / (norm(F.col("v")) * norm(F.col("v")))).alias("cos"),
+    ).where(F.col("cos") >= tau)
+    within = (
+        mem.select(F.col("gid"), F.col("vid").alias("a"))
+        .join(mem.select(F.col("gid"), F.col("vid").alias("b")), ["gid"])
+        .where(F.col("a") < F.col("b"))
+        .join(self_cos, ["gid"])
+        .select("a", "b", "cos")
+    )
+    return cross.unionByName(within)
+
+
 def cosine_near_dup_pairs_lsh(
     emb: DataFrame,
     tau: float = 0.4,
     n_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs GATED on sign-LSH bucket
     equality — the 100 TB shape: pairs only form inside a bucket, so
@@ -392,7 +446,16 @@ def cosine_near_dup_pairs_lsh(
     lower recall, the standard dial); every emitted pair is exact.
     Same output contract as :func:`cosine_near_dup_pairs` (a < b, cos),
     which remains the exact-recall quadratic baseline for bounded
-    corpora."""
+    corpora. ``collapse_exact`` (default on) pre-collapses
+    byte-identical vectors — see :func:`_pairs_over_exact_groups`."""
+    if collapse_exact:
+        return _pairs_over_exact_groups(
+            emb, tau, id_col, vec_col,
+            lambda reps_emb: cosine_near_dup_pairs_lsh(
+                reps_emb, tau=tau, n_bits=n_bits,
+                id_col=id_col, vec_col=vec_col, collapse_exact=False,
+            ),
+        )
     bucketed = emb.select(
         F.col(id_col),
         F.col(vec_col),
@@ -464,50 +527,13 @@ def cosine_near_dup_pairs_banded(
             f"vector into one bucket (quadratic candidates)"
         )
     if collapse_exact:
-        # the membership frame feeds four subplans (reps + both
-        # expansion sides + within-group) — persist so the vector-keyed
-        # window shuffle runs once; released by the dedup registry's
-        # sweep contract (release_shingles), same as the LSH
-        # intermediates
-        from .dedup import _PERSISTED_SHINGLES
-
-        mem = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-        mem = mem.withColumn(
-            "gid", F.min("vid").over(Window.partitionBy("v"))
-        ).persist()
-        _PERSISTED_SHINGLES.append(mem)
-        reps = mem.where(F.col("vid") == F.col("gid"))
-        rep_pairs = cosine_near_dup_pairs_banded(
-            reps.select(F.col("gid").alias(id_col), F.col("v").alias(vec_col)),
-            tau=tau, bands=bands, band_bits=band_bits,
-            id_col=id_col, vec_col=vec_col, collapse_exact=False,
-        ).withColumnRenamed("a", "ga").withColumnRenamed("b", "gb")
-        ma = mem.select(F.col("gid").alias("ga"), F.col("vid").alias("ia"))
-        mb = mem.select(F.col("gid").alias("gb"), F.col("vid").alias("ib"))
-        cross = (
-            rep_pairs.join(ma, ["ga"]).join(mb, ["gb"])
-            .select(
-                F.least("ia", "ib").alias("a"),
-                F.greatest("ia", "ib").alias("b"),
-                "cos",
-            )
+        return _pairs_over_exact_groups(
+            emb, tau, id_col, vec_col,
+            lambda reps_emb: cosine_near_dup_pairs_banded(
+                reps_emb, tau=tau, bands=bands, band_bits=band_bits,
+                id_col=id_col, vec_col=vec_col, collapse_exact=False,
+            ),
         )
-        self_cos = (
-            reps.select(
-                "gid",
-                (dot(F.col("v"), F.col("v"))
-                 / (norm(F.col("v")) * norm(F.col("v")))).alias("cos"),
-            )
-            .where(F.col("cos") >= tau)
-        )
-        within = (
-            mem.select(F.col("gid"), F.col("vid").alias("a"))
-            .join(mem.select(F.col("gid"), F.col("vid").alias("b")), ["gid"])
-            .where(F.col("a") < F.col("b"))
-            .join(self_cos, ["gid"])
-            .select("a", "b", "cos")
-        )
-        return cross.unionByName(within)
     def band_code(b: int) -> Column:
         code = None
         for d in range(band_bits):

@@ -154,3 +154,17 @@ class TestBandedExactCollapse:
         k_slow = sorted(tuple(r) for r in slow.collect())
         assert k_fast == k_slow
         assert len(k_fast) > 0  # duplicates guarantee within-group pairs
+
+    def test_collapse_matches_per_pair_lsh(self, spark):
+        from etl_fraud_detection_spark.operators import similarity
+
+        emb = self._emb(spark)
+        fast = similarity.cosine_near_dup_pairs_lsh(
+            emb, tau=0.2, n_bits=6, collapse_exact=True
+        )
+        slow = similarity.cosine_near_dup_pairs_lsh(
+            emb, tau=0.2, n_bits=6, collapse_exact=False
+        )
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, slow.collect())
+        )

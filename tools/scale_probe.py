@@ -65,6 +65,16 @@ PROBES = [
     "q_hll_portable",
     # round-5: single-pass grouping-set report over the scaled corpus
     "q_cube_grouping",
+    # round-6: exact-collapse banded/LSH embedding dedup (the 25x probe
+    # found the pre-collapse 150x blow-up), the persisted inverted
+    # index probe, and the new curation stages
+    "q_dedup_embedding_bands",
+    "q_dedup_embedding_lsh",
+    "q_bm25_index",
+    "q_dedup_survivors",
+    "q_split_holdout",
+    "q_corpus_diff",
+    "q_html_extract",
 ]
 
 _STREAM_VIEWS = (
