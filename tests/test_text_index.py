@@ -112,3 +112,82 @@ class TestPruning:
         assert m, "postings scan lost its partition filter"
         assert f"= {want})" in m.group(1), m.group(1)
         assert "EqualTo(term,spark)" in plan  # term pushed to the scan
+
+
+class TestCompaction:
+    def test_postings_compact_preserves_probe_and_pruning(self, spark, tmp_path):
+        """Per-batch ingest accretes one file per touched bucket per
+        batch; the warehouse's partition-aware compaction must collapse
+        them without changing probe answers, admission state, or the
+        bucket partition layout the pruning depends on."""
+        docs = _docs(spark)
+        wh = Warehouse(spark, str(tmp_path / "ix"))
+        text_index.build(wh, docs.where("doc_id <= 2"), run_id=1)
+        for i, pred in enumerate(["doc_id in (3,4)", "doc_id in (5)", "doc_id in (6)"]):
+            text_index.ingest(wh, docs.where(pred), run_id=10 + i)
+        before = _key(text_index.query(wh, TERMS))
+        n_files_before = len(
+            wh.read("index", "postings").inputFiles()
+        )
+        wh.begin_run(50)
+        wh.compact("index", "postings")
+        wh.commit_run(50)
+        after_df = text_index.query(wh, TERMS)
+        assert _key(after_df) == before
+        assert len(wh.read("index", "postings").inputFiles()) < n_files_before
+        # pruning survives the rewrite
+        plan = after_df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        # a post-compaction ingest still admits exactly-once
+        text_index.ingest(wh, docs.where("doc_id = 6"), run_id=60)  # replay
+        assert _key(text_index.query(wh, TERMS)) == before
+
+
+class TestCrashRecovery:
+    def test_crash_mid_ingest_rolls_back_all_four_tables(self, spark, tmp_path):
+        """Ingest touches four tables under one journaled run; dying
+        after the postings append but before the stats merges must
+        leave NO partially-admitted batch — recover() restores the
+        exact pre-ingest index and the batch re-admits cleanly."""
+        docs = _docs(spark)
+        root = str(tmp_path / "ix")
+        wh = Warehouse(spark, root)
+        text_index.build(wh, docs.where("doc_id <= 4"), run_id=1)
+        before_q = _key(text_index.query(wh, TERMS))
+        before_lens = _key(wh.read("index", "doc_lens"))
+
+        batch = docs.where("doc_id > 4")
+        boom = RuntimeError("simulated crash")
+        orig_overwrite = Warehouse.overwrite
+        calls = {"n": 0}
+
+        def dying_overwrite(self, layer, table, df, partition_by=None):
+            # die on the FIRST stats overwrite — after the postings
+            # append already landed in the new (uncommitted) version
+            if table == "term_stats":
+                raise boom
+            return orig_overwrite(self, layer, table, df, partition_by)
+
+        Warehouse.overwrite = dying_overwrite
+        try:
+            try:
+                text_index.ingest(wh, batch, run_id=2)
+            except RuntimeError as e:
+                assert e is boom
+            else:
+                raise AssertionError("crash did not fire")
+        finally:
+            Warehouse.overwrite = orig_overwrite
+
+        # fresh handle, as a restarted process would have
+        wh2 = Warehouse(spark, root)
+        assert wh2.recover() == 2
+        assert _key(text_index.query(wh2, TERMS)) == before_q
+        assert _key(wh2.read("index", "doc_lens")) == before_lens
+        # the batch admits cleanly after recovery, equal to single-pass
+        text_index.ingest(wh2, batch, run_id=3)
+        whf = Warehouse(spark, str(tmp_path / "full"))
+        text_index.build(whf, docs, run_id=1)
+        assert _key(text_index.query(wh2, TERMS)) == _key(
+            text_index.query(whf, TERMS)
+        )
