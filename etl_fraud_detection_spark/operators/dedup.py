@@ -218,11 +218,71 @@ def _band_explode(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     ).select("doc_id", "bd.band_idx", "bd.band_hash")
 
 
+def _pairs_over_exact_text_groups(
+    docs: DataFrame,
+    rep_pairs_fn,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = NGRAM,
+) -> DataFrame:
+    """Run an (a, b, jaccard) pair generator over one REPRESENTATIVE
+    per group of byte-identical documents, then expand to member pairs
+    — the text twin of similarity._pairs_over_exact_groups. Exact
+    duplication is the dominant mode of any crawled corpus, and
+    without the collapse every band bucket carries (copies per doc)²
+    candidate work (the 25x embedding probe measured 150x wall from
+    exactly this shape; identical texts have identical signatures, so
+    the text path has the same curve). Cross-group pairs inherit the
+    representative pair's jaccard (shingle sets of copies are
+    identical — bit-identical value); within-group pairs have jaccard
+    exactly 1.0 (n/(2n-n) — but ONLY for groups whose docs shingle at
+    all: texts under ``min_tokens`` tokens produce no shingles and no
+    pairs, in the collapsed and uncollapsed plans alike). Grouping key
+    is md5(text) — the repo-wide exact-duplicate fingerprint contract
+    (exact_dedup, dedup_index)."""
+    mem = docs.select(
+        F.col(id_col).alias("did"),
+        F.md5(F.col(text_col)).alias("fp"),
+        F.col(text_col).alias("_txt"),
+    )
+    mem = mem.withColumn(
+        "gid", F.min("did").over(Window.partitionBy("fp"))
+    ).persist()
+    _PERSISTED_SHINGLES.append(mem)
+    reps = mem.where(F.col("did") == F.col("gid"))
+    rep_pairs = (
+        rep_pairs_fn(
+            reps.select(F.col("gid").alias(id_col), F.col("_txt").alias(text_col))
+        )
+        .withColumnRenamed("a", "ga")
+        .withColumnRenamed("b", "gb")
+    )
+    ma = mem.select(F.col("gid").alias("ga"), F.col("did").alias("ia"))
+    mb = mem.select(F.col("gid").alias("gb"), F.col("did").alias("ib"))
+    cross = rep_pairs.join(ma, ["ga"]).join(mb, ["gb"]).select(
+        F.least("ia", "ib").alias("a"),
+        F.greatest("ia", "ib").alias("b"),
+        "jaccard",
+    )
+    shingled_groups = reps.where(
+        F.size(F.split(F.col("_txt"), " ")) >= min_tokens
+    ).select("gid")
+    within = (
+        mem.select("gid", F.col("did").alias("a"))
+        .join(mem.select("gid", F.col("did").alias("b")), ["gid"])
+        .where(F.col("a") < F.col("b"))
+        .join(shingled_groups, ["gid"])
+        .select("a", "b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(within)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     tau: float = 0.8,
     num_hashes: int = NUM_HASHES,
     bands: int = BANDS,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """MinHash + LSH banding: docs sharing any band bucket become
     candidates; candidates are verified with exact Jaccard >= tau.
@@ -235,7 +295,25 @@ def minhash_lsh_pairs(
     signature frame rides the per-doc shingle counts on its shuffle
     (with_count) and is persisted so the verify's cardinality join
     reads it instead of re-aggregating the shingle table — measured
-    ~25% off the whole pair pipeline at sf0.1."""
+    ~25% off the whole pair pipeline at sf0.1.
+
+    ``collapse_exact`` (default on) first collapses byte-identical
+    documents to one representative per md5(text) group and expands
+    member pairs afterwards — see _pairs_over_exact_text_groups. The
+    emitted pair SET is unchanged (identical texts have identical
+    signatures, so copies agree on every band and are always
+    candidates of each other and of whatever their representative
+    matches); what changes is the cost curve on an exact-dup-heavy
+    corpus: shingling, signatures and band buckets scale with DISTINCT
+    documents instead of paying (copies per doc)² candidate work."""
+    if collapse_exact:
+        return _pairs_over_exact_text_groups(
+            docs,
+            lambda reps: minhash_lsh_pairs(
+                reps, tau=tau, num_hashes=num_hashes, bands=bands,
+                collapse_exact=False,
+            ),
+        )
     sh = shingles(docs).persist()
     _PERSISTED_SHINGLES.append(sh)
     sig = minhash_signatures(sh, num_hashes, with_count=True).persist()

@@ -168,3 +168,51 @@ class TestBandedExactCollapse:
         assert sorted(map(tuple, fast.collect())) == sorted(
             map(tuple, slow.collect())
         )
+
+
+class TestTextExactCollapse:
+    """Text twin of the embedding collapse: minhash_lsh_pairs with
+    collapse_exact must emit the identical pair set and jaccard values
+    as per-pair evaluation, on a corpus where whole documents repeat
+    byte-identically — including a short-doc dup group that shingles
+    to nothing and must yield NO pairs in both plans."""
+
+    def _docs(self, spark):
+        a = "the quick brown fox jumps over the lazy dog in the morning sun"
+        b = "a completely different text about distributed dataframe engines at scale"
+        c = a + " with a small trailing edit for near dup structure"
+        rows = (
+            [(i, a) for i in range(3)]            # exact-dup group of 3
+            + [(10 + i, b) for i in range(2)]     # exact-dup group of 2
+            + [(20, c)]                           # near-dup of group a
+            + [(30, "too short")]                 # sub-NGRAM dup group
+            + [(31, "too short")]
+        )
+        return spark.createDataFrame(
+            [(i, t, len(t)) for i, t in rows],
+            "doc_id long, text string, n_chars long",
+        )
+
+    def test_collapse_matches_per_pair(self, spark):
+        docs = self._docs(spark)
+        fast = dedup.minhash_lsh_pairs(docs, tau=0.5, collapse_exact=True)
+        slow = dedup.minhash_lsh_pairs(docs, tau=0.5, collapse_exact=False)
+        k_fast = sorted(tuple(r) for r in fast.collect())
+        k_slow = sorted(tuple(r) for r in slow.collect())
+        assert k_fast == k_slow
+        ids_in_pairs = {x for r in k_fast for x in (r[0], r[1])}
+        assert 30 not in ids_in_pairs and 31 not in ids_in_pairs
+        assert len(k_fast) >= 3  # the 3-copy group alone yields 3 pairs
+
+    def test_clusters_and_survivors_unchanged(self, spark):
+        docs = self._docs(spark)
+        cl = dedup.near_dup_clusters(docs, tau=0.5)
+        got = {r["doc_id"]: r["cluster_id"] for r in cl.collect()}
+        # copies + the near-dup all collapse to min id 0; group b to 10
+        assert got[0] == got[1] == got[2] == got[20] == 0
+        assert got[10] == got[11] == 10
+        assert got[30] == 30 and got[31] == 31  # unshingled: singletons
+        surv = {r["cluster_id"]: r for r in
+                dedup.cluster_survivors(docs, tau=0.5).collect()}
+        assert surv[0]["kept_id"] == 20  # the near-dup is the longest
+        assert surv[0]["n_members"] == 4
