@@ -25,6 +25,26 @@ from ..operators import (
 )
 from .queries import QUERIES, _t, query
 
+
+def _built_once(root: str, probe: str, build_fn) -> None:
+    """Build-once-per-source marker with a LIVENESS check: the marker
+    counts only if the probed table's _CURRENT pointer still exists
+    under the warehouse root — /tmp reaping can remove the parquet
+    while the tiny marker file survives, and trusting the marker alone
+    would hand the query an empty index (the stale-marker hazard the
+    bucketed-join reuse guard closes the same way, operators/joins.py)."""
+    import os
+    import shutil
+
+    marker = os.path.join(root, ".built")
+    if os.path.exists(marker) and os.path.exists(os.path.join(root, probe)):
+        return
+    shutil.rmtree(root, ignore_errors=True)
+    build_fn()
+    with open(marker, "w") as fh:
+        fh.write("ok")
+
+
 # ---------------------------------------------------------------------------
 # SQL building blocks shared by the oracles
 # ---------------------------------------------------------------------------
@@ -354,12 +374,10 @@ def q_dedup_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{src}:{st.st_mtime_ns}:{st.st_size}:v2".encode()
     ).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"spark_graft_ndindex_{tag}")
-    marker = os.path.join(root, ".built")
-    if not os.path.exists(marker):
-        shutil.rmtree(root, ignore_errors=True)
-        dedup_index.build(Warehouse(spark, root), ledger, run_id=1)
-        with open(marker, "w") as fh:
-            fh.write("ok")
+    _built_once(
+        root, "index/nd_bands/_CURRENT",
+        lambda: dedup_index.build(Warehouse(spark, root), ledger, run_id=1),
+    )
     wh = Warehouse(spark, root)
     return dedup_index.ingest(wh, batch, tau=0.8, commit=False)
 
@@ -738,12 +756,12 @@ def _ivf_warehouse(spark: SparkSession, sf_dir: str):
         f"{src}:{st.st_mtime_ns}:{st.st_size}:v2".encode()  # v2: cid-partitioned layout
     ).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"spark_graft_ivfindex_{tag}")
-    marker = os.path.join(root, ".built")
-    if not os.path.exists(marker):
-        shutil.rmtree(root, ignore_errors=True)
-        ann_index.build(Warehouse(spark, root), emb, run_id=1, n_centroids=16)
-        with open(marker, "w") as fh:
-            fh.write("ok")
+    _built_once(
+        root, "index/ivf_assign/_CURRENT",
+        lambda: ann_index.build(
+            Warehouse(spark, root), emb, run_id=1, n_centroids=16
+        ),
+    )
     return Warehouse(spark, root)
 
 
@@ -4845,9 +4863,8 @@ def _diff_warehouse(spark: SparkSession, sf_dir: str):
         f"{src}:{st.st_mtime_ns}:{st.st_size}:corpusdiff_v1".encode()
     ).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"spark_graft_corpusdiff_{tag}")
-    marker = os.path.join(root, ".built")
-    if not os.path.exists(marker):
-        shutil.rmtree(root, ignore_errors=True)
+
+    def _build():
         wh = Warehouse(spark, root)
         v1 = docs.where(F.col("doc_id") % 17 != 3)
         wh.begin_run(1)
@@ -4862,8 +4879,8 @@ def _diff_warehouse(spark: SparkSession, sf_dir: str):
         wh.begin_run(2)
         wh.overwrite("stage", "documents", v2)
         wh.commit_run(2)
-        with open(marker, "w") as fh:
-            fh.write("ok")
+
+    _built_once(root, "stage/documents/_CURRENT", _build)
     return Warehouse(spark, root)
 
 
@@ -4925,12 +4942,10 @@ def _bm25_warehouse(spark: SparkSession, sf_dir: str):
         f"{src}:{st.st_mtime_ns}:{st.st_size}:bm25index_v1".encode()
     ).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"spark_graft_bm25index_{tag}")
-    marker = os.path.join(root, ".built")
-    if not os.path.exists(marker):
-        shutil.rmtree(root, ignore_errors=True)
-        text_index.build(Warehouse(spark, root), docs, run_id=1)
-        with open(marker, "w") as fh:
-            fh.write("ok")
+    _built_once(
+        root, "index/postings/_CURRENT",
+        lambda: text_index.build(Warehouse(spark, root), docs, run_id=1),
+    )
     return Warehouse(spark, root)
 
 
