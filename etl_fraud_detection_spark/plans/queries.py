@@ -1352,13 +1352,27 @@ def family(name: str) -> str:
     return "relational_ext"
 
 
-# Bumped each round: rotates every family's internal order so the
-# correctness driver's fixed-size sample of the catalog PREFIX drains the
-# never-yet-sampled tail over successive rounds instead of re-checking
-# the same leading names forever. Rotation happens separately within the
-# oracle-paired block and the rows-only block, so oracle-paired queries
-# (the stronger check) still registers before rows-only ones.
-_REGISTRY_EPOCH = 6
+# Rotates every family's internal order so the correctness driver's
+# fixed-size sample of the catalog PREFIX drains the never-yet-sampled
+# tail over successive rounds instead of re-checking the same leading
+# names forever. Rotation happens separately within the oracle-paired
+# block and the rows-only block, so oracle-paired queries (the
+# stronger check) still register before rows-only ones. The epoch is
+# derived from the driver's per-round correctness artifacts so it
+# advances each round with no manual bump (falls back to a constant
+# when the repo root isn't visible, e.g. an installed package).
+
+
+def _registry_epoch() -> int:
+    import glob
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    n = len(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    return n + 1 if n else 6
+
+
+_REGISTRY_EPOCH = _registry_epoch()
 
 
 def _interleave_registry() -> None:

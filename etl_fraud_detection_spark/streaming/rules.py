@@ -372,7 +372,14 @@ def _run_ordered_replay(
     # heartbeat key filtered AFTER the drain — inside the plan the filter
     # would push below EventTimeWatermark and the heartbeat would never
     # advance it
-    return _drain_append(spark, flagged, name).where(F.col("user_id") >= 0)
+    # applyInPandasWithState ships every user group through an Arrow
+    # round trip per batch; with per-user (corpus-cardinality) state the
+    # work parallelizes across state partitions, so unlike the
+    # small-state joins (4) this path wants more: same-boot sweep
+    # measured asof 3.8s@4 -> 2.9s@8 -> 2.3s@16 -> 2.7s@32.
+    return _drain_append(
+        spark, flagged, name, state_partitions=16
+    ).where(F.col("user_id") >= 0)
 
 
 def rule3_city_hop_stream(
@@ -419,8 +426,9 @@ def rule3_city_hop_stream(
 def _drain_append(
     spark: SparkSession, flagged: DataFrame, name: str,
     progress_out: list | None = None,
+    state_partitions: int = 4,
 ) -> DataFrame:
-    with _few_state_partitions(spark):
+    with _few_state_partitions(spark, state_partitions):
         q = (
             flagged.writeStream.format("memory")
             .queryName(name)
