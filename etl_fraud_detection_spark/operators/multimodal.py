@@ -318,3 +318,65 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=AHASH_SCHEMA)
+
+
+def hamming_near_dup_pairs(
+    hashes: DataFrame,
+    max_dist: int = 3,
+    bands: int = 4,
+    id_col: str = "media_id",
+    hash_col: str = "ahash",
+) -> DataFrame:
+    """Image near-dup PAIRS over 64-bit perceptual hashes: banded
+    Hamming LSH. The hash splits into ``bands`` equal bit-slices; two
+    images become candidates by agreeing EXACTLY on any slice, then
+    verify with the true popcount distance. Pigeonhole guarantees FULL
+    recall for distance <= bands-1 (``max_dist`` must respect that),
+    so unlike MinHash banding this is exact, not probabilistic.
+
+    Scale shape (the same as every banding operator here): candidates
+    meet via an equi-join on (band_idx, band_value) — per-band buckets
+    co-locate, AQE splits skewed ones — and the verify is a pure
+    bitwise expression on the pair, no pixel ever touched again. Band
+    values are masked after the shift so arithmetic-vs-logical shift
+    semantics of the sign bit can't diverge between engines.
+
+    Cites reference behavior: none — extension beyond the reference,
+    the pair-producing step the perceptual_hash docstring promises."""
+    from pyspark.sql import functions as F
+
+    if max_dist > bands - 1:
+        raise ValueError(
+            f"banded Hamming guarantees recall only for dist <= bands-1 "
+            f"({bands - 1}); max_dist={max_dist} would silently lose pairs"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    hs = hashes.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("mid"), F.col(hash_col).alias("h")
+    )
+    banded = hs.select(
+        "mid", "h",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.shiftright(F.col("h"), b * width).bitwiseAND(mask).alias("band_val"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bd"),
+    ).select("mid", "h", "bd.band_idx", "bd.band_val")
+    a = banded.select(
+        F.col("mid").alias("a"), F.col("h").alias("ha"), "band_idx", "band_val"
+    )
+    b = banded.select(
+        F.col("mid").alias("b"), F.col("h").alias("hb"), "band_idx", "band_val"
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("dist"))
+        .distinct()  # a pair agreeing in k bands appears k times
+        .where(F.col("dist") <= max_dist)
+    )

@@ -846,7 +846,20 @@ def _media_px(w: int, h: int, ch: int) -> bytes:
 # real dimensions/channels of the PNG fixtures; media 2's *declared*
 # metadata deliberately lies (32x32 vs real 3x5) so a metadata echo
 # cannot pass the decoded-dimension oracle
-_MEDIA_PNG_DIMS = {1: (6, 4, 3), 2: (3, 5, 1), 3: (20, 10, 4)}
+_MEDIA_PNG_DIMS = {1: (6, 4, 3), 2: (3, 5, 1), 3: (20, 10, 4), 11: (6, 4, 3)}
+
+
+def _media_png_px(mid: int) -> bytes:
+    """Per-fixture PNG pixels. Media 11 is the NEAR-DUP twin of media
+    1: the same pattern with one pixel brightened (+32 per channel at
+    (x=1, y=3)) — Hamming distance 2 on the 8x8 average hash, the
+    designed true-positive pair for the banded Hamming image dedup."""
+    w, h, ch = _MEDIA_PNG_DIMS[mid]
+    px = bytearray(_media_px(w, h, ch))
+    if mid == 11:
+        for c in range(ch):
+            px[(3 * w + 1) * ch + c] += 32
+    return bytes(px)
 
 
 # real audio fixtures: (media_id, sample_rate, channels, interleaved PCM16)
@@ -875,7 +888,7 @@ def _media_rows():
 
     rows = []
     for mid, (w, h, ch) in _MEDIA_PNG_DIMS.items():
-        payload = png.encode_png(w, h, ch, _media_px(w, h, ch))
+        payload = png.encode_png(w, h, ch, _media_png_px(mid))
         declared = (32, 32) if mid == 2 else (w, h)
         rows.append((mid, "png", declared[0], declared[1], payload.hex()))
     rows += [
@@ -908,7 +921,7 @@ def _ahash_oracle() -> str:
     for mid, fmt, _w, _h, _hexs in MEDIA_ROWS:
         if mid in _MEDIA_PNG_DIMS:
             rw, rh, ch = _MEDIA_PNG_DIMS[mid]
-            hv = ahash_64(rw, rh, ch, _media_px(rw, rh, ch))
+            hv = ahash_64(rw, rh, ch, _media_png_px(mid))
         elif mid in _MEDIA_JPEG_DIMS:
             rw, rh = _MEDIA_JPEG_DIMS[mid]
             hv = ahash_64(rw, rh, 1, _media_jpeg_px(mid))
@@ -949,7 +962,7 @@ def _features_oracle() -> str:
         # would go through DuckDB's DECIMAL parser and drift)
         if fmt == "png":
             rw, rh, ch = _MEDIA_PNG_DIMS[mid]
-            px = _media_px(rw, rh, ch)
+            px = _media_png_px(mid)
             bright = f"CAST({sum(px)} AS DOUBLE) / {len(px) * 255}"
             dec = f"{rw}, {rh}"
         elif mid in _MEDIA_JPEG_DIMS:
@@ -1018,7 +1031,7 @@ def _resize_oracle() -> str:
         if decodable:
             if fmt == "png":
                 rw, rh, ch = _MEDIA_PNG_DIMS[mid]
-                px = _media_px(rw, rh, ch)
+                px = _media_png_px(mid)
             else:
                 rw, rh = _MEDIA_JPEG_DIMS[mid]
                 ch = 1
@@ -4964,3 +4977,42 @@ def q_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wh = _bm25_warehouse(spark, sf_dir)
     return text_index.query(wh, ["spark", "table", "window"])
+
+
+def _hamming_pairs_oracle() -> str:
+    # same ground-truth hash VALUES as _ahash_oracle, then the banded
+    # candidate join + popcount verify expressed in SQL (xor() — ^ is
+    # power in DuckDB; band values masked after the shift, same as the
+    # operator, so shift sign-fill semantics can't diverge)
+    return f"""
+    WITH h AS (
+        SELECT media_id, ahash FROM ({_ahash_oracle()}) WHERE ahash IS NOT NULL
+    ),
+    bd AS (
+        SELECT media_id, ahash, band_idx,
+               (ahash >> (band_idx * 16)) & 65535 AS band_val
+        FROM h, (VALUES (0), (1), (2), (3)) AS bn(band_idx)
+    )
+    SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+           CAST(bit_count(xor(x.ahash, y.ahash)) AS INTEGER) AS dist
+    FROM bd x JOIN bd y
+      ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+     AND x.media_id < y.media_id
+    WHERE bit_count(xor(x.ahash, y.ahash)) <= 3
+    """
+
+
+@query("q_multimodal_neardup", oracle=_hamming_pairs_oracle())
+def q_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup PAIRS: banded Hamming LSH over the 64-bit
+    average-hashes from the REAL decode path — the pair-producing step
+    the perceptual-hash docstring promises. Four 16-bit bands;
+    pigeonhole makes recall EXACT for distance <= 3 (unlike MinHash
+    banding there is no probabilistic miss), candidates meet via a
+    band-bucket equi-join, the verify is one popcount expression.
+    Media 11 is the designed true positive (media 1 with one pixel
+    brightened, Hamming 2); the oracle recomputes everything from the
+    fixture pixel definitions through to the SQL band join."""
+    from ..operators.multimodal import hamming_near_dup_pairs, perceptual_hash
+
+    return hamming_near_dup_pairs(perceptual_hash(_media_df(spark)))

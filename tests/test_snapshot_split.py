@@ -216,3 +216,51 @@ class TestTextExactCollapse:
                 dedup.cluster_survivors(docs, tau=0.5).collect()}
         assert surv[0]["kept_id"] == 20  # the near-dup is the longest
         assert surv[0]["n_members"] == 4
+
+
+class TestHammingNearDup:
+    def test_finds_designed_pair_and_guard(self, spark):
+        from etl_fraud_detection_spark.operators import multimodal
+        import pytest as _pytest
+
+        rows = [
+            (1, 0b1010),                  # near dup of 2 (dist 1)
+            (2, 0b1011),
+            (3, (1 << 63) - 1),           # far from everything
+            (4, None),                    # undecodable: excluded
+            (5, -(1 << 63) + 5),          # negative hash (bit 63 set)
+            (6, -(1 << 63) + 4),          # dist 1 from 5, crosses sign band
+        ]
+        df = spark.createDataFrame(rows, "media_id long, ahash long")
+        got = {
+            (r["a"], r["b"]): r["dist"]
+            for r in multimodal.hamming_near_dup_pairs(df, max_dist=3).collect()
+        }
+        assert got == {(1, 2): 1, (5, 6): 1}
+        with _pytest.raises(ValueError):
+            multimodal.hamming_near_dup_pairs(df, max_dist=5, bands=4)
+
+    def test_full_recall_within_bound(self, spark):
+        """Pigeonhole: EVERY pair at distance <= bands-1 must be found
+        — flip up to 3 random-ish bit positions and assert presence."""
+        from etl_fraud_detection_spark.operators import multimodal
+
+        base = 0x5A5A_1234_ABCD_0F0F
+        rows = [(0, base)]
+        want = set()
+        flips = [(1, [0]), (2, [17, 40]), (3, [5, 33, 63])]
+        for mid, bits in flips:
+            v = base
+            for b in bits:
+                v ^= 1 << b
+            # to signed 64-bit
+            if v >= 1 << 63:
+                v -= 1 << 64
+            rows.append((mid, v))
+            want.add((0, mid))
+        df = spark.createDataFrame(rows, "media_id long, ahash long")
+        got = {
+            (r["a"], r["b"])
+            for r in multimodal.hamming_near_dup_pairs(df, max_dist=3).collect()
+        }
+        assert want <= got
