@@ -326,6 +326,7 @@ def hamming_near_dup_pairs(
     bands: int = 4,
     id_col: str = "media_id",
     hash_col: str = "ahash",
+    hash_bits: int = 64,
 ) -> DataFrame:
     """Image near-dup PAIRS over 64-bit perceptual hashes: banded
     Hamming LSH. The hash splits into ``bands`` equal bit-slices; two
@@ -350,7 +351,7 @@ def hamming_near_dup_pairs(
             f"banded Hamming guarantees recall only for dist <= bands-1 "
             f"({bands - 1}); max_dist={max_dist} would silently lose pairs"
         )
-    width = 64 // bands
+    width = hash_bits // bands
     mask = (1 << width) - 1
     hs = hashes.where(F.col(hash_col).isNotNull()).select(
         F.col(id_col).alias("mid"), F.col(hash_col).alias("h")
@@ -380,3 +381,57 @@ def hamming_near_dup_pairs(
         .distinct()  # a pair agreeing in k bands appears k times
         .where(F.col("dist") <= max_dist)
     )
+
+
+EHASH_SCHEMA = "media_id long, ehash long"
+
+
+def ehash_16(samples: list[int] | bytes, segments: int = 16) -> int:
+    """16-bit energy-envelope hash of decoded PCM: split the sample
+    sequence into ``segments`` equal index ranges, bit i set iff
+    segments * segment_abs_sum_i > total_abs_sum (the strict integer
+    compare of ahash_64 — no float, no rounding to diverge on).
+    Amplitude-scale-INVARIANT by construction (scaling every sample by
+    k scales each segment sum and the total equally), so re-normalized
+    copies of a recording hash identically and small edits flip only
+    the bits of the segments they touch — Hamming distance over these
+    is the audio near-dup signal, exactly the image ahash contract."""
+    absv = [abs(int(s)) for s in samples]
+    n = len(absv)
+    if n == 0:
+        return 0
+    total = sum(absv)
+    bits = 0
+    for i in range(segments):
+        lo, hi = (i * n) // segments, ((i + 1) * n) // segments
+        if segments * sum(absv[lo:hi]) > total:
+            bits |= 1 << i
+    return bits
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Per-blob energy-envelope hash via the real WAV decode path;
+    non-audio / undecodable payloads stay honestly NULL. Map-only
+    Arrow batches; the near-dup step downstream is
+    :func:`hamming_near_dup_pairs` with hash_bits=16."""
+    from ..functions import wav as wavmod
+
+    def one(payload: bytes):
+        try:
+            _rate, _ch, samples = wavmod.decode_wav(payload)
+        except Exception:
+            return None
+        return ehash_16(samples)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ehash": pd.array(
+                        [one(p) for p in pdf["payload"]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=EHASH_SCHEMA)

@@ -867,6 +867,14 @@ def _media_png_px(mid: int) -> bytes:
 _MEDIA_WAV_DEFS = {
     6: (8000, 1, [((i * 37) % 200 - 100) * 80 for i in range(50)]),
     7: (16000, 2, [((i * 53) % 400 - 200) * 60 for i in range(80)]),
+    # 12: near-dup twin of 6 — one sample nudged (+2000 at index 3),
+    # Hamming distance 1 on the 16-bit energy-envelope hash: the
+    # designed true-positive pair for the banded Hamming audio dedup
+    12: (
+        8000,
+        1,
+        [((i * 37) % 200 - 100) * 80 + (2000 if i == 3 else 0) for i in range(50)],
+    ),
 }
 
 # real baseline-JPEG fixtures (grayscale): patterns VERIFIED to
@@ -5016,3 +5024,50 @@ def q_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import hamming_near_dup_pairs, perceptual_hash
 
     return hamming_near_dup_pairs(perceptual_hash(_media_df(spark)))
+
+
+def _audiodup_oracle() -> str:
+    # ground-truth 16-bit energy hashes from the fixture SAMPLE
+    # definitions, then the 4x4-bit band join + popcount verify in SQL
+    # (the audio twin of _hamming_pairs_oracle)
+    from ..operators.multimodal import ehash_16
+
+    vals = []
+    for mid, (_rate, _ch, samples) in _MEDIA_WAV_DEFS.items():
+        vals.append(f"({mid}, {ehash_16(samples)})")
+    joined = ",\n        ".join(vals)
+    return f"""
+    WITH h AS (SELECT * FROM (VALUES
+        {joined}
+    ) AS t(media_id, ehash)),
+    bd AS (
+        SELECT media_id, ehash, band_idx,
+               (ehash >> (band_idx * 4)) & 15 AS band_val
+        FROM h, (VALUES (0), (1), (2), (3)) AS bn(band_idx)
+    )
+    SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+           CAST(bit_count(xor(x.ehash, y.ehash)) AS INTEGER) AS dist
+    FROM bd x JOIN bd y
+      ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+     AND x.media_id < y.media_id
+    WHERE bit_count(xor(x.ehash, y.ehash)) <= 3
+    """
+
+
+@query("q_multimodal_audiodup", oracle=_audiodup_oracle())
+def q_multimodal_audiodup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup PAIRS: banded Hamming LSH over 16-bit
+    energy-envelope hashes from the REAL WAV decode (ehash_16 —
+    amplitude-scale-invariant strict-integer segment energies). Four
+    4-bit bands, recall EXACT for distance <= 3 by pigeonhole; the
+    same hamming_near_dup_pairs operator as the image path with
+    hash_bits=16 — per-modality near-dup now covers text, embeddings,
+    images AND audio through one banding contract. WAV fixture 12 is
+    the designed true positive (fixture 6 with one sample nudged,
+    Hamming 1); non-audio payloads stay NULL and never pair."""
+    from ..operators.multimodal import audio_fingerprint, hamming_near_dup_pairs
+
+    return hamming_near_dup_pairs(
+        audio_fingerprint(_media_df(spark)),
+        max_dist=3, bands=4, hash_col="ehash", hash_bits=16,
+    )

@@ -264,3 +264,43 @@ class TestHammingNearDup:
             for r in multimodal.hamming_near_dup_pairs(df, max_dist=3).collect()
         }
         assert want <= got
+
+
+class TestAudioFingerprint:
+    def test_ehash_scale_invariant_and_edits_local(self):
+        from etl_fraud_detection_spark.operators.multimodal import ehash_16
+
+        base = [((i * 31) % 120 - 60) * 100 for i in range(64)]
+        h = ehash_16(base)
+        assert ehash_16([s * 3 for s in base]) == h  # amplitude rescale
+        assert ehash_16([-s for s in base]) == h     # polarity flip
+        edited = list(base)
+        edited[5] += 5000
+        d = bin(h ^ ehash_16(edited)).count("1")
+        assert d <= 4  # a local edit flips few bits
+        assert ehash_16([]) == 0
+
+    def test_operator_pairs_audio_twins(self, spark):
+        from etl_fraud_detection_spark.operators.multimodal import (
+            audio_fingerprint, hamming_near_dup_pairs,
+        )
+        from etl_fraud_detection_spark.functions import wav
+
+        base = [((i * 37) % 200 - 100) * 80 for i in range(50)]
+        twin = [s * 2 for s in base]  # rescaled copy: identical hash
+        other = [((i * 91) % 300 - 150) * 70 for i in range(50)]
+        rows = [
+            (1, wav.encode_wav(8000, 1, base)),
+            (2, wav.encode_wav(8000, 1, twin)),
+            (3, wav.encode_wav(8000, 1, other)),
+            (4, b"not audio at all"),
+        ]
+        media = spark.createDataFrame(rows, "media_id long, payload binary")
+        got = {
+            (r["a"], r["b"]): r["dist"]
+            for r in hamming_near_dup_pairs(
+                audio_fingerprint(media), hash_col="ehash", hash_bits=16
+            ).collect()
+        }
+        assert got.get((1, 2)) == 0
+        assert (1, 4) not in got and (2, 4) not in got
