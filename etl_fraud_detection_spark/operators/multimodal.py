@@ -435,3 +435,70 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=EHASH_SCHEMA)
+
+
+FRAME_HASH_SCHEMA = "media_id long, frame_idx int, ahash long"
+
+
+def video_frame_hashes(media: DataFrame, stride: int = 1) -> DataFrame:
+    """Per-frame perceptual hashes of MJPEG payloads: the SOI/EOI split
+    of extract_mjpeg_frames, but each decoded frame is ahash_64-ed
+    instead of summarized — the fingerprint table video dedup joins on.
+    Undecodable segments and non-MJPEG payloads yield no rows."""
+
+    def frames_of(payload: bytes):
+        idx = 0
+        start = payload.find(b"\xff\xd8")
+        out = []
+        while start != -1:
+            end = payload.find(b"\xff\xd9", start + 2)
+            if end == -1:
+                break
+            seg = payload[start : end + 2]
+            if idx % stride == 0:
+                try:
+                    w, h, ch, px = jpeg.decode_jpeg(seg)
+                    out.append((idx, ahash_64(w, h, ch, px)))
+                except jpeg.JpegError:
+                    pass
+            idx += 1
+            start = payload.find(b"\xff\xd8", end + 2)
+        return out
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, hs = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for idx, hv in frames_of(bytes(payload)):
+                    ids.append(mid)
+                    idxs.append(idx)
+                    hs.append(hv)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "ahash": pd.array(hs, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_HASH_SCHEMA)
+
+
+def video_near_dup_pairs(frame_hashes: DataFrame) -> DataFrame:
+    """Video near-dup PAIRS by shared frame content: two videos pair
+    when they contain frames with IDENTICAL perceptual hashes, scored
+    by the count of distinct shared hashes — the C4-paragraph-dedup
+    shape applied to video (segment fingerprints, corpus-wide join,
+    containment score). One equi-join on the 64-bit hash (buckets
+    co-locate at scale; a hash shared by k videos fans out k², which
+    is the true answer size) + one pair aggregate."""
+    from pyspark.sql import functions as F
+
+    a = frame_hashes.select(F.col("media_id").alias("a"), "ahash")
+    b = frame_hashes.select(F.col("media_id").alias("b"), "ahash")
+    return (
+        a.join(b, ["ahash"])
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count_distinct("ahash").alias("n_shared_frames"))
+    )

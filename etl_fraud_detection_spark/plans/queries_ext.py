@@ -5071,3 +5071,71 @@ def q_multimodal_audiodup(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_fingerprint(_media_df(spark)),
         max_dist=3, bands=4, hash_col="ehash", hash_bits=16,
     )
+
+
+def _videodup_rows():
+    """Three MJPEG 'videos' from the frame-pixel definitions: 30 = the
+    base 4-frame clip, 32 shares one frame's CONTENT with it (frame 1;
+    note ahash is brightness-shift invariant, so frames 0-5 — which
+    differ only by a constant +16f brightness offset wherever no pixel
+    wraps — deliberately hash identically: a brightness-shifted re-encode
+    IS a near-dup), 33 is disjoint (frames 10/13 wrap enough to hash
+    differently). 31 stays the corrupt payload that must emit nothing."""
+    from ..functions import jpeg as _jpeg
+
+    def clip(frames):
+        return b"".join(
+            _jpeg.encode_jpeg(_MJPEG_W, _MJPEG_H, 1, _mjpeg_frame_px(f))
+            for f in frames
+        )
+
+    return [
+        (30, "mjpeg", _MJPEG_W, _MJPEG_H, _mjpeg_payload()),
+        (31, "mjpeg", 0, 0, b"\xff\xd8garbage\xff\xd9"),
+        (32, "mjpeg", _MJPEG_W, _MJPEG_H, clip([1, 9])),
+        (33, "mjpeg", _MJPEG_W, _MJPEG_H, clip([10, 13])),
+    ]
+
+
+_VIDEODUP_FRAMES = {30: [0, 1, 2, 3], 32: [1, 9], 33: [10, 13]}
+
+
+def _videodup_oracle() -> str:
+    from ..operators.multimodal import ahash_64
+
+    vals = []
+    for vid, frames in _VIDEODUP_FRAMES.items():
+        for i, f in enumerate(frames):
+            hv = ahash_64(_MJPEG_W, _MJPEG_H, 1, _mjpeg_frame_px(f))
+            vals.append(f"({vid}, {i}, {hv})")
+    joined = ",\n        ".join(vals)
+    return f"""
+    WITH h AS (SELECT * FROM (VALUES
+        {joined}
+    ) AS t(media_id, frame_idx, ahash))
+    SELECT x.media_id AS a, y.media_id AS b,
+           COUNT(DISTINCT x.ahash) AS n_shared_frames
+    FROM h x JOIN h y ON x.ahash = y.ahash AND x.media_id < y.media_id
+    GROUP BY 1, 2
+    """
+
+
+@query("q_multimodal_videodup", oracle=_videodup_oracle())
+def q_multimodal_videodup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup PAIRS by shared frame content — the C4
+    paragraph-dedup shape applied to video: every MJPEG frame is
+    REALLY decoded and perceptually hashed (video_frame_hashes), and
+    two clips pair on the count of distinct shared frame hashes (one
+    hash equi-join + one pair aggregate). Clip 32 shares one frame
+    with the base clip (plus ahash's deliberate brightness-shift
+    invariance); clip 33 is disjoint; the corrupt payload emits
+    nothing. Oracle recomputes every frame hash from the pixel
+    definitions through the SQL join."""
+    from ..operators.multimodal import (
+        MEDIA_SCHEMA, video_frame_hashes, video_near_dup_pairs,
+    )
+
+    media = spark.createDataFrame(
+        spark.sparkContext.parallelize(_videodup_rows(), 2), schema=MEDIA_SCHEMA
+    )
+    return video_near_dup_pairs(video_frame_hashes(media))

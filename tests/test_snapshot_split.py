@@ -304,3 +304,34 @@ class TestAudioFingerprint:
         }
         assert got.get((1, 2)) == 0
         assert (1, 4) not in got and (2, 4) not in got
+
+
+class TestVideoNearDup:
+    def test_shared_frame_pairs_and_corrupt_silent(self, spark):
+        from etl_fraud_detection_spark.functions import jpeg
+        from etl_fraud_detection_spark.operators.multimodal import (
+            MEDIA_SCHEMA, video_frame_hashes, video_near_dup_pairs,
+        )
+
+        def frame(seed):
+            # wrap-heavy pattern so distinct seeds hash distinctly
+            px = bytes((x * 29 + y * 57 + seed * 83) % 256
+                       for y in range(10) for x in range(12))
+            return jpeg.encode_jpeg(12, 10, 1, px)
+
+        clips = [
+            (1, b"".join(frame(s) for s in (0, 1, 2))),
+            (2, b"".join(frame(s) for s in (2, 3))),      # shares frame 2
+            (3, b"".join(frame(s) for s in (7, 8))),      # disjoint
+            (4, b"\xff\xd8nonsense\xff\xd9"),             # corrupt
+        ]
+        media = spark.createDataFrame(
+            [(mid, "mjpeg", 12, 10, p) for mid, p in clips], MEDIA_SCHEMA
+        )
+        fh = video_frame_hashes(media)
+        assert fh.where("media_id = 4").count() == 0
+        got = {
+            (r["a"], r["b"]): r["n_shared_frames"]
+            for r in video_near_dup_pairs(fh).collect()
+        }
+        assert got == {(1, 2): 1}
