@@ -250,6 +250,13 @@ def _pairs_over_exact_text_groups(
     ).persist()
     _PERSISTED_SHINGLES.append(mem)
     reps = mem.where(F.col("did") == F.col("gid"))
+    # Adaptive short-circuit (same as similarity._pairs_over_exact_groups):
+    # no byte-identical copies -> singleton groups -> representative
+    # pairs ARE the answer; skip the zero-row expansion joins.
+    if mem.where(F.col("did") != F.col("gid")).limit(1).count() == 0:
+        return rep_pairs_fn(
+            reps.select(F.col("gid").alias(id_col), F.col("_txt").alias(text_col))
+        )
     rep_pairs = (
         rep_pairs_fn(
             reps.select(F.col("gid").alias(id_col), F.col("_txt").alias(text_col))

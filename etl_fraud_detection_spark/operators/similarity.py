@@ -400,6 +400,16 @@ def _pairs_over_exact_groups(emb, tau, id_col, vec_col, rep_pairs_fn):
     ).persist()
     _PERSISTED_SHINGLES.append(mem)
     reps = mem.where(F.col("vid") == F.col("gid"))
+    # Adaptive short-circuit: one bounded probe of the (persisted)
+    # membership frame. A corpus with NO byte-identical copies — the
+    # common case AFTER exact dedup has already run — makes every
+    # group a singleton, so representative pairs ARE the answer and
+    # the three expansion joins would move zero rows for three
+    # exchanges' worth of planning.
+    if mem.where(F.col("vid") != F.col("gid")).limit(1).count() == 0:
+        return rep_pairs_fn(
+            reps.select(F.col("gid").alias(id_col), F.col("v").alias(vec_col))
+        )
     rep_pairs = (
         rep_pairs_fn(
             reps.select(F.col("gid").alias(id_col), F.col("v").alias(vec_col))
@@ -519,20 +529,22 @@ def cosine_near_dup_pairs_banded(
     that (SCALE.md round 6); with it, pair verification scales with
     DISTINCT vectors and the blow-up is only the unavoidable output
     emission. The collapse composes with any candidate generator."""
-    dim_row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
-    if dim_row is not None and dim_row["d"] < bands * band_bits:
-        raise ValueError(
-            f"bands*band_bits = {bands * band_bits} exceeds embedding "
-            f"dimension {dim_row['d']}: trailing bands would hash every "
-            f"vector into one bucket (quadratic candidates)"
-        )
     if collapse_exact:
+        # the dimension guard runs in the inner (base) call over the
+        # representatives — same dims, one fewer driver job here
         return _pairs_over_exact_groups(
             emb, tau, id_col, vec_col,
             lambda reps_emb: cosine_near_dup_pairs_banded(
                 reps_emb, tau=tau, bands=bands, band_bits=band_bits,
                 id_col=id_col, vec_col=vec_col, collapse_exact=False,
             ),
+        )
+    dim_row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is not None and dim_row["d"] < bands * band_bits:
+        raise ValueError(
+            f"bands*band_bits = {bands * band_bits} exceeds embedding "
+            f"dimension {dim_row['d']}: trailing bands would hash every "
+            f"vector into one bucket (quadratic candidates)"
         )
     def band_code(b: int) -> Column:
         code = None
