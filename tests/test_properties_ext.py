@@ -77,3 +77,63 @@ def test_int8_quantization_error_bound(vec):
         assert -127 <= code <= 127
         err = abs(code * scale - x)
         assert err <= scale / 2 + 1e-9 * max(1.0, abs(x))
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-30000, max_value=30000), min_size=1, max_size=96
+    ),
+    st.integers(min_value=2, max_value=11),
+)
+def test_ehash_amplitude_and_polarity_invariant(samples, k):
+    """The audio energy hash must be invariant under exact amplitude
+    rescale and polarity flip for ANY PCM sequence — renormalized
+    copies of a recording are the same recording."""
+    from etl_fraud_detection_spark.operators.multimodal import ehash_16
+
+    h = ehash_16(samples)
+    assert ehash_16([s * k for s in samples]) == h
+    assert ehash_16([-s for s in samples]) == h
+    assert 0 <= h < (1 << 16)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=(1 << 64) - 1),
+    st.sets(st.integers(min_value=0, max_value=63), min_size=0, max_size=3),
+)
+def test_hamming_banding_pigeonhole(h, flips):
+    """For ANY 64-bit hash and ANY <=3 bit flips, at least one of the
+    four 16-bit bands must be untouched — the recall guarantee the
+    banded Hamming join depends on."""
+    v = h
+    for b in flips:
+        v ^= 1 << b
+    shared = any(
+        (h >> (16 * band)) & 0xFFFF == (v >> (16 * band)) & 0xFFFF
+        for band in range(4)
+    )
+    assert shared
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=12),
+    st.integers(min_value=2, max_value=12),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=0, max_value=255),
+)
+def test_ahash_constant_shift_invariant_no_wrap(w, h, ch, base_val):
+    """Adding a constant to every pixel (no wraparound) must not change
+    the average hash: 64*(g+c) > total+64c iff 64*g > total. This is
+    the brightness-shift invariance the video near-dup documents."""
+    from etl_fraud_detection_spark.operators.multimodal import ahash_64
+
+    px = bytes(
+        (base_val + (x * 7 + y * 13) % 97) % 180  # headroom for +50
+        for y in range(h) for x in range(w) for c in range(ch)
+    )
+    shifted = bytes(min(v + 50, 255) for v in px)
+    assert max(px) + 50 <= 255
+    assert ahash_64(w, h, ch, px) == ahash_64(w, h, ch, shifted)
