@@ -123,7 +123,10 @@ def export_shards(
     aggregation runs, no version is written, no commit is made)."""
     token = _content_token(df, size_col, key_col, target_bytes)
     man = wh.read(LAYER, T_MANIFEST)
-    if man is not None:
+    # the skip path requires the FULL committed table set: an export
+    # written by an older layout (token present, shard_checksums
+    # absent) must re-export, not resume into a partial schema
+    if man is not None and wh.read(LAYER, T_CHECKSUMS) is not None:
         prev = man.collect()[0]
         if prev["token"] == token:
             return {
@@ -143,6 +146,12 @@ def export_shards(
         partition_by=["shard_id"],
     )
     written = wh.read(LAYER, T_SHARDS)
+    # per-shard integrity manifest rides the SAME commit: a consumer
+    # can verify any mounted shard against it (verify_export), and a
+    # crash can never leave shards and checksums at different versions
+    wh.overwrite(
+        LAYER, T_CHECKSUMS, shard_checksums(written, size_col, df.columns)
+    )
     stats = written.select(
         F.count("*").alias("n_rows"),
         F.countDistinct("shard_id").alias("n_shards"),
@@ -163,3 +172,71 @@ def export_shards(
         "n_shards": int(stats["n_shards"]),
         "total_bytes": int(stats["total_bytes"]),
     }
+
+
+T_CHECKSUMS = "shard_checksums"
+
+
+def _row_digest(data_cols: list[str]):
+    """Per-row md5 over every data column (unit-separator joined,
+    string casts) — the unit the shard content checksum is built
+    from, engine-portable by construction."""
+    return F.md5(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in data_cols])
+    )
+
+
+def shard_checksums(written: DataFrame, size_col: str, data_cols: list[str]) -> DataFrame:
+    """Per-shard integrity manifest: (shard_id, n_docs, shard_bytes,
+    content_md5) where content_md5 = md5 over the shard's row digests
+    in shuffle order — what a data loader verifies before trusting a
+    mounted shard. Rows per shard are bounded by target_bytes, so the
+    collect_list is bounded and the aggregation is one shuffle on
+    shard_id (the table's own partition key)."""
+    rh = _row_digest(data_cols).alias("_rh")
+    return (
+        written.select("shard_id", "shuffle_pos", F.col(size_col), rh)
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col(size_col)).cast("long").alias("shard_bytes"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("shuffle_pos", "_rh"))
+                        ),
+                        lambda s: s["_rh"],
+                    ),
+                    "",
+                )
+            ).alias("content_md5"),
+        )
+    )
+
+
+def verify_export(wh, size_col: str, data_cols: list[str]) -> DataFrame:
+    """Recompute every stored shard's checksum and compare to the
+    committed shard_checksums table. Returns the mismatching shard
+    rows (expected vs actual) — empty means the export is intact.
+    Full-outer on shard_id so a missing or extra shard surfaces too."""
+    written = wh.read(LAYER, T_SHARDS)
+    stored = wh.read(LAYER, T_CHECKSUMS)
+    actual = shard_checksums(written, size_col, data_cols).select(
+        "shard_id",
+        F.col("n_docs").alias("actual_n_docs"),
+        F.col("content_md5").alias("actual_md5"),
+    )
+    expected = stored.select(
+        "shard_id",
+        F.col("n_docs").alias("expected_n_docs"),
+        F.col("content_md5").alias("expected_md5"),
+    )
+    return (
+        expected.join(actual, "shard_id", "full_outer")
+        .where(
+            F.col("expected_md5").isNull()
+            | F.col("actual_md5").isNull()
+            | (F.col("expected_md5") != F.col("actual_md5"))
+        )
+    )

@@ -4765,15 +4765,25 @@ def q_html_extract_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_export_shards",
     oracle="""
     WITH ordered AS (
-        SELECT doc_id, n_chars,
+        SELECT doc_id, text, lang, source, n_chars,
+               md5(CAST(doc_id AS VARCHAR)) AS k,
                sum(n_chars) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)))
                    - n_chars AS start_off
         FROM documents
+    ),
+    rh AS (
+        SELECT CAST(floor(start_off / 16384) AS BIGINT) AS shard_id,
+               n_chars, k,
+               md5(CAST(doc_id AS VARCHAR) || chr(31) || text || chr(31)
+                   || lang || chr(31) || source || chr(31)
+                   || CAST(n_chars AS VARCHAR)) AS rh
+        FROM ordered
     )
-    SELECT CAST(floor(start_off / 16384) AS BIGINT) AS shard_id,
+    SELECT shard_id,
            count(*) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS shard_bytes
-    FROM ordered
+           CAST(sum(n_chars) AS BIGINT) AS shard_bytes,
+           md5(string_agg(rh, '' ORDER BY k)) AS content_md5
+    FROM rh
     GROUP BY 1
     """,
 )
@@ -4801,10 +4811,12 @@ def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     export.export_shards(
         wh, docs, run_id=1, size_col="n_chars", target_bytes=16384
     )
-    shards = wh.read("export", "training_shards")
-    return shards.groupBy("shard_id").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_chars").cast("long").alias("shard_bytes"),
+    # the COMMITTED per-shard integrity manifest is the result: the
+    # oracle recomputes every shard's ordered content digest closed-form,
+    # so a wrong checksum (or a shard written out of shuffle order)
+    # fails the gate
+    return wh.read("export", "shard_checksums").select(
+        "shard_id", "n_docs", "shard_bytes", "content_md5"
     )
 
 

@@ -148,3 +148,53 @@ def test_crash_mid_export_rolls_back_whole_export(spark, wh, monkeypatch):
     res = export.export_shards(wh2, _docs(spark, extra=5), run_id=3,
                                size_col="n_bytes", target_bytes=TARGET)
     assert not res["skipped"] and res["n_rows"] == 205
+
+
+def test_checksums_verify_clean_and_detect_tamper(spark, wh):
+    docs = _docs(spark)
+    export.export_shards(
+        wh, docs, run_id=1, size_col="n_bytes", target_bytes=TARGET
+    )
+    cols = ["doc_id", "text", "n_bytes"]
+    # committed alongside the shards, and the recompute agrees
+    stored = wh.read("export", "shard_checksums")
+    n_shards = wh.read("export", "training_shards").select(
+        "shard_id"
+    ).distinct().count()
+    assert stored.count() == n_shards
+    assert export.verify_export(wh, "n_bytes", cols).count() == 0
+
+    # tamper: swap one shard's stored digest
+    rows = stored.collect()
+    bad = [
+        (r["shard_id"],
+         r["n_docs"],
+         r["shard_bytes"],
+         "0" * 32 if r["shard_id"] == rows[0]["shard_id"] else r["content_md5"])
+        for r in rows
+    ]
+    tampered = spark.createDataFrame(
+        bad, "shard_id long, n_docs long, shard_bytes long, content_md5 string"
+    )
+    wh.begin_run(9)
+    wh.overwrite("export", "shard_checksums", tampered)
+    wh.commit_run(9)
+    mism = export.verify_export(wh, "n_bytes", cols).collect()
+    assert [r["shard_id"] for r in mism] == [rows[0]["shard_id"]]
+
+
+def test_rerun_keeps_checksums(spark, wh):
+    docs = _docs(spark)
+    export.export_shards(
+        wh, docs, run_id=1, size_col="n_bytes", target_bytes=TARGET
+    )
+    before = sorted(
+        tuple(r) for r in wh.read("export", "shard_checksums").collect()
+    )
+    res = export.export_shards(
+        wh, docs, run_id=2, size_col="n_bytes", target_bytes=TARGET
+    )
+    assert res["skipped"]
+    assert sorted(
+        tuple(r) for r in wh.read("export", "shard_checksums").collect()
+    ) == before
