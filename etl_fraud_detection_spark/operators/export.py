@@ -89,21 +89,27 @@ def _content_token(
     df: DataFrame, size_col: str, key_col: str, target_bytes: int
 ) -> str:
     """Order-independent content address of (corpus, export spec):
-    row count, byte sum, and an exact commutative checksum of the md5
-    keys (60-bit hex prefix summed as decimal(38,0) — no overflow, no
-    float). One aggregation job."""
+    row count, byte sum, an exact commutative checksum of the md5
+    keys, AND one over the full row digests (60-bit hex prefixes
+    summed as decimal(38,0) — no overflow, no float). The row-content
+    term makes the exactly-once skip safe against same-shape edits: a
+    text revision that preserves doc_ids and the size column changes
+    the rowsum, so the token mismatches and the corpus re-exports
+    instead of serving stale shards. One aggregation job."""
+
+    def _sum60(col) -> F.Column:
+        return F.sum(
+            F.conv(F.substring(col, 1, 15), 16, 10).cast("decimal(38,0)")
+        )
+
     agg = df.select(
         F.count("*").alias("n"),
         F.sum(F.col(size_col)).cast("long").alias("b"),
-        F.sum(
-            F.conv(
-                F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
-                16, 10,
-            ).cast("decimal(38,0)")
-        ).alias("h"),
+        _sum60(F.md5(F.col(key_col).cast("string"))).alias("h"),
+        _sum60(_row_digest(df.columns)).alias("r"),
     ).collect()[0]
     return (
-        f"n={agg['n']}|bytes={agg['b']}|keysum={agg['h']}"
+        f"n={agg['n']}|bytes={agg['b']}|keysum={agg['h']}|rowsum={agg['r']}"
         f"|target={target_bytes}|key={key_col}|size={size_col}"
     )
 
@@ -178,12 +184,15 @@ T_CHECKSUMS = "shard_checksums"
 
 
 def _row_digest(data_cols: list[str]):
-    """Per-row md5 over every data column (unit-separator joined,
-    string casts) — the unit the shard content checksum is built
-    from, engine-portable by construction."""
-    return F.md5(
-        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in data_cols])
-    )
+    """Per-row md5 over every data column — the unit both the shard
+    content checksum and the content token are built from. NULLs are
+    encoded explicitly (snapshot.null_safe_digest: '1'+value / '0'
+    markers per column), so rows differing only in WHICH nullable
+    column holds a value digest differently; plain concat_ws would
+    skip the NULL and let such a change pass verify_export."""
+    from .snapshot import null_safe_digest
+
+    return null_safe_digest(data_cols)
 
 
 def shard_checksums(written: DataFrame, size_col: str, data_cols: list[str]) -> DataFrame:
@@ -219,9 +228,18 @@ def verify_export(wh, size_col: str, data_cols: list[str]) -> DataFrame:
     """Recompute every stored shard's checksum and compare to the
     committed shard_checksums table. Returns the mismatching shard
     rows (expected vs actual) — empty means the export is intact.
-    Full-outer on shard_id so a missing or extra shard surfaces too."""
+    Full-outer on shard_id so a missing or extra shard surfaces too.
+    Raises if no export was ever committed (either table absent) —
+    the ann_index._require discipline, instead of an AttributeError
+    off a None read."""
     written = wh.read(LAYER, T_SHARDS)
     stored = wh.read(LAYER, T_CHECKSUMS)
+    if written is None or stored is None:
+        missing = T_SHARDS if written is None else T_CHECKSUMS
+        raise ValueError(
+            f"no committed export to verify: table {LAYER}.{missing} is "
+            f"missing in this warehouse — run export_shards() first"
+        )
     actual = shard_checksums(written, size_col, data_cols).select(
         "shard_id",
         F.col("n_docs").alias("actual_n_docs"),

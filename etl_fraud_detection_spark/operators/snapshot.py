@@ -17,7 +17,25 @@ disappears entirely (operators/joins.write_bucketed).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def null_safe_digest(cols: list[str]) -> Column:
+    """md5 over the columns with NULLs encoded EXPLICITLY: each column
+    becomes ``'1' || value`` when present and ``'0'`` when NULL, then
+    the marked values join on a unit separator. Plain ``concat_ws``
+    silently skips NULLs (no separator emitted), so (NULL,'x') and
+    ('x',NULL) — and ('x',NULL) vs ('x') under ragged widths — would
+    digest identically and a real change would classify as unchanged.
+    The DuckDB spelling is ``coalesce('1' || CAST(c AS VARCHAR), '0')``
+    joined by ``chr(31)`` — engine-portable by construction."""
+    marked = [
+        F.coalesce(
+            F.concat(F.lit("1"), F.col(c).cast("string")), F.lit("0")
+        )
+        for c in cols
+    ]
+    return F.md5(F.concat_ws("\x1f", *marked))
 
 
 def snapshot_diff(
@@ -32,8 +50,7 @@ def snapshot_diff(
     carry no information). Returns (key, status)."""
     def digest(df: DataFrame) -> DataFrame:
         return df.select(
-            F.col(key_col),
-            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in compare_cols])).alias("_h"),
+            F.col(key_col), null_safe_digest(compare_cols).alias("_h")
         )
 
     o = digest(old).withColumnRenamed("_h", "_h_old")

@@ -4774,9 +4774,11 @@ def q_html_extract_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     rh AS (
         SELECT CAST(floor(start_off / 16384) AS BIGINT) AS shard_id,
                n_chars, k,
-               md5(CAST(doc_id AS VARCHAR) || chr(31) || text || chr(31)
-                   || lang || chr(31) || source || chr(31)
-                   || CAST(n_chars AS VARCHAR)) AS rh
+               md5(coalesce('1' || CAST(doc_id AS VARCHAR), '0') || chr(31)
+                   || coalesce('1' || text, '0') || chr(31)
+                   || coalesce('1' || lang, '0') || chr(31)
+                   || coalesce('1' || source, '0') || chr(31)
+                   || coalesce('1' || CAST(n_chars AS VARCHAR), '0')) AS rh
         FROM ordered
     )
     SELECT shard_id,

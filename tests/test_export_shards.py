@@ -94,6 +94,49 @@ def test_rerun_is_exactly_once(spark, wh):
     assert not res3["skipped"]
 
 
+def test_content_edit_same_shape_invalidates_token(spark, wh):
+    """A text revision that preserves doc_ids AND the size column must
+    re-export — the token carries row content, not just (count, bytes,
+    keys), so same-shape edits can never serve stale shards."""
+    docs = _docs(spark)
+    export.export_shards(wh, docs, run_id=1, size_col="n_bytes",
+                         target_bytes=TARGET)
+    # flip one doc's text to a same-length different string: count,
+    # byte sum, and every md5(doc_id) are all unchanged
+    edited = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 7,
+               F.concat(F.lit("y"), F.expr("substring(text, 2)")))
+        .otherwise(F.col("text")),
+    )
+    res = export.export_shards(wh, edited, run_id=2, size_col="n_bytes",
+                               target_bytes=TARGET)
+    assert not res["skipped"]
+    # and the re-exported shard table actually carries the new text
+    got = wh.read("export", "training_shards").where(
+        F.col("doc_id") == 7
+    ).collect()[0]["text"]
+    assert got.startswith("y")
+
+
+def test_null_position_changes_row_digest(spark, wh):
+    """Rows differing only in WHICH nullable column holds the value
+    must digest differently (explicit NULL markers) — otherwise a
+    tampered shard with shifted columns passes verify_export."""
+    a = spark.createDataFrame([(1, None, "x")], "k long, u string, v string")
+    b = spark.createDataFrame([(1, "x", None)], "k long, u string, v string")
+    cols = ["k", "u", "v"]
+    da = a.select(export._row_digest(cols).alias("d")).collect()[0]["d"]
+    db = b.select(export._row_digest(cols).alias("d")).collect()[0]["d"]
+    assert da != db
+
+
+def test_verify_before_any_export_raises_clearly(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "emptywh"))
+    with pytest.raises(ValueError, match="no committed export"):
+        export.verify_export(wh, "n_bytes", ["doc_id"])
+
+
 def test_assignment_deterministic_across_warehouses(spark, wh, tmp_path):
     docs = _docs(spark)
     export.export_shards(wh, docs, run_id=1, size_col="n_bytes",

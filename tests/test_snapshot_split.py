@@ -118,6 +118,20 @@ class TestSnapshotDiff:
         }
         assert got == {1: "changed"}
 
+    def test_null_position_swap_is_changed(self, spark):
+        """(NULL,'x') -> ('x',NULL) must classify as changed: NULLs are
+        encoded with explicit markers, so which column holds the value
+        is part of the digest (concat_ws alone would collapse both
+        rows to the same string by skipping the NULL)."""
+        old = spark.createDataFrame(
+            [(1, None, "x")], "k long, a string, b string"
+        )
+        new = spark.createDataFrame(
+            [(1, "x", None)], "k long, a string, b string"
+        )
+        out = snapshot.snapshot_diff(old, new, "k", ["a", "b"]).collect()
+        assert [r["status"] for r in out] == ["changed"]
+
 
 class TestBandedExactCollapse:
     """collapse_exact must be a pure optimization: identical pair set
