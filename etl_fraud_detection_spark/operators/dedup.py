@@ -437,9 +437,24 @@ def near_dup_clusters(
     ``localCheckpoint`` truncates the growing lineage each round; on a
     real cluster use ``checkpoint`` with a reliable dir instead."""
     gen = minhash_lsh_pairs if candidates == "lsh" else ngram_jaccard_pairs
+    return components_from_edges(
+        gen(docs, tau), docs.select(F.col(id_col).alias("doc_id")), "doc_id"
+    )
+
+
+def components_from_edges(
+    pairs: DataFrame, ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Connected components over an EXPLICIT pair frame — the label
+    propagation core of :func:`near_dup_clusters`, factored out so any
+    pair family (text LSH, image/audio Hamming bands, video shared
+    frames) clusters through the same machinery. ``pairs`` carries
+    (a, b) edges; ``ids`` is one row per member (column ``id_col``) —
+    ids absent from every edge come back as singletons with their own
+    id. Returns (``id_col``, cluster_id)."""
     # the symmetric union evaluates the pair subplan twice — persist it
     # (tiny: verified near-dup pairs only)
-    pairs = gen(docs, tau).select("a", "b").persist()
+    pairs = pairs.select("a", "b").persist()
     _PERSISTED_SHINGLES.append(pairs)
     # The ONE eager materialization before the loop: checkpointing edges
     # truncates the whole LSH lineage, so every later evaluation of the
@@ -494,10 +509,10 @@ def near_dup_clusters(
             edges.unpersist()
             # singletons re-enter with their own id in ONE pass
             return (
-                docs.select(F.col(id_col).alias("doc_id"))
+                ids.withColumnRenamed(id_col, "doc_id")
                 .join(labels, "doc_id", "left")
                 .select(
-                    "doc_id",
+                    F.col("doc_id").alias(id_col),
                     F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
                 )
             )
@@ -609,9 +624,25 @@ def cluster_survivors(
     partitions are tiny and uniform; both the rank and the member count
     ride the SAME window partitioning (one exchange, two frames)."""
     labels = near_dup_clusters(docs, tau=tau, id_col=id_col)
-    sized = labels.join(
-        docs.select(F.col(id_col), F.col(size_col)), id_col
+    # labels come back with the caller's id column name
+    return survivors_from_labels(
+        labels, docs.select(F.col(id_col), F.col(size_col)), id_col, size_col
     )
+
+
+def survivors_from_labels(
+    labels: DataFrame,
+    sized: DataFrame,
+    id_col: str,
+    size_col: str,
+) -> DataFrame:
+    """Survivor selection over an explicit (``id_col``, cluster_id)
+    label frame — the window core of :func:`cluster_survivors`,
+    factored out so media clusters (image/audio/video pair families)
+    pick their kept copy through the same policy: largest ``size_col``,
+    smallest id on ties. One window exchange; rank and member count
+    share the partitioning."""
+    sized = labels.join(sized, id_col)
     w = Window.partitionBy("cluster_id")
     w_rank = w.orderBy(F.col(size_col).desc(), F.col(id_col))
     return (

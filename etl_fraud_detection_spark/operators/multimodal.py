@@ -25,7 +25,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from ..functions import jpeg, png
 
@@ -351,23 +351,10 @@ def hamming_near_dup_pairs(
             f"banded Hamming guarantees recall only for dist <= bands-1 "
             f"({bands - 1}); max_dist={max_dist} would silently lose pairs"
         )
-    width = hash_bits // bands
-    mask = (1 << width) - 1
     hs = hashes.where(F.col(hash_col).isNotNull()).select(
         F.col(id_col).alias("mid"), F.col(hash_col).alias("h")
     )
-    banded = hs.select(
-        "mid", "h",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band_idx"),
-                    F.shiftright(F.col("h"), b * width).bitwiseAND(mask).alias("band_val"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bd"),
-    ).select("mid", "h", "bd.band_idx", "bd.band_val")
+    banded = hash_bands(hs, "mid", "h", bands, hash_bits)
     a = banded.select(
         F.col("mid").alias("a"), F.col("h").alias("ha"), "band_idx", "band_val"
     )
@@ -381,6 +368,39 @@ def hamming_near_dup_pairs(
         .distinct()  # a pair agreeing in k bands appears k times
         .where(F.col("dist") <= max_dist)
     )
+
+
+def hash_bands(
+    hs: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bands: int,
+    hash_bits: int,
+) -> DataFrame:
+    """Explode a hash column into its banded bit-slices: input columns
+    + (band_idx, band_val), ``bands`` rows per input row. Band values
+    are masked AFTER the shift so arithmetic-vs-logical shift
+    semantics of the sign bit can't diverge between engines. Shared
+    by the in-plan pair join and the persisted media ledger
+    (operators/media_index.py) so both produce identical band keys."""
+    from pyspark.sql import functions as F
+
+    width = hash_bits // bands
+    mask = (1 << width) - 1
+    return hs.select(
+        *hs.columns,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.shiftright(F.col(hash_col), b * width)
+                    .bitwiseAND(mask)
+                    .alias("band_val"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("_bd"),
+    ).select(*hs.columns, "_bd.band_idx", "_bd.band_val")
 
 
 EHASH_SCHEMA = "media_id long, ehash long"
@@ -482,6 +502,65 @@ def video_frame_hashes(media: DataFrame, stride: int = 1) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=FRAME_HASH_SCHEMA)
+
+
+def media_near_dup_edges(
+    media: DataFrame,
+    max_dist_image: int = 3,
+    max_dist_audio: int = 3,
+    min_shared_frames: int = 1,
+) -> DataFrame:
+    """Union of the three modality pair families as one (a, b) edge
+    frame: image banded-Hamming pairs over perceptual hashes, audio
+    banded-Hamming pairs over energy-envelope hashes, video pairs by
+    shared frame content. Modalities can't cross-pair beyond what the
+    underlying hashes allow, so the union is just the corpus-wide
+    near-dup graph — the edge input for media survivor selection."""
+    img = hamming_near_dup_pairs(
+        perceptual_hash(media), max_dist=max_dist_image
+    ).select("a", "b")
+    aud = hamming_near_dup_pairs(
+        audio_fingerprint(media),
+        max_dist=max_dist_audio, bands=4, hash_col="ehash", hash_bits=16,
+    ).select("a", "b")
+    vid = (
+        video_near_dup_pairs(video_frame_hashes(media))
+        .where(F.col("n_shared_frames") >= min_shared_frames)
+        .select("a", "b")
+    )
+    return img.unionByName(aud).unionByName(vid)
+
+
+def media_cluster_survivors(
+    media: DataFrame,
+    max_dist_image: int = 3,
+    max_dist_audio: int = 3,
+    min_shared_frames: int = 1,
+) -> DataFrame:
+    """Pick the kept copy of every media near-dup cluster — the stage
+    that turns the three pair families into a deduplicated media
+    corpus, through the SAME connected-components + survivor machinery
+    as text (dedup.components_from_edges / survivors_from_labels).
+    Survivor policy: largest payload (most content), smallest id on
+    ties; singletons (including undecodable payloads, which never
+    pair) survive as their own cluster. Returns
+    (cluster_id, kept_id, kept_n_bytes, n_members).
+
+    Scale shape: the pair families are band-bucket equi-joins (never
+    all-pairs), label propagation is O(log diameter) rounds, and the
+    survivor pick is one window exchange over the label frame."""
+    from . import dedup
+
+    edges = media_near_dup_edges(
+        media, max_dist_image, max_dist_audio, min_shared_frames
+    )
+    labels = dedup.components_from_edges(
+        edges, media.select("media_id"), "media_id"
+    )
+    sized = media.select(
+        "media_id", F.octet_length("payload").cast("long").alias("n_bytes")
+    )
+    return dedup.survivors_from_labels(labels, sized, "media_id", "n_bytes")
 
 
 def video_near_dup_pairs(frame_hashes: DataFrame) -> DataFrame:

@@ -5153,3 +5153,54 @@ def q_multimodal_videodup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.parallelize(_videodup_rows(), 2), schema=MEDIA_SCHEMA
     )
     return video_near_dup_pairs(video_frame_hashes(media))
+
+
+def _media_survivors_oracle() -> str:
+    # sizes from the fixture payload definitions; edges = the SAME
+    # image + audio pair semantics as the two pair oracles; closure +
+    # keep-largest argmax mirrors _survivors_oracle for text
+    sizes = ",\n        ".join(
+        f"({mid}, {len(bytes.fromhex(hexs))})" for mid, _f, _w, _h, hexs in MEDIA_ROWS
+    )
+    return f"""
+    WITH RECURSIVE sizes(media_id, n_bytes) AS (VALUES
+        {sizes}
+    ),
+    pairs AS (
+        SELECT a, b FROM ({_hamming_pairs_oracle()})
+        UNION
+        SELECT a, b FROM ({_audiodup_oracle()})
+    ),
+    edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+    reach(media_id, r) AS (
+        SELECT media_id, media_id FROM sizes
+        UNION
+        SELECT re.media_id, e.b FROM reach re JOIN edges e ON re.r = e.a
+    ),
+    labels AS (SELECT media_id, min(r) AS cluster_id FROM reach GROUP BY media_id)
+    SELECT cluster_id, media_id AS kept_id, kept_n_bytes, n_members FROM (
+        SELECT l.cluster_id, l.media_id,
+               CAST(s.n_bytes AS BIGINT) AS kept_n_bytes,
+               row_number() OVER (PARTITION BY l.cluster_id
+                                  ORDER BY s.n_bytes DESC, l.media_id) AS rk,
+               count(*) OVER (PARTITION BY l.cluster_id) AS n_members
+        FROM labels l JOIN sizes s USING (media_id)
+    ) WHERE rk = 1
+    """
+
+
+@query("q_multimodal_survivors", oracle=_media_survivors_oracle())
+def q_multimodal_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media dedup SURVIVORS — the stage after the pair families that
+    actually deduplicates the media corpus: connected components over
+    the union of image/audio/video near-dup edges, then keep the
+    largest payload per cluster (smallest id on ties), through the
+    SAME machinery as text (dedup.components_from_edges +
+    survivors_from_labels). Media 11 collapses into 1's cluster and
+    12 into 6's; undecodable payloads never pair and survive as
+    singletons. The oracle recomputes hashes from the fixture pixel /
+    sample definitions, the band joins in SQL, and the closure as a
+    recursive CTE."""
+    from ..operators.multimodal import media_cluster_survivors
+
+    return media_cluster_survivors(_media_df(spark))

@@ -349,3 +349,62 @@ class TestVideoNearDup:
             for r in video_near_dup_pairs(fh).collect()
         }
         assert got == {(1, 2): 1}
+
+
+class TestMediaClusterSurvivors:
+    """Cross-modality survivor selection: image twins, rescaled audio,
+    and shared-frame videos all collapse through the same connected
+    components + keep-largest machinery as text."""
+
+    def _media(self, spark):
+        from etl_fraud_detection_spark.functions import jpeg, png, wav
+
+        def img(seed, w=12, h=10, bump=None):
+            px = bytearray((x * 29 + y * 57 + seed * 83) % 256
+                           for y in range(h) for x in range(w))
+            if bump is not None:
+                px[bump] = (px[bump] + 40) % 256
+            return png.encode_png(w, h, 1, bytes(px))
+
+        def frame(seed):
+            px = bytes((x * 29 + y * 57 + seed * 83) % 256
+                       for y in range(10) for x in range(12))
+            return jpeg.encode_jpeg(12, 10, 1, px)
+
+        base_audio = [((i * 37) % 200 - 100) * 80 for i in range(50)]
+        rows = [
+            (1, "png", 12, 10, img(0)),
+            (2, "png", 12, 10, img(0, bump=17)),         # near-dup of 1
+            (3, "png", 12, 10, img(5)),                  # distinct image
+            (10, "wav", 0, 0, wav.encode_wav(8000, 1, base_audio)),
+            (11, "wav", 0, 0,
+             wav.encode_wav(8000, 1, [s * 2 for s in base_audio])),  # rescale of 10
+            (20, "mjpeg", 12, 10, frame(20) + frame(21) + frame(22)),
+            (21, "mjpeg", 12, 10, frame(22) + frame(30)),  # shares frame 22
+            (30, "bin", 0, 0, b"opaque payload, never pairs"),
+        ]
+        from etl_fraud_detection_spark.operators.multimodal import MEDIA_SCHEMA
+
+        return spark.createDataFrame(rows, MEDIA_SCHEMA), rows
+
+    def test_all_three_modalities_cluster_and_keep_largest(self, spark):
+        from etl_fraud_detection_spark.operators import multimodal
+
+        media, rows = self._media(spark)
+        size = {mid: len(p) for mid, _f, _w, _h, p in rows}
+        got = {
+            r["cluster_id"]: (r["kept_id"], r["kept_n_bytes"], r["n_members"])
+            for r in multimodal.media_cluster_survivors(media).collect()
+        }
+        # image twins cluster under min id 1; audio under 10; video
+        # under 20 (assuming the mjpeg clips don't image-pair with the
+        # stills: different content); opaque + distinct stay singleton
+        img_kept = 1 if size[1] >= size[2] else 2
+        assert got[1] == (img_kept, size[img_kept], 2)
+        aud_kept = 10 if size[10] >= size[11] else 11
+        assert got[10] == (aud_kept, size[aud_kept], 2)
+        assert got[20][2] == 2      # both clips in one cluster
+        assert got[3] == (3, size[3], 1)
+        assert got[30] == (30, size[30], 1)
+        # every media id appears in exactly one cluster
+        assert sum(v[2] for v in got.values()) == len(rows)
