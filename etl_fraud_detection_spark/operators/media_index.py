@@ -1,0 +1,270 @@
+"""Persisted media near-dup ledger: incremental image/audio/video
+admission whose daily cost scales with the BATCH, not the corpus.
+
+The three in-plan media pair families (operators/multimodal.py —
+banded Hamming over image aHashes, banded Hamming over audio
+energy-envelope hashes, shared-frame containment over video frame
+hashes) answer "which pairs exist in THIS table". A daily crawl needs
+the other question — "is this new blob a near-dup of anything ever
+admitted" — without re-decoding or re-pairing the corpus. This is the
+media member of the stored-index family (text: dedup_index; vectors:
+ann_index; lexical: text_index), holding four compact tables derived
+from every admitted blob (never the pixels/samples themselves):
+
+- ``md_hashes``  (media_id, modality, h): the 64-bit image aHash /
+  16-bit audio eHash per decodable blob — the verify side of the
+  banded probe (popcount distance needs the full hash).
+- ``md_bands``   (media_id, modality, band_idx, band_val): the banded
+  bit-slices (multimodal.hash_bands — the SAME band keys as the
+  in-plan join), the LSH acceleration structure the batch probes.
+  At scale this table is written bucketed by (band_idx, band_val) so
+  the probe co-locates.
+- ``md_frames``  (media_id, ahash): distinct perceptual hashes of
+  every admitted video's frames; the batch's frame hashes equi-join
+  here (the C4-paragraph-dedup shape applied to video).
+- ``md_admitted`` (media_id): the admission ledger — replayed ids are
+  anti-joined out, making ingest exactly-once per media id EVEN for
+  blobs that decode to nothing (corrupt payloads leave no hash rows,
+  so only this table can guard their replay).
+
+All four ride the warehouse's multi-table atomic commit
+(begin_run/commit_run): a crash mid-ingest rolls the whole admission
+back together — the ledger can never hold a blob's bands without its
+hashes. This is the watermark-incremental discipline of the
+reference's extract loop (/root/reference/etl.py:190-199: "process
+only what's new, against persisted state") applied to media.
+
+Scale shape (100 TB of media, daily batches): the batch side of every
+probe is broadcastable; the ledger side is scanned once per ingest
+(pre-bucketed at scale so only colliding buckets move); decode cost
+is strictly O(batch blobs) via the Arrow mapInPandas extractors.
+Batch×batch pairs are deliberately out of scope (parity with
+dedup_index.ingest): run media_near_dup_edges within the batch first
+if intra-batch dedup is wanted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .multimodal import (
+    audio_fingerprint,
+    hash_bands,
+    perceptual_hash,
+    video_frame_hashes,
+)
+
+LAYER = "index"
+T_HASHES = "md_hashes"
+T_BANDS = "md_bands"
+T_FRAMES = "md_frames"
+T_ADMITTED = "md_admitted"
+
+# one banding contract across modalities (multimodal.py): 4 bands,
+# pigeonhole-exact recall for Hamming distance <= 3
+BANDS = 4
+IMAGE_BITS = 64
+AUDIO_BITS = 16
+
+
+def _signatures(media: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(hashes, bands, frames) for a media frame — the complete index
+    payload of a batch. Hashes/bands carry a modality tag so one probe
+    join serves both banded families; frames are the video ledger.
+    Undecodable payloads contribute no rows anywhere (the honest
+    opaque split of the extractors)."""
+    img = perceptual_hash(media).where(F.col("ahash").isNotNull()).select(
+        "media_id", F.lit("image").alias("modality"), F.col("ahash").alias("h")
+    )
+    aud = audio_fingerprint(media).where(F.col("ehash").isNotNull()).select(
+        "media_id", F.lit("audio").alias("modality"), F.col("ehash").alias("h")
+    )
+    hashes = img.unionByName(aud)
+    bands = hash_bands(img, "media_id", "h", BANDS, IMAGE_BITS).unionByName(
+        hash_bands(aud, "media_id", "h", BANDS, AUDIO_BITS)
+    ).select("media_id", "modality", "band_idx", "band_val")
+    frames = (
+        video_frame_hashes(media).select("media_id", "ahash").distinct()
+    )
+    return hashes, bands, frames
+
+
+def build(wh, media: DataFrame, run_id: int) -> None:
+    """Initial (or rebuild-by-replacement) ledger from a media corpus:
+    one decode pass per modality, all four tables overwritten under
+    one atomic commit."""
+    hashes, bands, frames = _signatures(media)
+    wh.begin_run(run_id)
+    wh.overwrite(LAYER, T_HASHES, hashes)
+    wh.overwrite(LAYER, T_BANDS, bands)
+    wh.overwrite(LAYER, T_FRAMES, frames)
+    wh.overwrite(LAYER, T_ADMITTED, media.select("media_id"))
+    wh.commit_run(run_id)
+
+
+def ingest(
+    wh,
+    batch: DataFrame,
+    run_id: int | None = None,
+    max_dist_image: int = 3,
+    max_dist_audio: int = 3,
+    min_shared_frames: int = 1,
+    commit: bool = True,
+) -> DataFrame:
+    """Admit a media batch against the persisted ledger; returns the
+    admission frame (media_id, admitted, dup_of, via, score) for every
+    batch blob — ``via`` names the modality of the winning match,
+    ``score`` its Hamming distance (banded modalities) or shared-frame
+    count (video); the winning partner is the smallest ledger id.
+
+    Steps (every probe joins the BATCH's signatures against the stored
+    tables only — never batch×batch, never a re-decode of the corpus):
+    1. replay guard: batch ids already in ``md_admitted`` report
+       admitted with no partner and are NOT re-appended (foreachBatch
+       redelivery discipline, mirrored from dedup_index.ingest).
+    2. decode the new blobs once per modality (Arrow mapInPandas).
+    3. banded probe: batch bands ⋈ md_bands on (modality, band_idx,
+       band_val) — one join serves image and audio; candidates verify
+       with the true popcount against md_hashes.
+    4. video probe: batch frame hashes ⋈ md_frames on the 64-bit hash,
+       pairs kept at >= ``min_shared_frames`` distinct shared hashes.
+    5. admitted blobs' hashes/bands/frames + their ids APPEND to the
+       four tables under one atomic commit — a later batch near-dupping
+       a blob admitted THIS batch rejects against the grown ledger.
+
+    ``commit=False`` is the WHAT-IF mode: verdicts against the current
+    ledger, nothing appended, ``run_id`` not required.
+    """
+    stored_bands = wh.read(LAYER, T_BANDS)
+    if stored_bands is None:
+        raise ValueError(
+            f"media ledger not built: table {LAYER}.{T_BANDS} is missing in "
+            f"this warehouse — call media_index.build() (or ingest into a "
+            f"warehouse that has one) before admitting batches"
+        )
+    stored_hashes = wh.read(LAYER, T_HASHES)
+    stored_frames = wh.read(LAYER, T_FRAMES)
+    admitted_ledger = wh.read(LAYER, T_ADMITTED)
+
+    batch_ids = batch.select("media_id")
+    new_media = batch.join(
+        F.broadcast(
+            admitted_ledger.join(
+                F.broadcast(batch_ids), ["media_id"], "left_semi"
+            )
+        ),
+        ["media_id"],
+        "left_anti",
+    )
+
+    hashes, bands, frames = _signatures(new_media)
+    hashes = hashes.persist()
+    bands = bands.persist()
+    frames = frames.persist()
+
+    # banded probe (image + audio in ONE join): candidates meet on the
+    # exact band key; verify re-reads the full hashes for the popcount
+    cand = (
+        bands.select(
+            F.col("media_id").alias("a"), "modality", "band_idx", "band_val"
+        )
+        .join(
+            stored_bands.select(
+                F.col("media_id").alias("b"), "modality", "band_idx", "band_val"
+            ),
+            ["modality", "band_idx", "band_val"],
+        )
+        .select("a", "b", "modality")
+        .distinct()
+    )
+    max_dist = (
+        F.when(F.col("modality") == "image", F.lit(max_dist_image))
+        .otherwise(F.lit(max_dist_audio))
+    )
+    banded_hits = (
+        cand.join(
+            hashes.select(
+                F.col("media_id").alias("a"),
+                F.col("modality"),
+                F.col("h").alias("ha"),
+            ),
+            ["a", "modality"],
+        )
+        .join(
+            stored_hashes.select(
+                F.col("media_id").alias("b"),
+                F.col("modality"),
+                F.col("h").alias("hb"),
+            ),
+            ["b", "modality"],
+        )
+        .select(
+            "a", "b", "modality",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("score"),
+        )
+        .where(F.col("score") <= max_dist)
+    )
+    video_hits = (
+        frames.select(F.col("media_id").alias("a"), "ahash")
+        .join(
+            stored_frames.select(F.col("media_id").alias("b"), "ahash"),
+            ["ahash"],
+        )
+        .groupBy("a", "b")
+        .agg(F.count_distinct("ahash").alias("score"))
+        .where(F.col("score") >= min_shared_frames)
+        .select("a", "b", F.lit("video").alias("modality"), "score")
+    )
+    hits = banded_hits.unionByName(video_hits)
+
+    # deterministic winner: smallest ledger id; its modality/score ride
+    # along via min_by-style struct ordering on (b, modality)
+    best = hits.groupBy(F.col("a").alias("media_id")).agg(
+        F.min(F.struct("b", "modality", "score")).alias("_w")
+    )
+    admission = (
+        batch_ids.join(best, ["media_id"], "left")
+        .select(
+            "media_id",
+            F.col("_w").isNull().alias("admitted"),
+            F.col("_w.b").alias("dup_of"),
+            F.col("_w.modality").alias("via"),
+            F.col("_w.score").alias("score"),
+        )
+    )
+
+    if not commit:
+        from . import dedup
+
+        for frame in (hashes, bands, frames):
+            dedup._PERSISTED_SHINGLES.append(frame)
+        return admission
+
+    if run_id is None:
+        raise ValueError("run_id is required when commit=True")
+    # materialize the verdict ONCE — the four appends and the returned
+    # frame all read this checkpoint, never re-running the probe
+    admission = admission.localCheckpoint()
+    # only NEW admitted blobs append (replayed ids are admitted in the
+    # verdict but already present in every table)
+    adm_ids = admission.where("admitted").select("media_id").join(
+        F.broadcast(new_media.select("media_id")), ["media_id"], "left_semi"
+    )
+    wh.begin_run(run_id)
+    wh.append(
+        LAYER, T_HASHES,
+        hashes.join(F.broadcast(adm_ids), ["media_id"], "left_semi"),
+    )
+    wh.append(
+        LAYER, T_BANDS,
+        bands.join(F.broadcast(adm_ids), ["media_id"], "left_semi"),
+    )
+    wh.append(
+        LAYER, T_FRAMES,
+        frames.join(F.broadcast(adm_ids), ["media_id"], "left_semi"),
+    )
+    wh.append(LAYER, T_ADMITTED, adm_ids)
+    wh.commit_run(run_id)
+    for f in (hashes, bands, frames):
+        f.unpersist()
+    return admission

@@ -5155,6 +5155,167 @@ def q_multimodal_videodup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_near_dup_pairs(video_frame_hashes(media))
 
 
+_MEDIA_LEDGER_IDS = {1, 2, 3, 6, 7, 8, 9, 10}   # stills + audio + corrupt wav
+_MEDIA_BATCH_IDS = {4, 5, 11, 12}               # opaque jpgs + designed twins
+_VIDEO_LEDGER_IDS = {30, 31, 33}                # base clip, corrupt, disjoint
+_VIDEO_BATCH_IDS = {32}                         # shares frame content with 30
+
+
+def _media_index_dfs(spark: SparkSession):
+    """(ledger_media, batch_media) for the persisted-ledger query:
+    the ledger is the fixture corpus WITHOUT the designed twins; the
+    batch carries the twins (image 11 ~ 1, audio 12 ~ 6, video 32
+    shares a frame with 30) plus two opaque jpgs that must admit."""
+    from ..operators.multimodal import MEDIA_SCHEMA
+
+    all_rows = [
+        (i, f, w, h, bytes.fromhex(x)) for i, f, w, h, x in MEDIA_ROWS
+    ] + _videodup_rows()
+    ledger_ids = _MEDIA_LEDGER_IDS | _VIDEO_LEDGER_IDS
+    batch_ids = _MEDIA_BATCH_IDS | _VIDEO_BATCH_IDS
+    ledger = [r for r in all_rows if r[0] in ledger_ids]
+    batch = [r for r in all_rows if r[0] in batch_ids]
+    mk = lambda rows: spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), schema=MEDIA_SCHEMA
+    )
+    return mk(ledger), mk(batch)
+
+
+def _media_index_truth():
+    """Ground-truth signature VALUES from the fixture pixel / sample /
+    frame DEFINITIONS (never the codecs' output): per-id image aHash,
+    audio eHash, and distinct video frame hashes. An MJPEG payload's
+    image hash is the aHash of its FIRST frame (the decoder reads one
+    SOI..EOI segment); corrupt payloads have no signatures at all."""
+    from ..operators.multimodal import ahash_64, ehash_16
+
+    def img_hash(mid):
+        if mid in _MEDIA_PNG_DIMS:
+            w, h, ch = _MEDIA_PNG_DIMS[mid]
+            return ahash_64(w, h, ch, _media_png_px(mid))
+        if mid in _MEDIA_JPEG_DIMS:
+            w, h = _MEDIA_JPEG_DIMS[mid]
+            return ahash_64(w, h, 1, _media_jpeg_px(mid))
+        if mid in _VIDEODUP_FRAMES:
+            f0 = _VIDEODUP_FRAMES[mid][0]
+            return ahash_64(_MJPEG_W, _MJPEG_H, 1, _mjpeg_frame_px(f0))
+        return None
+
+    def rows(ids):
+        hs, fs = [], []
+        for mid in sorted(ids):
+            ih = img_hash(mid)
+            if ih is not None:
+                hs.append((mid, "image", ih))
+            if mid in _MEDIA_WAV_DEFS:
+                hs.append((mid, "audio", ehash_16(_MEDIA_WAV_DEFS[mid][2])))
+            if mid in _VIDEODUP_FRAMES:
+                for fh in sorted({
+                    ahash_64(_MJPEG_W, _MJPEG_H, 1, _mjpeg_frame_px(f))
+                    for f in _VIDEODUP_FRAMES[mid]
+                }):
+                    fs.append((mid, fh))
+        return hs, fs
+
+    return rows(_MEDIA_LEDGER_IDS | _VIDEO_LEDGER_IDS), rows(
+        _MEDIA_BATCH_IDS | _VIDEO_BATCH_IDS
+    )
+
+
+def _media_index_oracle() -> str:
+    (lh, lf), (bh, bf) = _media_index_truth()
+    fmt_h = lambda hs: ",\n        ".join(
+        f"({m}, '{mod}', {h})" for m, mod, h in hs
+    )
+    fmt_f = lambda fs: ",\n        ".join(f"({m}, {h})" for m, h in fs)
+    ids = ",".join(f"({i})" for i in sorted(_MEDIA_BATCH_IDS | _VIDEO_BATCH_IDS))
+    return f"""
+    WITH ledger_h(media_id, modality, h) AS (VALUES
+        {fmt_h(lh)}
+    ),
+    batch_h(media_id, modality, h) AS (VALUES
+        {fmt_h(bh)}
+    ),
+    ledger_f(media_id, fh) AS (VALUES
+        {fmt_f(lf)}
+    ),
+    batch_f(media_id, fh) AS (VALUES
+        {fmt_f(bf)}
+    ),
+    batch_ids(media_id) AS (VALUES {ids}),
+    bw(modality, width, mask) AS (VALUES ('image', 16, 65535), ('audio', 4, 15)),
+    bl AS (
+        SELECT l.media_id, l.modality, l.h, bn.band_idx,
+               (l.h >> (bn.band_idx * w.width)) & w.mask AS band_val
+        FROM ledger_h l, bw w, (VALUES (0), (1), (2), (3)) bn(band_idx)
+        WHERE l.modality = w.modality
+    ),
+    bb AS (
+        SELECT b.media_id, b.modality, b.h, bn.band_idx,
+               (b.h >> (bn.band_idx * w.width)) & w.mask AS band_val
+        FROM batch_h b, bw w, (VALUES (0), (1), (2), (3)) bn(band_idx)
+        WHERE b.modality = w.modality
+    ),
+    cand AS (
+        SELECT DISTINCT b.media_id AS a, l.media_id AS bb2, b.modality,
+               b.h AS hb, l.h AS hl
+        FROM bb b JOIN bl l
+          ON b.modality = l.modality AND b.band_idx = l.band_idx
+         AND b.band_val = l.band_val
+    ),
+    hits AS (
+        SELECT a, bb2, modality, CAST(bit_count(xor(hb, hl)) AS BIGINT) AS score
+        FROM cand
+        WHERE bit_count(xor(hb, hl)) <= 3
+        UNION ALL
+        SELECT bf.media_id, lf.media_id, 'video',
+               CAST(COUNT(DISTINCT bf.fh) AS BIGINT)
+        FROM batch_f bf JOIN ledger_f lf ON bf.fh = lf.fh
+        GROUP BY 1, 2 HAVING COUNT(DISTINCT bf.fh) >= 1
+    ),
+    best AS (
+        SELECT a, bb2, modality, score,
+               row_number() OVER (PARTITION BY a
+                                  ORDER BY bb2, modality, score) AS rk
+        FROM hits
+    )
+    SELECT i.media_id, b.bb2 IS NULL AS admitted, b.bb2 AS dup_of,
+           b.modality AS via, b.score AS score
+    FROM batch_ids i
+    LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON i.media_id = b.a
+    """
+
+
+@query("q_multimodal_band_index", oracle=_media_index_oracle())
+def q_multimodal_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup admission against the PERSISTED ledger
+    (operators/media_index — the media member of the stored-index
+    family): the batch's signatures probe the stored band/hash/frame
+    tables, never batch×batch and never a re-decode of the corpus.
+    The designed twins must reject (image 11 against 1, audio 12
+    against 6, clip 32 against 30 — whose first-frame image hash also
+    matches, so the deterministic winner is via='image'); the opaque
+    jpgs must admit. The oracle recomputes every signature from the
+    fixture pixel/sample definitions and the whole probe in SQL.
+    Output is replay-stable: re-running the committed ingest reports
+    the same verdicts (admitted ids hit the replay guard)."""
+    import os
+    import tempfile
+
+    from ..operators import media_index
+    from ..pipeline import Warehouse
+
+    ledger, batch = _media_index_dfs(spark)
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_mediaindex_v1")
+    _built_once(
+        root, "index/md_bands/_CURRENT",
+        lambda: media_index.build(Warehouse(spark, root), ledger, run_id=1),
+    )
+    return media_index.ingest(
+        Warehouse(spark, root), batch, run_id=2
+    ).orderBy("media_id")
+
+
 def _media_survivors_oracle() -> str:
     # sizes from the fixture payload definitions; edges = the SAME
     # image + audio pair semantics as the two pair oracles; closure +

@@ -1,0 +1,203 @@
+"""Persisted media near-dup ledger (operators/media_index): the
+property that distinguishes it from the in-plan pair families is that
+admissions GROW the ledger — a batch-N+1 twin of a blob admitted in
+batch N must reject against the stored index, with the original corpus
+long out of scope. Mirrors tests/test_dedup_index.py for media."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_fraud_detection_spark.functions import jpeg, png, wav
+from etl_fraud_detection_spark.operators import media_index
+from etl_fraud_detection_spark.operators.multimodal import (
+    MEDIA_SCHEMA, ahash_64, ehash_16,
+)
+from etl_fraud_detection_spark.pipeline import Warehouse
+
+W, H = 12, 10
+
+
+def _img_px(seed, bump=None):
+    px = bytearray((x * 29 + y * 57 + seed * 83) % 256
+                   for y in range(H) for x in range(W))
+    if bump is not None:
+        px[bump] = (px[bump] + 40) % 256
+    return bytes(px)
+
+
+def _png_row(mid, seed, bump=None):
+    return (mid, "png", W, H, png.encode_png(W, H, 1, _img_px(seed, bump)))
+
+
+def _frame(seed):
+    return jpeg.encode_jpeg(W, H, 1, _img_px(seed))
+
+
+def _media(spark, rows):
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "mdwh"))
+
+
+def _verdicts(adm):
+    return {
+        r.media_id: (r.admitted, r.dup_of, r.via)
+        for r in adm.collect()
+    }
+
+
+class TestLedgerGrows:
+    def test_image_admitted_in_batch_n_rejects_twin_in_batch_n1(self, spark, wh):
+        # preconditions pinned from the hash definitions themselves
+        assert bin(ahash_64(W, H, 1, _img_px(0))
+                   ^ ahash_64(W, H, 1, _img_px(0, bump=17))).count("1") <= 3
+        assert bin(ahash_64(W, H, 1, _img_px(0))
+                   ^ ahash_64(W, H, 1, _img_px(5))).count("1") > 3
+
+        media_index.build(wh, _media(spark, [_png_row(1, 0)]), run_id=1)
+        # batch 1: image 10 (pattern 5) is NEW; 11 twins ledger image 1
+        got = _verdicts(media_index.ingest(
+            wh, _media(spark, [_png_row(10, 5), _png_row(11, 0, bump=17)]),
+            run_id=2,
+        ))
+        assert got[10] == (True, None, None)
+        assert got[11] == (False, 1, "image")
+
+        # batch 2: 20 twins image 10 — admitted only ONE batch ago,
+        # never part of the original corpus
+        got2 = _verdicts(media_index.ingest(
+            wh, _media(spark, [_png_row(20, 5, bump=17)]), run_id=3
+        ))
+        assert got2[20] == (False, 10, "image")
+
+        # ledger tables hold exactly the admitted blob set, atomically
+        for t in (media_index.T_HASHES, media_index.T_BANDS):
+            ids = {
+                r.media_id for r in
+                wh.read("index", t).select("media_id").distinct().collect()
+            }
+            assert ids == {1, 10}
+        adm = {
+            r.media_id
+            for r in wh.read("index", media_index.T_ADMITTED).collect()
+        }
+        assert adm == {1, 10}
+
+    def test_audio_and_video_paths(self, spark, wh):
+        base = [((i * 37) % 200 - 100) * 80 for i in range(50)]
+        other = [((i * 91) % 300 - 150) * 70 for i in range(50)]
+        assert ehash_16([s * 2 for s in base]) == ehash_16(base)  # rescale
+        media_index.build(wh, _media(spark, [
+            (1, "wav", 0, 0, wav.encode_wav(8000, 1, base)),
+            (2, "mjpeg", W, H, _frame(40) + _frame(41)),
+        ]), run_id=1)
+        got = _verdicts(media_index.ingest(wh, _media(spark, [
+            (10, "wav", 0, 0, wav.encode_wav(8000, 1, [s * 2 for s in base])),
+            (11, "wav", 0, 0, wav.encode_wav(8000, 1, other)),
+            (12, "mjpeg", W, H, _frame(41) + _frame(50)),  # shares frame 41
+        ]), run_id=2))
+        assert got[10] == (False, 1, "audio")
+        assert got[11][0] is True
+        assert got[12][0] is False and got[12][1] == 2
+
+
+class TestExactlyOnce:
+    def test_replay_is_idempotent(self, spark, wh):
+        media_index.build(wh, _media(spark, [_png_row(1, 0)]), run_id=1)
+        batch = _media(spark, [
+            _png_row(10, 5),
+            (11, "bin", 0, 0, b"undecodable payload"),  # admits, no hashes
+        ])
+        first = _verdicts(media_index.ingest(wh, batch, run_id=2))
+        counts = {
+            t: wh.read("index", t).count()
+            for t in (media_index.T_HASHES, media_index.T_BANDS,
+                      media_index.T_FRAMES, media_index.T_ADMITTED)
+        }
+        # replay (foreachBatch redelivery): same verdicts, zero growth —
+        # including the hash-less corrupt blob, which only the admitted
+        # ledger can guard
+        replay = _verdicts(media_index.ingest(wh, batch, run_id=3))
+        assert replay == first
+        assert first[11] == (True, None, None)
+        for t, n in counts.items():
+            assert wh.read("index", t).count() == n, t
+
+    def test_rejected_blob_never_pollutes_ledger(self, spark, wh):
+        media_index.build(wh, _media(spark, [_png_row(1, 0)]), run_id=1)
+        media_index.ingest(
+            wh, _media(spark, [_png_row(10, 0, bump=17)]), run_id=2
+        )
+        # an exact copy of the REJECTED blob still resolves to the
+        # ORIGINAL ledger blob, not to 10
+        got = _verdicts(media_index.ingest(
+            wh, _media(spark, [_png_row(20, 0, bump=17)]), run_id=3
+        ))
+        assert got[20] == (False, 1, "image")
+
+    def test_readonly_mode_leaves_ledger_pristine(self, spark, wh):
+        media_index.build(wh, _media(spark, [_png_row(1, 0)]), run_id=1)
+        p = wh.path("index", media_index.T_ADMITTED)
+        v = wh._current(p)
+        got = _verdicts(media_index.ingest(
+            wh, _media(spark, [_png_row(10, 5)]), commit=False
+        ))
+        assert got[10][0] is True
+        assert wh._current(p) == v
+        assert wh.read("index", media_index.T_ADMITTED).count() == 1
+
+    def test_commit_requires_run_id(self, spark, wh):
+        media_index.build(wh, _media(spark, [_png_row(1, 0)]), run_id=1)
+        with pytest.raises(ValueError, match="run_id"):
+            media_index.ingest(wh, _media(spark, [_png_row(10, 5)]))
+
+
+class TestContracts:
+    def test_ingest_before_build_raises_clearly(self, spark, wh):
+        with pytest.raises(ValueError, match="media ledger not built"):
+            media_index.ingest(wh, _media(spark, [_png_row(1, 0)]), run_id=1)
+
+    def test_all_four_tables_in_commit_manifest(self, spark, wh):
+        media_index.build(wh, _media(spark, [
+            _png_row(1, 0),
+            (2, "mjpeg", W, H, _frame(40) + _frame(41)),
+        ]), run_id=7)
+        tables = wh._manifest(7)["tables"]
+        for t in (media_index.T_HASHES, media_index.T_BANDS,
+                  media_index.T_FRAMES, media_index.T_ADMITTED):
+            assert tables.get(f"index/{t}") is not None, t
+
+    def test_crash_mid_ingest_rolls_all_tables_back(self, spark, wh, monkeypatch):
+        media_index.build(wh, _media(spark, [_png_row(1, 0)]), run_id=1)
+        before = {
+            t: wh.read("index", t).count()
+            for t in (media_index.T_HASHES, media_index.T_BANDS,
+                      media_index.T_FRAMES, media_index.T_ADMITTED)
+        }
+        real_append = Warehouse.append
+
+        def crashing(self, layer, table, df, partition_by=None):
+            if table == media_index.T_ADMITTED:
+                raise RuntimeError("chaos: died mid-admission")
+            return real_append(self, layer, table, df, partition_by)
+
+        monkeypatch.setattr(Warehouse, "append", crashing)
+        with pytest.raises(RuntimeError, match="chaos"):
+            media_index.ingest(wh, _media(spark, [_png_row(10, 5)]), run_id=2)
+        monkeypatch.setattr(Warehouse, "append", real_append)
+
+        wh2 = Warehouse(spark, wh.root)
+        assert wh2.recover() == 2
+        # hashes/bands appended before the crash are rolled back WITH
+        # the admitted ledger — never a blob's bands without its id
+        for t, n in before.items():
+            assert wh2.read("index", t).count() == n, t
+        # and the re-run admits cleanly
+        got = _verdicts(media_index.ingest(
+            wh2, _media(spark, [_png_row(10, 5)]), run_id=3
+        ))
+        assert got[10][0] is True
