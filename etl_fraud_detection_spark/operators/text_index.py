@@ -34,7 +34,7 @@ only matching postings for the per-doc sum.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .ngrams import tokens
 
@@ -140,14 +140,11 @@ def ingest(wh, new_docs: DataFrame, run_id: int, id_col: str = "doc_id",
     wh.commit_run(run_id)
 
 
-def query(wh, terms: list[str], k1: float = 1.2, b: float = 0.75) -> DataFrame:
-    """BM25 over the STORED index: reads only the probed terms'
-    partitions (static partition pruning on the bucket column), never
-    re-tokenizes a document, and reproduces corpus.bm25_scores
-    bit-for-bit — (doc_id, n_matched_terms, score_micro, bm25)."""
-    # Buckets of the (bounded, user-supplied) query terms via one tiny
-    # local-relation query — no hand-rolled Python xxhash64 that could
-    # drift from the JVM's implementation. Bounded collect: |terms| rows.
+def _pruned_postings(wh, terms: list[str]):
+    """(postings, term_stats, corpus_stats) pruned to the query terms.
+    Buckets of the (bounded, user-supplied) terms come via one tiny
+    local-relation query — no hand-rolled Python xxhash64 that could
+    drift from the JVM's implementation. Bounded collect: |terms| rows."""
     spark = wh.spark
     buckets = sorted({
         r["b"]
@@ -162,19 +159,45 @@ def query(wh, terms: list[str], k1: float = 1.2, b: float = 0.75) -> DataFrame:
     )
     ts = wh.read(LAYER, "term_stats").where(F.col("term").isin(*terms))
     cs = wh.read(LAYER, "corpus_stats")
+    return post, ts, cs
+
+
+def _per_term_micro(k1: float, b: float) -> Column:
+    """The quantized per-(doc, term) BM25 contribution, over columns
+    (tf, dl, df, n_docs, sum_dl) — identical between the single-query
+    and batch paths so both reproduce corpus.bm25_scores bit-for-bit."""
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     denom = F.col("tf") + k1 * ((1.0 - b) + b * F.col("dl").cast("double") / avgdl)
-    per_term_micro = F.floor(
+    return F.floor(
         idf * (F.col("tf") * (k1 + 1.0)) / denom * MICRO + 0.5
     ).cast("long")
-    return (
+
+
+def query(
+    wh,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int | None = None,
+) -> DataFrame:
+    """BM25 over the STORED index: reads only the probed terms'
+    partitions (static partition pruning on the bucket column), never
+    re-tokenizes a document, and reproduces corpus.bm25_scores
+    bit-for-bit — (doc_id, n_matched_terms, score_micro, bm25).
+
+    ``k`` is the retrieval form: top-k docs by (score desc, doc_id) —
+    compiled by Catalyst to TakeOrderedAndProject (per-partition heaps
+    + one bounded driver merge, the q_sample_weighted precedent), so
+    there is NO global sort exchange no matter the corpus size."""
+    post, ts, cs = _pruned_postings(wh, terms)
+    scored = (
         post.join(F.broadcast(ts.withColumnRenamed("term", "ts_term")),
                   F.col("term") == F.col("ts_term"))
         .join(F.broadcast(cs))
-        .select("doc_id", per_term_micro.alias("s_micro"))
+        .select("doc_id", _per_term_micro(k1, b).alias("s_micro"))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_matched_terms"),
@@ -185,5 +208,61 @@ def query(wh, terms: list[str], k1: float = 1.2, b: float = 0.75) -> DataFrame:
             (F.col("score_micro").cast("double") / MICRO).alias("bm25"),
         )
     )
+    if k is not None:
+        scored = scored.orderBy(
+            F.col("score_micro").desc(), F.col("doc_id")
+        ).limit(k)
+    return scored
+
+
+def query_many(
+    wh,
+    queries: dict[str, list[str]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int | None = None,
+) -> DataFrame:
+    """Batch retrieval: N query term-sets answered in ONE pass over
+    the probed postings — (query_id, doc_id, n_matched_terms,
+    score_micro, bm25). The (query_id, term) set broadcasts (bounded
+    by the query batch), postings are read once pruned to the UNION
+    of all terms, and scoring shuffles once on (query_id, doc_id).
+    With ``k``, top-k per query rides a window over the SAME
+    partitioning key prefix — never a global sort. Per-query scores
+    are bit-identical to :func:`query` (pinned in
+    tests/test_text_index.py)."""
+    spark = wh.spark
+    pairs = [
+        (qid, t) for qid, ts in queries.items() for t in sorted(set(ts))
+    ]
+    qt = spark.createDataFrame(pairs, "query_id string, term string")
+    all_terms = sorted({t for _, t in pairs})
+    post, ts, cs = _pruned_postings(wh, all_terms)
+    scored = (
+        post.join(F.broadcast(qt), "term")
+        .join(F.broadcast(ts.withColumnRenamed("term", "ts_term")),
+              F.col("term") == F.col("ts_term"))
+        .join(F.broadcast(cs))
+        .select("query_id", "doc_id", _per_term_micro(k1, b).alias("s_micro"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count("*").alias("n_matched_terms"),
+            F.sum("s_micro").alias("score_micro"),
+        )
+        .select(
+            "query_id", "doc_id", "n_matched_terms", "score_micro",
+            (F.col("score_micro").cast("double") / MICRO).alias("bm25"),
+        )
+    )
+    if k is not None:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score_micro").desc(), F.col("doc_id")
+        )
+        scored = (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k)
+            .drop("_rk")
+        )
+    return scored
 
 

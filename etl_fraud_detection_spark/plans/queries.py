@@ -1338,7 +1338,8 @@ def family(name: str) -> str:
     if name in {
         "q_text_stats", "q_lang_id", "q_token_count", "q_doc_fingerprint",
         "q_rolling_hash", "q_tfidf_topterms", "q_lm_score", "q_bm25",
-        "q_bm25_index", "q_chi2_terms", "q_lexical_diversity", "q_repetition_stats",
+        "q_bm25_index", "q_bm25_topk", "q_bm25_topk_multi",
+        "q_chi2_terms", "q_lexical_diversity", "q_repetition_stats",
         "q_repetition_removal", "q_bpe_encode", "q_fuzzy_join",
     }:
         return "text"

@@ -5001,6 +5001,96 @@ def q_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_index.query(wh, ["spark", "table", "window"])
 
 
+@query(
+    "q_bm25_topk",
+    oracle=f"""
+    SELECT doc_id, n_matched_terms, score_micro, bm25
+    FROM ({QUERIES["q_bm25"].oracle})
+    ORDER BY score_micro DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k retrieval over the stored inverted index — what a real
+    search actually returns: k=10 docs by (score desc, doc_id), with
+    the limit compiled to TakeOrderedAndProject (per-partition heaps +
+    one bounded driver merge; plan pinned in tests/test_text_index.py
+    — NO global sort exchange). Scores are the exact q_bm25 values, so
+    the oracle is that query's SQL wrapped in the same deterministic
+    ORDER BY ... LIMIT."""
+    from ..operators import text_index
+
+    wh = _bm25_warehouse(spark, sf_dir)
+    return text_index.query(wh, ["spark", "table", "window"], k=10)
+
+
+_BM25_QSETS = {
+    "q_spark": ["spark", "table", "window"],
+    "q_data": ["data", "stream"],
+    "q_mixed": ["window", "data", "parquet"],
+}
+
+
+def _bm25_multi_oracle() -> str:
+    qt = ",\n        ".join(
+        f"('{qid}', '{t}')"
+        for qid, ts in sorted(_BM25_QSETS.items())
+        for t in sorted(set(ts))
+    )
+    all_terms = ", ".join(
+        f"'{t}'" for t in sorted({t for ts in _BM25_QSETS.values() for t in ts})
+    )
+    return f"""
+    WITH inst AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM ({_TOKS})
+    ),
+    qt(query_id, term) AS (VALUES
+        {qt}
+    ),
+    q AS (SELECT * FROM inst WHERE term IN ({all_terms})),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf,
+                  MIN(dl) AS dl
+           FROM q GROUP BY 1, 2),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+           FROM ({_TOKS})),
+    s AS (SELECT qt.query_id, tf.doc_id,
+                 CAST(FLOOR(
+                   ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE)
+                                             / st.avgdl))
+                   * 1000000 + 0.5) AS BIGINT) AS s_micro
+          FROM tf JOIN df USING (term) JOIN qt USING (term), st),
+    g AS (SELECT query_id, doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_matched_terms,
+                 CAST(SUM(s_micro) AS BIGINT) AS score_micro
+          FROM s GROUP BY 1, 2)
+    SELECT query_id, doc_id, n_matched_terms, score_micro,
+           CAST(score_micro AS DOUBLE) / 1000000 AS bm25
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score_micro DESC, doc_id) AS rk
+          FROM g)
+    WHERE rk <= 5
+    """
+
+
+@query("q_bm25_topk_multi", oracle=_bm25_multi_oracle())
+def q_bm25_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH retrieval over the stored index: three query term-sets
+    answered in one shot — the (query_id, term) set broadcasts,
+    postings are read ONCE pruned to the union of all terms, and
+    top-5-per-query rides a window on the aggregation's own key
+    prefix. The shape whose cost at 100 TB is O(matching postings),
+    not O(queries × corpus). Oracle recomputes every per-query score
+    and the per-query top-k in SQL."""
+    from ..operators import text_index
+
+    wh = _bm25_warehouse(spark, sf_dir)
+    return text_index.query_many(wh, _BM25_QSETS, k=5)
+
+
 def _hamming_pairs_oracle() -> str:
     # same ground-truth hash VALUES as _ahash_oracle, then the banded
     # candidate join + popcount verify expressed in SQL (xor() — ^ is

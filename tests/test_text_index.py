@@ -191,3 +191,60 @@ class TestCrashRecovery:
         assert _key(text_index.query(wh2, TERMS)) == _key(
             text_index.query(whf, TERMS)
         )
+
+
+class TestTopK:
+    def test_topk_is_prefix_of_full_ranking(self, spark, tmp_path):
+        wh = Warehouse(spark, str(tmp_path / "ix"))
+        text_index.build(wh, _docs(spark), run_id=1)
+        full = sorted(
+            ((r["score_micro"], r["doc_id"]), tuple(r))
+            for r in text_index.query(wh, TERMS).collect()
+        )
+        ranked = sorted(full, key=lambda x: (-x[0][0], x[0][1]))
+        got = [tuple(r) for r in text_index.query(wh, TERMS, k=3).collect()]
+        assert got == [t for _, t in ranked[:3]]
+
+    def test_topk_plan_has_no_global_sort(self, spark, tmp_path):
+        """The k form must compile to TakeOrderedAndProject
+        (per-partition heaps + bounded driver merge) — a global Sort
+        exchange would be the 100 TB scale-killer."""
+        wh = Warehouse(spark, str(tmp_path / "ix"))
+        text_index.build(wh, _docs(spark), run_id=1)
+        plan = (
+            text_index.query(wh, TERMS, k=3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "Sort " not in plan
+
+    def test_query_many_matches_single_bit_for_bit(self, spark, tmp_path):
+        wh = Warehouse(spark, str(tmp_path / "ix"))
+        text_index.build(wh, _docs(spark), run_id=1)
+        qsets = {"a": TERMS, "b": ["spark"], "c": ["door", "filler"]}
+        many = text_index.query_many(wh, qsets)
+        for qid, terms in qsets.items():
+            got = sorted(
+                tuple(r)[1:] for r in many.where(
+                    F.col("query_id") == qid
+                ).collect()
+            )
+            want = sorted(tuple(r) for r in text_index.query(wh, terms).collect())
+            assert got == want, qid
+
+    def test_query_many_topk_per_query(self, spark, tmp_path):
+        wh = Warehouse(spark, str(tmp_path / "ix"))
+        text_index.build(wh, _docs(spark), run_id=1)
+        qsets = {"a": TERMS, "b": ["table", "window"]}
+        many = text_index.query_many(wh, qsets, k=2)
+        for qid, terms in qsets.items():
+            got = [
+                tuple(r)[1:]
+                for r in many.where(F.col("query_id") == qid)
+                .orderBy(F.col("score_micro").desc(), "doc_id").collect()
+            ]
+            want = [
+                tuple(r)
+                for r in text_index.query(wh, terms, k=2).collect()
+            ]
+            assert got == want, qid
