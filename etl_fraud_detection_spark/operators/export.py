@@ -121,12 +121,27 @@ def export_shards(
     size_col: str,
     key_col: str = "doc_id",
     target_bytes: int = 1 << 20,
+    checkpoint_every: int | None = None,
+    _fail_before_commit_chunk: int | None = None,
 ) -> dict:
     """Export ``df`` as sized training shards. Returns
     ``{skipped, token, n_rows, n_shards, total_bytes}``; ``skipped``
     is True when the committed manifest already carries this exact
     content token (the exactly-once path: no job beyond the token
-    aggregation runs, no version is written, no commit is made)."""
+    aggregation runs, no version is written, no commit is made).
+
+    ``checkpoint_every=k`` switches to the RESUMABLE path: shards are
+    written to a staging table in durable chunks of k shards (one
+    warehouse commit per chunk, run ids ``run_id, run_id+1, ...``),
+    and the final publish is a metadata-only hardlink swap
+    (Warehouse.adopt). A driver crash at shard 9,000/10,000 then costs
+    one re-shuffle plus the missing 1,000 shards on re-run — not a
+    full rewrite — while readers of ``training_shards`` never see a
+    partial export (the served table still flips atomically, once, at
+    the end). Per-shard completion is persisted in
+    ``staging_progress`` keyed by the content token; a resume under a
+    DIFFERENT token (input changed since the crash) discards the stale
+    staging and starts over."""
     token = _content_token(df, size_col, key_col, target_bytes)
     man = wh.read(LAYER, T_MANIFEST)
     # the skip path requires the FULL committed table set: an export
@@ -142,6 +157,11 @@ def export_shards(
                 "n_shards": prev["n_shards"],
                 "total_bytes": prev["total_bytes"],
             }
+    if checkpoint_every is not None:
+        return _export_resumable(
+            wh, df, run_id, token, size_col, key_col, target_bytes,
+            checkpoint_every, _fail_before_commit_chunk,
+        )
     assigned = shard_assignments(df, size_col, key_col, target_bytes)
     wh.begin_run(run_id)
     # repartition BY shard: each shard's rows land in one task, so each
@@ -181,6 +201,107 @@ def export_shards(
 
 
 T_CHECKSUMS = "shard_checksums"
+T_STAGE = "staging_shards"
+T_PROGRESS = "staging_progress"
+
+
+def _export_resumable(
+    wh,
+    df: DataFrame,
+    run_id: int,
+    token: str,
+    size_col: str,
+    key_col: str,
+    target_bytes: int,
+    checkpoint_every: int,
+    _fail_before_commit_chunk: int | None,
+) -> dict:
+    """Chunked staging + hardlink publish (see export_shards docstring).
+    Shard assignment is a pure function of (corpus, target), so a
+    resume recomputes positions identical to the crashed attempt and
+    only the shards absent from staging_progress are written."""
+    spark = df.sparkSession
+    progress = wh.read(LAYER, T_PROGRESS)
+    done_ids: set[int] = set()
+    fresh = True
+    if progress is not None:
+        # bounded collect: one row per completed shard (≤ n_shards)
+        rows = progress.select("token", "shard_id").collect()
+        toks = {r["token"] for r in rows}
+        if toks <= {token}:
+            done_ids = {r["shard_id"] for r in rows}
+            fresh = not done_ids
+        # else: staging belongs to a different corpus/spec — first
+        # chunk below overwrites both staging tables (fresh=True)
+    assigned = shard_assignments(df, size_col, key_col, target_bytes).persist()
+    try:
+        all_ids = sorted(
+            r["shard_id"] for r in assigned.select("shard_id").distinct().collect()
+        )
+        missing = [s for s in all_ids if s not in done_ids]
+        chunks = [
+            missing[i : i + checkpoint_every]
+            for i in range(0, len(missing), checkpoint_every)
+        ]
+        rid = run_id
+        for ci, chunk in enumerate(chunks):
+            wh.begin_run(rid)
+            chunk_df = assigned.where(
+                F.col("shard_id").isin([int(s) for s in chunk])
+            ).repartition("shard_id")
+            if fresh and ci == 0:
+                wh.overwrite(LAYER, T_STAGE, chunk_df, partition_by=["shard_id"])
+            else:
+                wh.append(LAYER, T_STAGE, chunk_df)
+            # read-back checksum of exactly this chunk's partitions
+            # (partition pruning on shard_id keeps it a chunk-sized scan)
+            written = wh.read(LAYER, T_STAGE).where(
+                F.col("shard_id").isin([int(s) for s in chunk])
+            )
+            cs = shard_checksums(written, size_col, df.columns).withColumn(
+                "token", F.lit(token)
+            )
+            if fresh and ci == 0:
+                wh.overwrite(LAYER, T_PROGRESS, cs)
+            else:
+                wh.append(LAYER, T_PROGRESS, cs)
+            if _fail_before_commit_chunk is not None and ci + 1 == _fail_before_commit_chunk:
+                raise RuntimeError(
+                    f"injected crash before committing chunk {ci + 1}"
+                )
+            wh.commit_run(rid)
+            rid += 1
+        # publish: hardlink swap + manifest from the progress ledger —
+        # no second pass over the shard DATA at any scale
+        wh.begin_run(rid)
+        wh.adopt(LAYER, T_SHARDS, LAYER, T_STAGE)
+        prog = wh.read(LAYER, T_PROGRESS)
+        wh.overwrite(LAYER, T_CHECKSUMS, prog.drop("token"))
+        stats = prog.select(
+            F.sum("n_docs").cast("long").alias("n_rows"),
+            F.countDistinct("shard_id").alias("n_shards"),
+            F.sum("shard_bytes").cast("long").alias("total_bytes"),
+        ).collect()[0]
+        manifest = spark.createDataFrame(
+            [(token, int(stats["n_rows"]), int(stats["n_shards"]),
+              int(stats["total_bytes"]))],
+            "token string, n_rows long, n_shards long, total_bytes long",
+        )
+        wh.overwrite(LAYER, T_MANIFEST, manifest)
+        wh.commit_run(rid)
+    finally:
+        assigned.unpersist()
+        release_ranked()
+    return {
+        "skipped": False,
+        "token": token,
+        "n_rows": int(stats["n_rows"]),
+        "n_shards": int(stats["n_shards"]),
+        "total_bytes": int(stats["total_bytes"]),
+        "resumed_shards": len(all_ids) - len(missing),
+        "n_chunks": len(chunks),
+        "final_run_id": rid,
+    }
 
 
 def _row_digest(data_cols: list[str]):

@@ -321,6 +321,43 @@ class Warehouse:
         self.spark.catalog.refreshByPath(p)
         return n
 
+    def adopt(self, layer: str, table: str, src_layer: str, src_table: str) -> int:
+        """Metadata-only publish: flip ``layer.table`` to a new version
+        whose data files are HARDLINKS of ``src_layer.src_table``'s
+        current version — no data is rewritten. This is how a staged
+        table (built incrementally across several commits) becomes the
+        served table in O(files) time: at 100 TB the final publish of a
+        resumable export is a directory of hardlinks plus one pointer
+        flip, not a second copy of the corpus. The source's partition
+        spec is carried over so later append/compact resolve the right
+        layout. Participates in the run journal like any write."""
+        sp = self.path(src_layer, src_table)
+        sv = self._current(sp)
+        if sv is None:
+            raise ValueError(
+                f"adopt: source table {src_layer}.{src_table} does not exist"
+            )
+        p = self.path(layer, table)
+        cur = self._current(p) or 0
+        v = cur + 1
+        vdir = self._vdir(p, v)
+        tmp = vdir + ".__tmp__"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        _link_tree(self._vdir(sp, sv), tmp)
+        if os.path.exists(vdir):
+            shutil.rmtree(vdir)
+        os.replace(tmp, vdir)
+        self._set_current(layer, table, v, pre=cur)
+        spec = self._partition_spec(src_layer, src_table)
+        _atomic_write(
+            os.path.join(p, "_PARTITION"), ",".join(spec) if spec else ""
+        )
+        self.spark.catalog.refreshByPath(vdir)
+        self.spark.catalog.refreshByPath(p)
+        return v
+
 # -- multi-table run transaction ----------------------------------------
 
     _META_FILES = ("meta/watermarks.json",)

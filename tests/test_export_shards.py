@@ -241,3 +241,98 @@ def test_rerun_keeps_checksums(spark, wh):
     assert sorted(
         tuple(r) for r in wh.read("export", "shard_checksums").collect()
     ) == before
+
+
+# -- resumable (chunked) export ------------------------------------------
+
+
+def _snapshot(wh):
+    shards = sorted(
+        tuple(r)
+        for r in wh.read("export", "training_shards")
+        .select("doc_id", "shuffle_pos", "start_offset", "shard_id")
+        .collect()
+    )
+    sums = sorted(tuple(r) for r in wh.read("export", "shard_checksums").collect())
+    man = tuple(wh.read("export", "export_manifest").collect()[0])
+    return shards, sums, man
+
+
+def test_resumable_matches_single_commit(spark, wh, tmp_path):
+    docs = _docs(spark)
+    res = export.export_shards(
+        wh, docs, run_id=1, size_col="n_bytes", target_bytes=TARGET,
+        checkpoint_every=4,
+    )
+    assert not res["skipped"] and res["resumed_shards"] == 0
+    wh2 = Warehouse(spark, str(tmp_path / "singlewh"))
+    export.export_shards(
+        wh2, docs, run_id=1, size_col="n_bytes", target_bytes=TARGET
+    )
+    assert _snapshot(wh) == _snapshot(wh2)
+    # the publish is a hardlink swap, not a data rewrite: every served
+    # parquet file shares an inode with its staged twin
+    sp = wh.path("export", "staging_shards")
+    pp = wh.path("export", "training_shards")
+    staged_inodes = {
+        os.stat(os.path.join(r, f)).st_ino
+        for r, _d, fs in os.walk(wh._vdir(sp, wh._current(sp)))
+        for f in fs if f.endswith(".parquet")
+    }
+    for r, _d, fs in os.walk(wh._vdir(pp, wh._current(pp))):
+        for f in fs:
+            if f.endswith(".parquet"):
+                assert os.stat(os.path.join(r, f)).st_ino in staged_inodes
+
+
+def test_crash_resume_writes_only_missing_shards(spark, wh, tmp_path):
+    docs = _docs(spark)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        export.export_shards(
+            wh, docs, run_id=10, size_col="n_bytes", target_bytes=TARGET,
+            checkpoint_every=3, _fail_before_commit_chunk=2,
+        )
+    # readers never saw a partial export: the served table doesn't exist
+    assert wh.read("export", "training_shards") is None
+    wh.recover()
+    # chunk 1 committed durably; the crashed chunk 2 rolled back
+    done = wh.read("export", "staging_progress").collect()
+    assert len(done) == 3
+    res = export.export_shards(
+        wh, docs, run_id=20, size_col="n_bytes", target_bytes=TARGET,
+        checkpoint_every=3,
+    )
+    assert res["resumed_shards"] == 3
+    # final state byte-identical to an uninterrupted single-commit run
+    wh2 = Warehouse(spark, str(tmp_path / "uninterrupted"))
+    export.export_shards(
+        wh2, docs, run_id=1, size_col="n_bytes", target_bytes=TARGET
+    )
+    assert _snapshot(wh) == _snapshot(wh2)
+    assert export.verify_export(wh, "n_bytes", docs.columns).count() == 0
+
+
+def test_stale_staging_from_changed_corpus_is_discarded(spark, wh):
+    docs_a = _docs(spark)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        export.export_shards(
+            wh, docs_a, run_id=10, size_col="n_bytes", target_bytes=TARGET,
+            checkpoint_every=3, _fail_before_commit_chunk=2,
+        )
+    wh.recover()
+    # corpus changed between crash and resume: same ids/sizes, new text
+    docs_b = docs_a.withColumn(
+        "text", F.concat(F.lit("B"), F.expr("substring(text, 2)"))
+    )
+    res = export.export_shards(
+        wh, docs_b, run_id=20, size_col="n_bytes", target_bytes=TARGET,
+        checkpoint_every=3,
+    )
+    # nothing from the stale attempt was trusted
+    assert res["resumed_shards"] == 0 and not res["skipped"]
+    assert export.verify_export(wh, "n_bytes", docs_b.columns).count() == 0
+    texts = {
+        r["text"][:1]
+        for r in wh.read("export", "training_shards").select("text").collect()
+    }
+    assert texts == {"B"}
