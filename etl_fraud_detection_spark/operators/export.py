@@ -122,6 +122,7 @@ def export_shards(
     key_col: str = "doc_id",
     target_bytes: int = 1 << 20,
     checkpoint_every: int | None = None,
+    own_run: bool = True,
     _fail_before_commit_chunk: int | None = None,
 ) -> dict:
     """Export ``df`` as sized training shards. Returns
@@ -141,7 +142,11 @@ def export_shards(
     the end). Per-shard completion is persisted in
     ``staging_progress`` keyed by the content token; a resume under a
     DIFFERENT token (input changed since the crash) discards the stale
-    staging and starts over."""
+    staging and starts over.
+
+    ``own_run=False`` skips begin_run/commit_run so the export can ride
+    a LARGER transaction (the one-commit corpus build,
+    operators/corpus_build.py); the caller owns the commit."""
     token = _content_token(df, size_col, key_col, target_bytes)
     man = wh.read(LAYER, T_MANIFEST)
     # the skip path requires the FULL committed table set: an export
@@ -158,12 +163,18 @@ def export_shards(
                 "total_bytes": prev["total_bytes"],
             }
     if checkpoint_every is not None:
+        if not own_run:
+            raise ValueError(
+                "checkpoint_every requires own_run=True: the resumable "
+                "path's durability IS its per-chunk commits"
+            )
         return _export_resumable(
             wh, df, run_id, token, size_col, key_col, target_bytes,
             checkpoint_every, _fail_before_commit_chunk,
         )
     assigned = shard_assignments(df, size_col, key_col, target_bytes)
-    wh.begin_run(run_id)
+    if own_run:
+        wh.begin_run(run_id)
     # repartition BY shard: each shard's rows land in one task, so each
     # shard directory holds exactly one data file of ~target_bytes
     wh.overwrite(
@@ -189,7 +200,8 @@ def export_shards(
         "token string, n_rows long, n_shards long, total_bytes long",
     )
     wh.overwrite(LAYER, T_MANIFEST, manifest)
-    wh.commit_run(run_id)
+    if own_run:
+        wh.commit_run(run_id)
     release_ranked()
     return {
         "skipped": False,

@@ -53,15 +53,23 @@ _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in text.STOPWORDS) + ")"
 
 _TOKS = "SELECT doc_id, text, lang, string_split(text, ' ') AS toks FROM documents"
 
-_SHINGLES = f"""
+def _shingles(src: str = "documents") -> str:
+    """The word-3-gram shingle CTE, parameterized on the source
+    relation so composed pipelines (q_corpus_pipeline_full) can run
+    the SAME near-dup oracle over a derived corpus CTE instead of the
+    base table."""
+    return f"""
     sh AS (
         SELECT doc_id,
                unnest(list_distinct(list_transform(range(1, len(toks) - 1),
                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
-        FROM ({_TOKS})
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {src})
         WHERE len(toks) >= 3
     )
 """
+
+
+_SHINGLES = _shingles()
 
 _JACCARD_TAIL = """
     cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -247,7 +255,7 @@ def _minhash_sig_ctes() -> str:
         sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)"""
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(src: str = "documents") -> str:
     nh, bands = dedup.NUM_HASHES, dedup.BANDS
     rows = nh // bands
     band_selects = "\n        UNION ALL ".join(
@@ -257,7 +265,7 @@ def _minhash_oracle() -> str:
     )
     cand_join = "JOIN cand ON cand.a = x.doc_id AND cand.b = y.doc_id"
     return (
-        f"WITH {_SHINGLES},\n"
+        f"WITH {_shingles(src)},\n"
         f"""{_minhash_sig_ctes()},
         banded AS ({band_selects}),
         cand AS (
@@ -405,17 +413,17 @@ def _simhash_oracle() -> str:
     """
 
 
-def _clusters_oracle() -> str:
+def _clusters_oracle(src: str = "documents") -> str:
     # Edges come from the MinHash+LSH candidate semantics (bucketed
     # band join + exact-Jaccard verify) — the same generator the Spark
     # operator defaults to, because the all-pairs co-shingle join is
     # the one shape that cannot survive 100 TB.
-    pairs_sql = _minhash_oracle()
+    pairs_sql = _minhash_oracle(src)
     return f"""
     WITH RECURSIVE pairs AS (SELECT a, b FROM ({pairs_sql})),
     edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
     reach(doc_id, r) AS (
-        SELECT doc_id, doc_id FROM documents
+        SELECT doc_id, doc_id FROM {src}
         UNION
         SELECT re.doc_id, e.b FROM reach re JOIN edges e ON re.r = e.a
     )
@@ -4664,7 +4672,9 @@ def q_stream_rule4(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _docs_as_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_as_html(
+    spark: SparkSession, sf_dir: str, with_pii: bool = False
+) -> DataFrame:
     """Deterministic crawl fixture built IN-PLAN from the documents
     table (TESTDATA.md ships born-clean text, so the markup stage is
     reconstructed reversibly): each doc wrapped in a full page — head
@@ -4676,7 +4686,20 @@ def _docs_as_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract the extraction queries verify against."""
     docs = _t(spark, sf_dir, "documents")
     title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
-    esc = F.col("text")
+    body = F.col("text")
+    if with_pii:
+        # raw pages carrying PII (same injection as q_corpus_pipeline,
+        # here into the page BEFORE markup so the crawl fixture is the
+        # thing that contains it); no HTML-escapable chars in the suffix
+        body = F.concat(
+            body,
+            F.lit(" u"), F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0.0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" card 4111-1111-1111-1111"))
+            .otherwise(F.lit(" tel 555-123-4567")),
+        )
+    esc = body
     for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
         esc = F.replace(esc, F.lit(raw), F.lit(ent))
     h1 = F.when(
@@ -4827,18 +4850,18 @@ def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _survivors_oracle() -> str:
+def _survivors_oracle(src: str = "documents", size_sql: str = "d.n_chars") -> str:
     # clusters = the recursive-CTE closure over the SAME LSH-verified
     # pair semantics as q_dedup_clusters; survivors extend it with the
     # keep-longest argmax.
     return f"""
     SELECT cluster_id, doc_id AS kept_id, kept_n_chars, n_members FROM (
         SELECT l.cluster_id, l.doc_id,
-               CAST(d.n_chars AS BIGINT) AS kept_n_chars,
+               CAST({size_sql} AS BIGINT) AS kept_n_chars,
                row_number() OVER (PARTITION BY l.cluster_id
-                                  ORDER BY d.n_chars DESC, l.doc_id) AS rk,
+                                  ORDER BY {size_sql} DESC, l.doc_id) AS rk,
                count(*) OVER (PARTITION BY l.cluster_id) AS n_members
-        FROM ({_clusters_oracle()}) l JOIN documents d USING (doc_id)
+        FROM ({_clusters_oracle(src)}) l JOIN {src} d USING (doc_id)
     ) WHERE rk = 1
     """
 
@@ -5455,3 +5478,125 @@ def q_multimodal_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import media_cluster_survivors
 
     return media_cluster_survivors(_media_df(spark))
+
+
+# ---------------------------------------------------------------------------
+# Round 7: the full raw->shards corpus build as ONE pipeline / ONE commit
+# ---------------------------------------------------------------------------
+
+
+def _full_pipeline_oracle() -> str:
+    """Closed-form replay of every relational stage of build_corpus:
+    extraction (torn %7 pages quarantined; clean body round-trips to
+    text+PII suffix), quality gate, PII redaction chain, exact dedup,
+    LSH near-dup survivors (the parameterized _survivors_oracle over
+    the derived corpus CTE), frozen 90/5/5 split, and the train
+    split's md5-order token-cumsum shard assignment."""
+    steps, prev = [], "t0"
+    for i, (label, pat) in enumerate(text.PII_PATTERNS, start=1):
+        steps.append(
+            f"s{i} AS (SELECT doc_id, regexp_replace({prev}, '{pat}', '<{label}>', 'g') AS t{i} FROM s{i - 1})"
+        )
+        prev = f"t{i}"
+    n = len(text.PII_PATTERNS)
+    surv = _survivors_oracle(src="uniq", size_sql="length(d.text)")
+    return f"""
+    WITH raw AS (
+        SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text
+        FROM documents WHERE doc_id % 7 <> 0
+    ),
+    tk AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM raw),
+    st AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                   / length(text) AS punct_ratio,
+               CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)
+                   / len(toks) AS stopword_ratio,
+               CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_tok_len
+        FROM tk
+    ),
+    s0 AS (
+        SELECT tk.doc_id, tk.text AS t0 FROM tk JOIN st ON tk.doc_id = st.doc_id
+        WHERE NOT (n_tokens < 5 OR n_tokens > 500 OR punct_ratio > 0.10
+                   OR stopword_ratio < 0.01
+                   OR mean_tok_len < 2.0 OR mean_tok_len > 12.0)
+    ),
+    {", ".join(steps)},
+    uniq AS (
+        SELECT doc_id, t{n} AS text FROM (
+            SELECT *, row_number() OVER (PARTITION BY md5(t{n}) ORDER BY doc_id) AS rn
+            FROM s{n}
+        ) WHERE rn = 1
+    ),
+    surv AS ({surv}),
+    enr AS (
+        SELECT s.kept_id AS doc_id, u.text, s.cluster_id, s.n_members,
+               ('0x' || substr(md5(CAST(s.kept_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        FROM surv s JOIN uniq u ON u.doc_id = s.kept_id
+    ),
+    tok AS (
+        SELECT doc_id, cluster_id, n_members,
+               CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(len(regexp_extract_all(text, '{text.BPE_ISH_RE}')) AS BIGINT) AS n_bpe_tokens
+        FROM enr
+    ),
+    train AS (
+        SELECT doc_id,
+               sum(n_bpe_tokens) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)))
+                   - n_bpe_tokens AS start_off
+        FROM tok WHERE split = 'train'
+    )
+    SELECT t.doc_id, t.cluster_id, t.n_members, t.split, t.n_bpe_tokens,
+           CAST(tr.start_off AS BIGINT) AS start_offset,
+           CAST(floor(tr.start_off / 2048) AS BIGINT) AS shard_id
+    FROM tok t LEFT JOIN train tr ON t.doc_id = tr.doc_id
+    """
+
+
+@query("q_corpus_pipeline_full", oracle=_full_pipeline_oracle())
+def q_corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus build, raw crawl to training shards, under
+    ONE atomic commit (operators/corpus_build.py): torn HTML pages
+    (every 7th) quarantine in-plan; clean bodies pass the inline
+    quality gate; PII redacts to typed tokens; exact + LSH near-dup
+    dedup picks one survivor per cluster; the frozen md5 holdout
+    splits AFTER survivor selection; and the train split exports as
+    token-budgeted shards. The returned frame is read back from the
+    COMMITTED warehouse tables — survivors joined to their shard
+    assignments — so the oracle verifies what a training job would
+    actually mount, not an in-flight plan."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators import corpus_build
+    from ..pipeline import Warehouse
+
+    pages = _docs_as_html(spark, sf_dir, with_pii=True)
+    torn = pages.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 7) == 0,
+            F.expr(
+                "substring(html, 1, CAST(floor(length(html) * 2 / 3) AS INT))"
+            ),
+        ).otherwise(F.col("html")).alias("html"),
+    )
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:corpusfull_v1".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_corpusfull_{tag}")
+    wh = Warehouse(spark, root)
+    corpus_build.build_corpus(wh, torn, run_id=1, tau=0.8, target_tokens=2048)
+    surv = wh.read("corpus", "survivors")
+    shards = wh.read("export", "training_shards").select(
+        "doc_id", "start_offset", "shard_id"
+    )
+    return surv.join(shards, "doc_id", "left").select(
+        "doc_id", "cluster_id", "n_members", "split", "n_bpe_tokens",
+        "start_offset", "shard_id",
+    )
