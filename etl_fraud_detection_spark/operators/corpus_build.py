@@ -64,9 +64,17 @@ def build_corpus(
     counts. Re-running over unchanged input rewrites the (small)
     survivor/quarantine tables but skips the shard export via its
     content token."""
+    from .dedup import _PERSISTED_SHINGLES
+
+    # the extraction is the one Python (Arrow) boundary in the whole
+    # build; downstream stages fire many actions (label-propagation
+    # rounds, table writes, the export token aggregate), so persist it
+    # or every action re-parses the raw corpus. Registered with the
+    # dedup release list (bench/check_oracle unpersist after each query).
     ext = extraction.html_extract(
         pages, html_col=html_col, id_cols=(id_col,), on_error="quarantine"
-    )
+    ).persist()
+    _PERSISTED_SHINGLES.append(ext)
     quarantine = ext.where(F.col("_error").isNotNull()).select(id_col, "_error")
     clean = ext.where(F.col("_error").isNull())
     # the BODY is the clean text minus the title line html_extract
@@ -85,7 +93,10 @@ def build_corpus(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
-    sized = uniq.withColumn("n_chars", F.length("text").cast("long"))
+    # post-redaction corpus feeds clusters, the survivor join, the
+    # split and the export token — one materialization, many consumers
+    sized = uniq.withColumn("n_chars", F.length("text").cast("long")).persist()
+    _PERSISTED_SHINGLES.append(sized)
     surv = dedup.cluster_survivors(sized, tau=tau)
     survdocs = (
         surv.join(sized, surv["kept_id"] == sized["doc_id"])
@@ -100,16 +111,12 @@ def build_corpus(
     train = survdocs.where(F.col("split") == "train")
 
     wh.begin_run(run_id)
-    wh.overwrite(LAYER, T_QUARANTINE, quarantine)
-    wh.overwrite(LAYER, T_SURVIVORS, survdocs)
+    n_quarantined = wh.overwrite(LAYER, T_QUARANTINE, quarantine)
+    n_survivors = wh.overwrite(LAYER, T_SURVIVORS, survdocs)
     res = export.export_shards(
         wh, train, run_id,
         size_col="n_bpe_tokens", key_col="doc_id",
         target_bytes=target_tokens, own_run=False,
     )
     wh.commit_run(run_id)
-    counts = {
-        "n_quarantined": wh.read(LAYER, T_QUARANTINE).count(),
-        "n_survivors": wh.read(LAYER, T_SURVIVORS).count(),
-    }
-    return {**res, **counts}
+    return {**res, "n_quarantined": n_quarantined, "n_survivors": n_survivors}

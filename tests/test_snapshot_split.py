@@ -279,6 +279,36 @@ class TestHammingNearDup:
         }
         assert want <= got
 
+    def test_exact_collapse_pair_set_unchanged(self, spark):
+        """Duplicate-saturated corpus: every hash present in several
+        copies. The collapsed plan (default) must emit the EXACT pair
+        set of the uncollapsed plan — within-group dist 0, cross-group
+        the representative distance."""
+        from etl_fraud_detection_spark.operators import multimodal
+
+        base = 0x5A5A_1234_ABCD_0F0F
+        rows = []
+        for g, h in ((0, base), (1, base ^ (1 << 7)), (2, ~base)):
+            for c in range(3):  # 3 hash-identical copies per group
+                rows.append((g * 10 + c, h if h < 1 << 63 else h - (1 << 64)))
+        rows.append((99, None))  # undecodable: excluded in both plans
+        df = spark.createDataFrame(rows, "media_id long, ahash long")
+        kw = dict(max_dist=3, bands=4)
+        fast = {
+            (r["a"], r["b"]): r["dist"]
+            for r in multimodal.hamming_near_dup_pairs(df, **kw).collect()
+        }
+        slow = {
+            (r["a"], r["b"]): r["dist"]
+            for r in multimodal.hamming_near_dup_pairs(
+                df, collapse_exact=False, **kw
+            ).collect()
+        }
+        assert fast == slow
+        # groups 0/1 are dist-1 near-dups: all 6x within + 9 cross pairs
+        assert sum(1 for d in fast.values() if d == 0) == 9
+        assert sum(1 for d in fast.values() if d == 1) == 9
+
 
 class TestAudioFingerprint:
     def test_ehash_scale_invariant_and_edits_local(self):

@@ -75,6 +75,10 @@ PROBES = [
     "q_split_holdout",
     "q_corpus_diff",
     "q_html_extract",
+    # round-7: the one-commit raw->shards composition (its warehouse is
+    # keyed per source version, so run 1 measures the full build and
+    # later runs the steady-state refresh with the export token-skip)
+    "q_corpus_pipeline_full",
 ]
 
 _STREAM_VIEWS = (
