@@ -57,13 +57,20 @@ def build_corpus(
     target_tokens: int = 2048,
     html_col: str = "html",
     id_col: str = "doc_id",
+    with_ledger: bool = False,
 ) -> dict:
     """Run the full raw->shards pipeline over ``pages`` (``id_col``,
     ``html_col``) and commit every resulting table atomically under
     ``run_id``. Returns the export stats dict plus survivor/quarantine
     counts. Re-running over unchanged input rewrites the (small)
     survivor/quarantine tables but skips the shard export via its
-    content token."""
+    content token.
+
+    ``with_ledger=True`` additionally seeds the persisted near-dup
+    band index (operators/dedup_index) from the survivor corpus inside
+    the SAME commit — the prerequisite for incremental admission
+    (:func:`admit_corpus_batch`), which probes that ledger instead of
+    re-clustering the corpus per batch."""
     from .dedup import _PERSISTED_SHINGLES
 
     # the extraction is the one Python (Arrow) boundary in the whole
@@ -102,7 +109,11 @@ def build_corpus(
         surv.join(sized, surv["kept_id"] == sized["doc_id"])
         .select(
             F.col("kept_id").alias("doc_id"),
-            "text", "cluster_id", "n_members",
+            "text",
+            # stored fingerprint: what incremental admission probes for
+            # exact-dup rejection without rescanning survivor text
+            F.md5("text").alias("fp"),
+            "cluster_id", "n_members",
         )
     )
     survdocs = sampling.holdout_split(survdocs, "doc_id").withColumn(
@@ -113,6 +124,16 @@ def build_corpus(
     wh.begin_run(run_id)
     n_quarantined = wh.overwrite(LAYER, T_QUARANTINE, quarantine)
     n_survivors = wh.overwrite(LAYER, T_SURVIVORS, survdocs)
+    if with_ledger:
+        from . import dedup_index
+
+        fps = dedup_index._fps(survdocs.select("doc_id", "text")).persist()
+        _PERSISTED_SHINGLES.append(fps)
+        wh.overwrite(dedup_index.LAYER, dedup_index.T_SHINGLES, fps)
+        wh.overwrite(
+            dedup_index.LAYER, dedup_index.T_BANDS,
+            dedup_index._bands_of(fps, dedup_index.NUM_HASHES, dedup_index.BANDS),
+        )
     res = export.export_shards(
         wh, train, run_id,
         size_col="n_bpe_tokens", key_col="doc_id",
@@ -120,3 +141,253 @@ def build_corpus(
     )
     wh.commit_run(run_id)
     return {**res, "n_quarantined": n_quarantined, "n_survivors": n_survivors}
+
+
+T_ADMISSIONS = "admissions"
+
+
+def _admission(
+    wh,
+    pages: DataFrame,
+    tau: float,
+    html_col: str,
+    id_col: str,
+):
+    """Shared core of the admission paths: extract/gate/redact the
+    batch, then stage the rejection cascade against the COMMITTED
+    corpus — intra-batch exact dup, stored-fingerprint exact dup,
+    band-ledger near dup (dedup_index.ingest, read-only). Returns
+    (verdicts, admitted_docs): verdicts covers EVERY batch page with
+    (doc_id, status, dup_of); admitted_docs is (doc_id, text, fp) for
+    the docs that passed everything. All heavy intermediates register
+    with the shared release list; nothing is written."""
+    from . import dedup_index
+    from .dedup import _PERSISTED_SHINGLES
+
+    surv = wh.read(LAYER, T_SURVIVORS)
+    if surv is None:
+        raise ValueError(
+            "no committed corpus to admit into: run "
+            "build_corpus(..., with_ledger=True) first"
+        )
+    # corpus-level replay guard FIRST (the dedup_index twin of it only
+    # covers the ledger): a batch doc whose id is already a survivor
+    # was admitted by an earlier — possibly crashed-after-commit — run;
+    # it idempotently reports admitted and skips the whole cascade
+    # (including the extraction), and is never re-appended
+    ids = pages.select(F.col(id_col).alias("doc_id"))
+    replayed = ids.join(surv.select("doc_id"), "doc_id", "left_semi")
+    pages = pages.join(
+        surv.select(F.col("doc_id").alias(id_col)), [id_col], "left_anti"
+    )
+    ext = extraction.html_extract(
+        pages, html_col=html_col, id_cols=(id_col,), on_error="quarantine"
+    ).persist()
+    _PERSISTED_SHINGLES.append(ext)
+    quarantined = ext.where(F.col("_error").isNotNull()).select(
+        F.col(id_col).alias("doc_id")
+    )
+    body = F.expr("substring(clean_text, length(title) + 2)")
+    docs = ext.where(F.col("_error").isNull()).select(
+        F.col(id_col).alias("doc_id"), body.alias("text")
+    )
+    kept = docs.where(text.quality_keep())
+    gated = docs.join(kept.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id"
+    )
+    red = text.with_pii_redaction(kept).select(
+        "doc_id",
+        F.col("redacted").alias("text"),
+        F.md5("redacted").alias("fp"),
+    )
+    w_fp = Window.partitionBy("fp")
+    red = red.withColumn("_first", F.min("doc_id").over(w_fp)).persist()
+    _PERSISTED_SHINGLES.append(red)
+    intra = red.where(F.col("doc_id") != F.col("_first")).select(
+        "doc_id", F.col("_first").alias("dup_of")
+    )
+    cand = red.where(F.col("doc_id") == F.col("_first")).select(
+        "doc_id", "text", "fp"
+    )
+    stored = (
+        cand.join(
+            surv.select("fp", F.col("doc_id").alias("sv_id")), "fp"
+        )
+        .groupBy("doc_id")
+        .agg(F.min("sv_id").alias("dup_of"))
+    )
+    fresh = cand.join(stored.select("doc_id"), "doc_id", "left_anti")
+    near = dedup_index.ingest(
+        wh, fresh.select("doc_id", "text"), tau=tau, commit=False
+    )
+
+    def tag(df: DataFrame, status: str, with_dup: bool = False) -> DataFrame:
+        dup = F.col("dup_of") if with_dup else F.lit(None).cast("long")
+        return df.select(
+            "doc_id", F.lit(status).alias("status"), dup.alias("dup_of")
+        )
+
+    verdicts = (
+        tag(replayed, "admitted")
+        .unionByName(tag(quarantined, "quarantined"))
+        .unionByName(tag(gated, "gated"))
+        .unionByName(tag(intra, "exact_dup", True))
+        .unionByName(tag(stored, "exact_dup", True))
+        .unionByName(tag(near.where(~F.col("admitted")), "near_dup", True))
+        .unionByName(tag(near.where(F.col("admitted")), "admitted"))
+    )
+    admitted_docs = fresh.join(
+        near.where(F.col("admitted")).select("doc_id"), "doc_id", "left_semi"
+    )
+    return verdicts, admitted_docs
+
+
+def admission_verdicts(
+    wh,
+    pages: DataFrame,
+    tau: float = 0.8,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """READ-ONLY admission preview: the verdict for every page of a
+    crawl batch against the committed corpus — (doc_id, status,
+    dup_of) with status quarantined / gated / exact_dup / near_dup /
+    admitted. Probes the stored survivor fingerprints and the
+    persisted band ledger; writes nothing, so it is deterministic
+    under repetition (the catalog query q_corpus_admit). The
+    committing path is :func:`admit_corpus_batch`."""
+    return _admission(wh, pages, tau, html_col, id_col)[0]
+
+
+def admit_corpus_batch(
+    wh,
+    pages: DataFrame,
+    run_id: int,
+    tau: float = 0.8,
+    target_tokens: int = 2048,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> dict:
+    """Incrementally ADMIT a crawl batch into the committed corpus —
+    the daily path at 100 TB, where re-running build_corpus over the
+    whole crawl is not an option. Batch cost scales with the batch:
+    extraction/gate/redaction are map-only over the batch, the exact
+    check probes stored fingerprints, the near-dup check is the
+    batch×ledger band probe (never batch×batch, never corpus²), and
+    the export appends ONLY the new shards.
+
+    Everything the batch adds rides ONE atomic commit, mirroring the
+    reference's per-run transaction discipline (etl.py:190-199's
+    watermark increment + database.py:34-40's single commit):
+    survivors append, band-ledger growth (nd_shingles/nd_bands),
+    new training shards + their checksum rows + a batch manifest row,
+    and the per-doc admission audit (``corpus.admissions``).
+
+    Appended shard ids continue after the stored maximum and
+    ``shuffle_pos`` continues the global permutation; ``start_offset``
+    restarts per batch (byte offsets are shard-local state for a
+    loader, not a global cumsum, once a corpus grows incrementally).
+
+    IDEMPOTENT on replay: batch docs already present in the ledger
+    report admitted (dedup_index's replay guard) and a batch that
+    admits nothing commits nothing."""
+    from . import dedup_index
+
+    verdicts, admitted = _admission(wh, pages, tau, html_col, id_col)
+    # freeze both BEFORE any table grows: the verdicts must describe
+    # the pre-batch corpus even after the ledger/survivors appends
+    verdicts = verdicts.localCheckpoint()
+    admitted = admitted.localCheckpoint()
+    from .dedup import release_shingles
+
+    release_shingles()
+    # replay guard at the corpus level: docs already in survivors were
+    # admitted by an earlier (possibly crashed-after-commit) run
+    already = admitted.join(
+        wh.read(LAYER, T_SURVIVORS).select("doc_id"), "doc_id", "left_semi"
+    )
+    new = admitted.join(already, "doc_id", "left_anti")
+    n_new = new.count()
+    if n_new == 0:
+        # nothing to admit (all-rejected batch, or a full replay):
+        # survivors/ledger/shards stay untouched — only the audit log
+        # records the batch (append-only event log keyed by run_id)
+        wh.begin_run(run_id)
+        wh.append(
+            LAYER, T_ADMISSIONS,
+            verdicts.withColumn("run_id", F.lit(run_id).cast("long")),
+        )
+        wh.commit_run(run_id)
+        return {"n_admitted": 0, "n_new_shards": 0, "committed": False,
+                "run_id": run_id}
+    enriched = sampling.holdout_split(
+        new.select(
+            "doc_id", "text", "fp",
+            # admitted docs matched no cluster: they are new singletons
+            F.col("doc_id").alias("cluster_id"),
+            F.lit(1).cast("long").alias("n_members"),
+        ),
+        "doc_id",
+    ).withColumn(
+        "n_bpe_tokens", text.bpe_ish_token_count("text").cast("long")
+    )
+    train = enriched.where(F.col("split") == "train")
+    offs = wh.read(export.LAYER, export.T_SHARDS).select(
+        F.max("shard_id").alias("ms"), F.max("shuffle_pos").alias("mp")
+    ).collect()[0]
+    assigned = export.shard_assignments(
+        train, size_col="n_bpe_tokens", key_col="doc_id",
+        target_bytes=target_tokens,
+    ).select(
+        *train.columns,
+        (F.col("shuffle_pos") + F.lit(int(offs["mp"]))).alias("shuffle_pos"),
+        "start_offset",
+        (F.col("shard_id") + F.lit(int(offs["ms"]) + 1)).alias("shard_id"),
+    )
+
+    wh.begin_run(run_id)
+    wh.append(LAYER, T_SURVIVORS, enriched)
+    fps = dedup_index._fps(new.select("doc_id", "text")).persist()
+    wh.append(dedup_index.LAYER, dedup_index.T_SHINGLES, fps)
+    wh.append(
+        dedup_index.LAYER, dedup_index.T_BANDS,
+        dedup_index._bands_of(fps, dedup_index.NUM_HASHES, dedup_index.BANDS),
+    )
+    wh.append(
+        export.LAYER, export.T_SHARDS, assigned.repartition("shard_id")
+    )
+    newly = wh.read(export.LAYER, export.T_SHARDS).where(
+        F.col("shard_id") > int(offs["ms"])
+    )
+    wh.append(
+        export.LAYER, export.T_CHECKSUMS,
+        export.shard_checksums(newly, "n_bpe_tokens", train.columns),
+    )
+    batch_token = export._content_token(
+        train, "n_bpe_tokens", "doc_id", target_tokens
+    )
+    stats = newly.select(
+        F.count("*").alias("n"),
+        F.countDistinct("shard_id").alias("s"),
+        F.sum("n_bpe_tokens").cast("long").alias("b"),
+    ).collect()[0]
+    wh.append(
+        export.LAYER, export.T_MANIFEST,
+        pages.sparkSession.createDataFrame(
+            [(batch_token, int(stats["n"]), int(stats["s"]), int(stats["b"]))],
+            "token string, n_rows long, n_shards long, total_bytes long",
+        ),
+    )
+    wh.append(
+        LAYER, T_ADMISSIONS,
+        verdicts.withColumn("run_id", F.lit(run_id).cast("long")),
+    )
+    wh.commit_run(run_id)
+    fps.unpersist()
+    export.release_ranked()
+    return {
+        "n_admitted": n_new,
+        "n_new_shards": int(stats["s"]),
+        "committed": True,
+        "run_id": run_id,
+    }

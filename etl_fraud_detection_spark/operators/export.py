@@ -153,8 +153,12 @@ def export_shards(
     # written by an older layout (token present, shard_checksums
     # absent) must re-export, not resume into a partial schema
     if man is not None and wh.read(LAYER, T_CHECKSUMS) is not None:
-        prev = man.collect()[0]
-        if prev["token"] == token:
+        # token-keyed lookup, not collect()[0]: incremental admission
+        # (corpus_build.admit_corpus_batch) APPENDS one manifest row
+        # per batch, so the table may hold several
+        match = man.where(F.col("token") == F.lit(token)).collect()
+        if match:
+            prev = match[0]
             return {
                 "skipped": True,
                 "token": token,

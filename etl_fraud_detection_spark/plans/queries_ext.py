@@ -285,7 +285,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), tau=0.8)
 
 
-def _minhash_incr_oracle() -> str:
+def _minhash_incr_oracle(src: str = "documents") -> str:
     nh, bands = dedup.NUM_HASHES, dedup.BANDS
     rows = nh // bands
     band_selects = "\n        UNION ALL ".join(
@@ -294,7 +294,7 @@ def _minhash_incr_oracle() -> str:
         for b in range(bands)
     )
     return (
-        f"WITH {_SHINGLES},\n"
+        f"WITH {_shingles(src)},\n"
         f"""{_minhash_sig_ctes()},
         banded AS ({band_selects}),
         cand AS (
@@ -5485,28 +5485,27 @@ def q_multimodal_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _full_pipeline_oracle() -> str:
-    """Closed-form replay of every relational stage of build_corpus:
-    extraction (torn %7 pages quarantined; clean body round-trips to
-    text+PII suffix), quality gate, PII redaction chain, exact dedup,
-    LSH near-dup survivors (the parameterized _survivors_oracle over
-    the derived corpus CTE), frozen 90/5/5 split, and the train
-    split's md5-order token-cumsum shard assignment."""
+def _clean_corpus_ctes(p: str, where: str = "TRUE") -> str:
+    """CTE chain ``<p>raw`` -> ``<p>uniq`` replaying build_corpus's
+    relational stages over ``documents`` rows matching ``where``:
+    extraction survivors (torn %7 pages quarantined; clean body
+    round-trips to text + PII suffix), quality gate, PII redaction
+    chain, intra-set exact dedup. Every CTE name carries the prefix so
+    two corpora (admission ledger + batch) can coexist in one oracle."""
     steps, prev = [], "t0"
     for i, (label, pat) in enumerate(text.PII_PATTERNS, start=1):
         steps.append(
-            f"s{i} AS (SELECT doc_id, regexp_replace({prev}, '{pat}', '<{label}>', 'g') AS t{i} FROM s{i - 1})"
+            f"{p}s{i} AS (SELECT doc_id, regexp_replace({prev}, '{pat}', '<{label}>', 'g') AS t{i} FROM {p}s{i - 1})"
         )
         prev = f"t{i}"
     n = len(text.PII_PATTERNS)
-    surv = _survivors_oracle(src="uniq", size_sql="length(d.text)")
     return f"""
-    WITH raw AS (
+    {p}raw AS (
         SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text
-        FROM documents WHERE doc_id % 7 <> 0
+        FROM documents WHERE doc_id % 7 <> 0 AND ({where})
     ),
-    tk AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM raw),
-    st AS (
+    {p}tk AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM {p}raw),
+    {p}st AS (
         SELECT doc_id,
                len(toks) AS n_tokens,
                CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
@@ -5514,21 +5513,50 @@ def _full_pipeline_oracle() -> str:
                CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)
                    / len(toks) AS stopword_ratio,
                CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_tok_len
-        FROM tk
+        FROM {p}tk
     ),
-    s0 AS (
-        SELECT tk.doc_id, tk.text AS t0 FROM tk JOIN st ON tk.doc_id = st.doc_id
+    {p}s0 AS (
+        SELECT {p}tk.doc_id, {p}tk.text AS t0
+        FROM {p}tk JOIN {p}st ON {p}tk.doc_id = {p}st.doc_id
         WHERE NOT (n_tokens < 5 OR n_tokens > 500 OR punct_ratio > 0.10
                    OR stopword_ratio < 0.01
                    OR mean_tok_len < 2.0 OR mean_tok_len > 12.0)
     ),
     {", ".join(steps)},
-    uniq AS (
+    {p}uniq AS (
         SELECT doc_id, t{n} AS text FROM (
             SELECT *, row_number() OVER (PARTITION BY md5(t{n}) ORDER BY doc_id) AS rn
-            FROM s{n}
+            FROM {p}s{n}
         ) WHERE rn = 1
-    ),
+    )"""
+
+
+def _torn_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-crawl fixture shared by the corpus build/admission
+    queries: PII-bearing HTML pages with every 7th torn (truncated to
+    2/3 — tags left open at EOF, so extraction must quarantine it)."""
+    pages = _docs_as_html(spark, sf_dir, with_pii=True)
+    return pages.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 7) == 0,
+            F.expr(
+                "substring(html, 1, CAST(floor(length(html) * 2 / 3) AS INT))"
+            ),
+        ).otherwise(F.col("html")).alias("html"),
+    )
+
+
+def _full_pipeline_oracle() -> str:
+    """Closed-form replay of every relational stage of build_corpus:
+    extraction (torn %7 pages quarantined; clean body round-trips to
+    text+PII suffix), quality gate, PII redaction chain, exact dedup,
+    LSH near-dup survivors (the parameterized _survivors_oracle over
+    the derived corpus CTE), frozen 90/5/5 split, and the train
+    split's md5-order token-cumsum shard assignment."""
+    surv = _survivors_oracle(src="uniq", size_sql="length(d.text)")
+    return f"""
+    WITH {_clean_corpus_ctes("")},
     surv AS ({surv}),
     enr AS (
         SELECT s.kept_id AS doc_id, u.text, s.cluster_id, s.n_members,
@@ -5574,16 +5602,7 @@ def q_corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import corpus_build
     from ..pipeline import Warehouse
 
-    pages = _docs_as_html(spark, sf_dir, with_pii=True)
-    torn = pages.select(
-        "doc_id",
-        F.when(
-            (F.col("doc_id") % 7) == 0,
-            F.expr(
-                "substring(html, 1, CAST(floor(length(html) * 2 / 3) AS INT))"
-            ),
-        ).otherwise(F.col("html")).alias("html"),
-    )
+    torn = _torn_pages(spark, sf_dir)
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     tag = hashlib.md5(
@@ -5600,3 +5619,97 @@ def q_corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "cluster_id", "n_members", "split", "n_bpe_tokens",
         "start_offset", "shard_id",
     )
+
+
+def _admit_oracle() -> str:
+    """Closed-form replay of the admission cascade: ledger = the full
+    build over doc_id%10<>0 (clean chain + LSH survivors); batch =
+    doc_id%10=0 through the same clean chain; statuses by precedence
+    quarantined > gated > exact_dup(intra, then vs stored) > near_dup
+    (LSH batch x ledger verified at tau) > admitted."""
+    n = len(text.PII_PATTERNS)
+    surv = _survivors_oracle(src="luniq", size_sql="length(d.text)")
+    rejects = _minhash_incr_oracle(src="pool")
+    return f"""
+    WITH {_clean_corpus_ctes("l", "doc_id % 10 <> 0")},
+    lsurv AS ({surv}),
+    ledger AS (
+        SELECT u.doc_id, u.text FROM lsurv s JOIN luniq u ON u.doc_id = s.kept_id
+    ),
+    {_clean_corpus_ctes("b", "doc_id % 10 = 0")},
+    bgated AS (
+        SELECT doc_id FROM braw WHERE doc_id NOT IN (SELECT doc_id FROM bs0)
+    ),
+    bintra AS (
+        SELECT r.doc_id, u.doc_id AS dup_of
+        FROM (SELECT doc_id, md5(t{n}) AS fp FROM bs{n}) r
+        JOIN (SELECT doc_id, md5(text) AS fp FROM buniq) u USING (fp)
+        WHERE r.doc_id <> u.doc_id
+    ),
+    bstored AS (
+        SELECT b.doc_id, min(l.doc_id) AS dup_of
+        FROM buniq b JOIN ledger l ON md5(b.text) = md5(l.text)
+        GROUP BY b.doc_id
+    ),
+    pool AS (
+        SELECT doc_id, text FROM buniq
+        WHERE doc_id NOT IN (SELECT doc_id FROM bstored)
+        UNION ALL SELECT doc_id, text FROM ledger
+    ),
+    rejects AS ({rejects}),
+    bnear AS (SELECT a AS doc_id, min(b) AS dup_of FROM rejects GROUP BY a)
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 7 = 0 THEN 'quarantined'
+                WHEN g.doc_id IS NOT NULL THEN 'gated'
+                WHEN i.dup_of IS NOT NULL THEN 'exact_dup'
+                WHEN st.dup_of IS NOT NULL THEN 'exact_dup'
+                WHEN nn.dup_of IS NOT NULL THEN 'near_dup'
+                ELSE 'admitted' END AS status,
+           COALESCE(i.dup_of, st.dup_of, nn.dup_of) AS dup_of
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+    LEFT JOIN bgated g USING (doc_id)
+    LEFT JOIN bintra i USING (doc_id)
+    LEFT JOIN bstored st USING (doc_id)
+    LEFT JOIN bnear nn USING (doc_id)
+    """
+
+
+@query("q_corpus_admit", oracle=_admit_oracle())
+def q_corpus_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ADMISSION — the daily-crawl path: a new
+    batch (doc_id%10=0, torn pages included) is judged against the
+    COMMITTED corpus built once from the other 90%: quarantine and
+    quality-gate in-plan, exact dup against the batch itself then the
+    stored survivor fingerprints, near dup against the persisted band
+    LEDGER (dedup_index probe — batch x ledger, never batch x batch,
+    never a re-cluster of the corpus). Read-only preview verdicts here
+    (deterministic under repetition); the committing twin —
+    survivors/ledger/shards/audit appended under ONE commit — is
+    admit_corpus_batch, pinned in tests/test_corpus_build.py.
+    Reference analog: the watermark-incremental extract discipline of
+    etl.py:190-199 applied to corpus membership."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators import corpus_build
+    from ..pipeline import Warehouse
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:corpusadmit_v1".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_corpusadmit_{tag}")
+
+    def _build():
+        wh = Warehouse(spark, root)
+        pages = _torn_pages(spark, sf_dir).where(F.col("doc_id") % 10 != 0)
+        corpus_build.build_corpus(
+            wh, pages, run_id=1, tau=0.8, target_tokens=2048, with_ledger=True
+        )
+
+    _built_once(root, "corpus/survivors/_CURRENT", _build)
+    wh = Warehouse(spark, root)
+    batch = _torn_pages(spark, sf_dir).where(F.col("doc_id") % 10 == 0)
+    return corpus_build.admission_verdicts(wh, batch, tau=0.8)

@@ -71,8 +71,8 @@ def test_end_to_end_and_exactly_once(spark, wh):
     assert shard_ids == {r.doc_id for r in surv if r.split == "train"}
     assert export.verify_export(
         wh, "n_bpe_tokens",
-        ["doc_id", "text", "cluster_id", "n_members", "bucket", "split",
-         "n_bpe_tokens"],
+        ["doc_id", "text", "fp", "cluster_id", "n_members", "bucket",
+         "split", "n_bpe_tokens"],
     ).count() == 0
     # unchanged input: shard export skips via content token
     res2 = corpus_build.build_corpus(
@@ -126,3 +126,183 @@ def test_mid_pipeline_crash_leaves_no_partial_version(spark, wh, monkeypatch):
     assert not res["skipped"]
     assert wh.commits() == [1, 2]
     assert snap() != before
+
+
+# -- incremental admission (admit_corpus_batch) ----------------------------
+
+
+def _page(i, text, torn=False):
+    html = (
+        f"<html><head><title>Doc {i}</title></head><body>"
+        f"<h1>Doc {i}</h1><p>{text}</p></body></html>"
+    )
+    return (i, html[: len(html) * 2 // 3] if torn else html)
+
+
+def _batch_pages(spark):
+    """Admission batch covering every verdict: 200 fresh; 201 exact dup
+    of stored survivor 3; 202 near dup of stored 4; 203 gated; 204
+    torn; 205/206 intra-batch exact pair."""
+    corpus_text = lambda i: BASE + (
+        f" closing sentence {i} about topic {i * i} and item {i + 100}"
+    )
+    fresh = BASE + " a wholly new closing thought about item 9000"
+    rows = [
+        _page(200, fresh),
+        _page(201, corpus_text(3)),
+        _page(202, corpus_text(4) + " extra"),
+        _page(203, "tiny doc"),
+        _page(204, corpus_text(9), torn=True),
+        _page(205, BASE + " twin closing thought about item 9100"),
+        _page(206, BASE + " twin closing thought about item 9100"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, html string")
+
+
+@pytest.fixture()
+def corpus_wh(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "admitwh"))
+    corpus_build.build_corpus(
+        wh, _pages(spark), run_id=1, tau=0.8, target_tokens=64,
+        with_ledger=True,
+    )
+    return wh
+
+
+def test_admission_verdicts_and_one_commit(spark, corpus_wh):
+    wh = corpus_wh
+    batch = _batch_pages(spark)
+    shards_before = wh.read("export", "training_shards").count()
+    surv_before = wh.read("corpus", "survivors").count()
+    max_shard = wh.read("export", "training_shards").agg(
+        F.max("shard_id")
+    ).collect()[0][0]
+
+    res = corpus_build.admit_corpus_batch(
+        wh, batch, run_id=2, tau=0.8, target_tokens=64
+    )
+    v = {
+        r.doc_id: (r.status, r.dup_of)
+        for r in wh.read("corpus", "admissions").collect()
+    }
+    assert v[204] == ("quarantined", None)
+    assert v[203] == ("gated", None)
+    assert v[201] == ("exact_dup", 3)
+    assert v[202] == ("near_dup", 4)
+    assert v[200][0] == "admitted"
+    # intra-batch exact pair: min id admitted, twin rejected against it
+    assert v[205][0] == "admitted" and v[206] == ("exact_dup", 205)
+    assert res["committed"] and res["n_admitted"] == 2
+
+    # one commit for the whole batch; survivors and ledger grew by 2
+    assert wh.commits() == [1, 2]
+    surv = wh.read("corpus", "survivors")
+    assert surv.count() == surv_before + 2
+    assert {
+        r.doc_id for r in surv.where(F.col("cluster_id") == F.col("doc_id"))
+        .where(F.col("doc_id") >= 200).collect()
+    } == {200, 205}
+    # appended shards: new ids strictly after the stored max, and the
+    # WHOLE grown export still verifies against its checksum table
+    new_shards = wh.read("export", "training_shards").where(
+        F.col("shard_id") > max_shard
+    )
+    n_train_new = surv.where(
+        (F.col("doc_id") >= 200) & (F.col("split") == "train")
+    ).count()
+    assert new_shards.count() == n_train_new
+    assert wh.read("export", "training_shards").count() == (
+        shards_before + n_train_new
+    )
+    assert export.verify_export(
+        wh, "n_bpe_tokens",
+        ["doc_id", "text", "fp", "cluster_id", "n_members", "bucket",
+         "split", "n_bpe_tokens"],
+    ).count() == 0
+
+    # a later batch near-dupping doc 200 now rejects against it
+    batch2 = spark.createDataFrame(
+        [_page(
+            210,
+            BASE + " a wholly new closing thought about item 9000 extra",
+        )],
+        "doc_id long, html string",
+    )
+    res2 = corpus_build.admit_corpus_batch(
+        wh, batch2, run_id=3, tau=0.8, target_tokens=64
+    )
+    v2 = {
+        r.doc_id: (r.status, r.dup_of)
+        for r in wh.read("corpus", "admissions")
+        .where(F.col("run_id") == 3).collect()
+    }
+    assert v2[210] == ("near_dup", 200)
+    assert res2["n_admitted"] == 0 and not res2["committed"]
+    # the all-rejected batch still left its audit trail (run 3 commit)
+    assert wh.commits() == [1, 2, 3]
+
+
+def test_admission_replay_is_idempotent(spark, corpus_wh):
+    wh = corpus_wh
+    batch = _batch_pages(spark)
+    corpus_build.admit_corpus_batch(wh, batch, run_id=2, tau=0.8,
+                                    target_tokens=64)
+    state = {
+        t: sorted(tuple(r) for r in wh.read(l, t).collect())
+        for l, t in (
+            ("corpus", "survivors"), ("export", "training_shards"),
+            ("export", "shard_checksums"), ("index", "nd_bands"),
+        )
+    }
+    res = corpus_build.admit_corpus_batch(wh, batch, run_id=3, tau=0.8,
+                                          target_tokens=64)
+    assert res["n_admitted"] == 0 and not res["committed"]
+    # replay commits ONLY its audit rows; corpus tables are untouched
+    assert wh.commits() == [1, 2, 3]
+    replay_verdicts = {
+        r.doc_id: r.status
+        for r in wh.read("corpus", "admissions")
+        .where(F.col("run_id") == 3).collect()
+    }
+    # replayed already-admitted docs idempotently report admitted
+    assert replay_verdicts[200] == "admitted"
+    assert replay_verdicts[205] == "admitted"
+    after = {
+        t: sorted(tuple(r) for r in wh.read(l, t).collect())
+        for l, t in (
+            ("corpus", "survivors"), ("export", "training_shards"),
+            ("export", "shard_checksums"), ("index", "nd_bands"),
+        )
+    }
+    assert after == state
+
+
+def test_admission_crash_rolls_back_whole_batch(spark, corpus_wh, monkeypatch):
+    wh = corpus_wh
+    state = sorted(
+        tuple(r) for r in wh.read("export", "shard_checksums").collect()
+    )
+    real = export.shard_checksums
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected admission crash")
+
+    monkeypatch.setattr(export, "shard_checksums", boom)
+    with pytest.raises(RuntimeError, match="injected admission"):
+        corpus_build.admit_corpus_batch(
+            wh, _batch_pages(spark), run_id=2, tau=0.8, target_tokens=64
+        )
+    monkeypatch.setattr(export, "shard_checksums", real)
+    wh.recover()
+    assert wh.commits() == [1]
+    # nothing from the batch is visible: survivors, ledger, shards
+    assert wh.read("corpus", "survivors").where(
+        F.col("doc_id") >= 200
+    ).count() == 0
+    assert wh.read("index", "nd_bands").where(
+        F.col("doc_id") >= 200
+    ).count() == 0
+    assert sorted(
+        tuple(r) for r in wh.read("export", "shard_checksums").collect()
+    ) == state
+    assert wh.read("corpus", "admissions") is None
