@@ -227,14 +227,23 @@ def _admission(
             "doc_id", F.lit(status).alias("status"), dup.alias("dup_of")
         )
 
+    # one branch for the ledger probe, not two: near's plan is the
+    # expensive one (bands + jaccard verify) and a where-split union
+    # would execute it twice
+    near_tagged = near.select(
+        "doc_id",
+        F.when(F.col("admitted"), F.lit("admitted"))
+        .otherwise(F.lit("near_dup")).alias("status"),
+        F.when(~F.col("admitted"), F.col("dup_of"))
+        .cast("long").alias("dup_of"),
+    )
     verdicts = (
         tag(replayed, "admitted")
         .unionByName(tag(quarantined, "quarantined"))
         .unionByName(tag(gated, "gated"))
         .unionByName(tag(intra, "exact_dup", True))
         .unionByName(tag(stored, "exact_dup", True))
-        .unionByName(tag(near.where(~F.col("admitted")), "near_dup", True))
-        .unionByName(tag(near.where(F.col("admitted")), "admitted"))
+        .unionByName(near_tagged)
     )
     admitted_docs = fresh.join(
         near.where(F.col("admitted")).select("doc_id"), "doc_id", "left_semi"

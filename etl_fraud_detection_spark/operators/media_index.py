@@ -250,6 +250,13 @@ def ingest(
     adm_ids = admission.where("admitted").select("media_id").join(
         F.broadcast(new_media.select("media_id")), ["media_id"], "left_semi"
     )
+    if adm_ids.limit(1).count() == 0:
+        # full replay / all-rejected batch: the ledger is already
+        # exactly right — skip the four appends and the commit (a
+        # steady-state re-ingest costs the probe, not a table version)
+        for f in (hashes, bands, frames):
+            f.unpersist()
+        return admission
     wh.begin_run(run_id)
     wh.append(
         LAYER, T_HASHES,

@@ -5523,7 +5523,7 @@ def _clean_corpus_ctes(p: str, where: str = "TRUE") -> str:
                    OR mean_tok_len < 2.0 OR mean_tok_len > 12.0)
     ),
     {", ".join(steps)},
-    {p}uniq AS (
+    {p}uniq AS MATERIALIZED (
         SELECT doc_id, t{n} AS text FROM (
             SELECT *, row_number() OVER (PARTITION BY md5(t{n}) ORDER BY doc_id) AS rn
             FROM {p}s{n}
@@ -5633,7 +5633,7 @@ def _admit_oracle() -> str:
     return f"""
     WITH {_clean_corpus_ctes("l", "doc_id % 10 <> 0")},
     lsurv AS ({surv}),
-    ledger AS (
+    ledger AS MATERIALIZED (
         SELECT u.doc_id, u.text FROM lsurv s JOIN luniq u ON u.doc_id = s.kept_id
     ),
     {_clean_corpus_ctes("b", "doc_id % 10 = 0")},
@@ -5651,7 +5651,7 @@ def _admit_oracle() -> str:
         FROM buniq b JOIN ledger l ON md5(b.text) = md5(l.text)
         GROUP BY b.doc_id
     ),
-    pool AS (
+    pool AS MATERIALIZED (
         SELECT doc_id, text FROM buniq
         WHERE doc_id NOT IN (SELECT doc_id FROM bstored)
         UNION ALL SELECT doc_id, text FROM ledger
