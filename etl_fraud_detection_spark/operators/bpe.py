@@ -128,3 +128,23 @@ def encode_documents(
     return docs.mapInPandas(
         batches, schema="doc_id long, bpe_tokens array<string>, n_bpe_tokens long"
     )
+
+
+def decode_tokens(tokens_col: str = "bpe_tokens"):
+    """DECODE a BPE token array back to text — entirely JVM codegen
+    (no Python): concatenate the subword symbols and turn each
+    terminal ``</w>`` marker back into a word boundary. Exact inverse
+    of encode for whitespace-normalized input (encoding splits on
+    whitespace runs, so the round trip yields words joined by single
+    spaces) — the property q_bpe_roundtrip pins for EVERY merge table,
+    since merges only re-segment within a word and never cross the
+    marker. Encode is the documented Arrow escape hatch; decode stays
+    in whole-stage codegen."""
+    from pyspark.sql import functions as F
+
+    return F.trim(
+        F.replace(
+            F.array_join(F.col(tokens_col), ""),
+            F.lit(WORD_END), F.lit(" "),
+        )
+    )

@@ -4549,6 +4549,29 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_bpe_roundtrip",
+    oracle="""
+    SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS decoded
+    FROM documents
+    """,
+)
+def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ROUND TRIP over the real corpus: distributed BPE
+    encode (Arrow mapInPandas, merge table broadcast) then the pure
+    codegen decode (operators/bpe.decode_tokens) must reproduce the
+    whitespace-normalized document for every doc — the lossless-ness
+    contract a training pipeline relies on before it ships token ids
+    instead of text. Holds for ANY merge table (merges re-segment
+    within words, never across the terminal marker), so the fixture
+    merges stand in for a trained vocabulary."""
+    from ..operators import bpe
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    enc = bpe.encode_documents(docs, _BPE_MERGES)
+    return enc.select("doc_id", bpe.decode_tokens().alias("decoded"))
+
+
 def _rule1_stream_oracle() -> str:
     from .queries import _RULE1_SQL as r1  # noqa: PLC0415
 

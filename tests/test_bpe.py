@@ -43,3 +43,35 @@ def test_distributed_encode_matches_driver_reference(spark):
     for r in docs_pdf.limit(50).collect():
         want = bpe.encode_text(r.text, merges)
         assert out[r.doc_id] == (want, len(want))
+
+
+def test_decode_inverts_encode_for_any_merge_table(spark):
+    from etl_fraud_detection_spark.operators import bpe
+
+    texts = [
+        "low lower lowest",
+        "  spaced   out\ttabs and  runs ",
+        "solo",
+        "",
+        "repeat repeat repeat repeat",
+    ]
+    merges = bpe.train_bpe(texts, n_merges=12)
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.decoded
+        for r in bpe.encode_documents(docs, merges)
+        .select("doc_id", bpe.decode_tokens().alias("decoded"))
+        .collect()
+    }
+    want = {i: " ".join(t.split()) for i, t in enumerate(texts)}
+    assert got == want
+    # and with NO merges at all (pure character segmentation)
+    got0 = {
+        r.doc_id: r.decoded
+        for r in bpe.encode_documents(docs, [])
+        .select("doc_id", bpe.decode_tokens().alias("decoded"))
+        .collect()
+    }
+    assert got0 == want
