@@ -2353,6 +2353,48 @@ def q_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_data_card",
+    oracle="""
+    SELECT lang, source,
+           CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
+           quantile_cont(n_chars, 0.25) AS chars_p25,
+           quantile_cont(n_chars, 0.50) AS chars_p50,
+           quantile_cont(n_chars, 0.75) AS chars_p75
+    FROM documents GROUP BY ROLLUP (lang, source)
+    """,
+)
+def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus DATA CARD in one pass: per-(lang, source) stratum — plus
+    the per-lang and whole-corpus rollup rows — doc counts, total
+    whitespace tokens, and EXACT interquartile document-length
+    percentiles (Spark's ``percentile``, not approx_percentile: both
+    engines interpolate identically — R-7 — and quartiles of integer
+    lengths are dyadic rationals, so the doubles compare bit-equal).
+    The rollup lattice partial-aggregates map-side; one shuffle for
+    every stratum of the published dataset documentation."""
+    docs = _t(spark, sf_dir, "documents")
+    q = F.expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D))")
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("long")
+            .alias("sum_ws_tokens"),
+            q.alias("_q"),
+        )
+        .select(
+            "lang", "source", "gid", "n_docs", "sum_ws_tokens",
+            F.col("_q")[0].alias("chars_p25"),
+            F.col("_q")[1].alias("chars_p50"),
+            F.col("_q")[2].alias("chars_p75"),
+        )
+    )
+
+
+@query(
     "q_pivot_counts",
     oracle="""
     SELECT user_id,

@@ -72,12 +72,18 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # local[32] on a 128 GiB host: the 1g default driver heap OOMs
-        # when a drained memory-sink result (or a big collect-side
-        # broadcast) exceeds toy size — e.g. the 5x scale probe's
-        # streaming runs. Static conf: applies only when this builder
-        # actually creates the JVM (driver-provided sessions keep theirs).
-        .config("spark.driver.memory", "8g")
+        # local[32] on a 128 GiB host: one JVM IS driver + all 32
+        # executor threads, so this heap carries every shuffle, persist,
+        # broadcast and checkpoint of the whole catalog. 8g survived but
+        # aged across bench sweeps (old-gen pressure from the corpus
+        # compositions made sweep 3 measurably slower than sweep 1 —
+        # see SCALE.md "Bench comparability, round 7"); sized to the
+        # host. Static conf: applies only when this builder actually
+        # creates the JVM (driver-provided sessions keep theirs).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
         .config("spark.driver.bindAddress", "127.0.0.1")
