@@ -5778,3 +5778,51 @@ def q_corpus_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = Warehouse(spark, root)
     batch = _torn_pages(spark, sf_dir).where(F.col("doc_id") % 10 == 0)
     return corpus_build.admission_verdicts(wh, batch, tau=0.8)
+
+
+def _zorder_oracle() -> str:
+    """Bit-for-bit Morton key replay: same grid normalization and
+    interleave as operators/layout.with_zorder_key, generated as
+    explicit integer terms (the simhash-oracle discipline)."""
+    from ..operators.layout import GRID_BITS
+
+    bits, cols = GRID_BITS, ("doc_id", "n_chars")
+    n = len(cols)
+    cells = {
+        c: (
+            f"CAST(floor((CAST({c} AS BIGINT) - lo_{c}) * {1 << bits}"
+            f" / (hi_{c} - lo_{c} + 1)) AS BIGINT)"
+        )
+        for c in cols
+    }
+    terms = " + ".join(
+        f"(({cells[c]} >> {b}) & 1) * {1 << (b * n + j)}"
+        for b in range(bits)
+        for j, c in enumerate(cols)
+    )
+    return f"""
+    WITH bounds AS (
+        SELECT min(doc_id) AS lo_doc_id, max(doc_id) AS hi_doc_id,
+               min(n_chars) AS lo_n_chars, max(n_chars) AS hi_n_chars
+        FROM documents
+    )
+    SELECT doc_id, CAST({terms} AS BIGINT) AS z_key
+    FROM documents, bounds
+    """
+
+
+@query("q_zorder_key", oracle=_zorder_oracle())
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton) layout key over (doc_id, n_chars): min/max
+    grid normalization from ONE broadcast aggregate row, bit
+    interleave as a pure codegen fold — no UDF, no window, no extra
+    shuffle. The key drives zorder_write (operators/layout.py), whose
+    multi-column file locality is pinned by tests/test_layout.py:
+    a box predicate touches a fraction of the z-ordered files but
+    nearly all naturally-ordered ones."""
+    from ..operators import layout
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return layout.with_zorder_key(docs, ["doc_id", "n_chars"]).select(
+        "doc_id", "z_key"
+    )
