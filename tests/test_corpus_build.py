@@ -306,3 +306,48 @@ def test_admission_crash_rolls_back_whole_batch(spark, corpus_wh, monkeypatch):
         tuple(r) for r in wh.read("export", "shard_checksums").collect()
     ) == state
     assert wh.read("corpus", "admissions") is None
+
+
+def test_compaction_after_admissions_preserves_integrity(spark, corpus_wh):
+    """Storage maintenance on the incrementally-grown corpus: batch
+    appends accrete small files in survivors / the band ledger / the
+    shard table; compaction must collapse them without disturbing the
+    committed content — verify_export still passes, survivors and
+    verdicts unchanged, and the shard table keeps one-file-per-shard."""
+    import os
+
+    wh = corpus_wh
+    corpus_build.admit_corpus_batch(
+        wh, _batch_pages(spark), run_id=2, tau=0.8, target_tokens=64
+    )
+    surv_before = sorted(
+        tuple(r) for r in wh.read("corpus", "survivors").collect()
+    )
+    bands_before = sorted(
+        tuple(r) for r in wh.read("index", "nd_bands").collect()
+    )
+    wh.compact("corpus", "survivors")
+    wh.compact("index", "nd_bands")
+    wh.compact("export", "training_shards")
+    assert sorted(
+        tuple(r) for r in wh.read("corpus", "survivors").collect()
+    ) == surv_before
+    assert sorted(
+        tuple(r) for r in wh.read("index", "nd_bands").collect()
+    ) == bands_before
+    # the per-shard integrity manifest still matches the rewritten files
+    assert export.verify_export(
+        wh, "n_bpe_tokens",
+        ["doc_id", "text", "fp", "cluster_id", "n_members", "bucket",
+         "split", "n_bpe_tokens"],
+    ).count() == 0
+    # partitioned compaction keeps the one-file-per-shard layout
+    p = wh.path("export", "training_shards")
+    vdir = wh._vdir(p, wh._current(p))
+    for d in os.listdir(vdir):
+        if d.startswith("shard_id="):
+            parts = [
+                f for f in os.listdir(os.path.join(vdir, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(parts) == 1, (d, parts)

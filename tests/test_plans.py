@@ -455,3 +455,33 @@ def test_hypertable_probe_prunes_to_one_day(spark):
     p = plan_of(q(spark, "q_layout_hypertable"))
     scan = p.split("PartitionFilters:")[1].splitlines()[0]
     assert "event_date" in scan and "2024-01-15" in scan, p
+
+
+def test_bm25_topk_is_takeordered_not_global_sort(spark):
+    """Top-k retrieval over the stored index compiles to
+    TakeOrderedAndProject — no global Sort exchange (the round-7
+    retrieval contract)."""
+    p = plan_of(q(spark, "q_bm25_topk"))
+    assert "TakeOrderedAndProject" in p
+    assert count_nodes(p, "Sort") == 0
+
+
+def test_zorder_key_is_shuffle_free(spark):
+    """The Morton key is scan + one broadcast bounds row + codegen
+    fold: no hash-partition exchange, no window, no Python."""
+    p = plan_of(q(spark, "q_zorder_key"))
+    # the one Exchange is the single-row bounds aggregate (SinglePartition);
+    # the fact side is never hash-partitioned
+    assert count_nodes(p, "Exchange") == 1
+    assert "hashpartitioning" not in p
+    assert count_nodes(p, "Window") == 0
+    assert "EvalPython" not in p
+
+
+def test_data_card_is_one_expand_one_shuffle(spark):
+    """The rollup lattice partial-aggregates map-side: one Expand,
+    one hash-partition exchange, no Python, no window."""
+    p = plan_of(q(spark, "q_data_card"))
+    assert count_nodes(p, "Expand") == 1
+    assert count_nodes(p, "Exchange") == 1
+    assert "EvalPython" not in p
