@@ -103,6 +103,21 @@ def encode_documents(
         cache: dict[str, list[str]] = {}
 
         def enc(text: str) -> list[str]:
+            # hard precondition, asserted where it's cheapest (inside
+            # the batch that already scans the text): the terminal
+            # marker must not occur IN the text, or decode_tokens'
+            # marker replacement would corrupt the round trip — a word
+            # containing '</w>' splits into chars whose concatenation
+            # reproduces the marker mid-stream. Corpus text reaching
+            # this operator is whitespace/markup-normalized upstream
+            # (html_extract strips tags), so real corpora never trip
+            # this; raising beats silently decoding to the wrong text.
+            if WORD_END in text:
+                raise ValueError(
+                    f"BPE input contains the literal terminal marker "
+                    f"{WORD_END!r}; decode would not round-trip — strip "
+                    f"or escape markup before encoding"
+                )
             out: list[str] = []
             for w in text.split():
                 if not w:
@@ -134,12 +149,15 @@ def decode_tokens(tokens_col: str = "bpe_tokens"):
     """DECODE a BPE token array back to text — entirely JVM codegen
     (no Python): concatenate the subword symbols and turn each
     terminal ``</w>`` marker back into a word boundary. Exact inverse
-    of encode for whitespace-normalized input (encoding splits on
-    whitespace runs, so the round trip yields words joined by single
-    spaces) — the property q_bpe_roundtrip pins for EVERY merge table,
-    since merges only re-segment within a word and never cross the
-    marker. Encode is the documented Arrow escape hatch; decode stays
-    in whole-stage codegen."""
+    of encode for whitespace-normalized, MARKER-FREE input (encoding
+    splits on whitespace runs, so the round trip yields words joined
+    by single spaces; text containing the literal ``</w>`` characters
+    is rejected by encode_documents — the marker replacement here
+    cannot distinguish it from a word boundary) — the property
+    q_bpe_roundtrip pins for EVERY merge table, since merges only
+    re-segment within a word and never cross the marker. Encode is
+    the documented Arrow escape hatch; decode stays in whole-stage
+    codegen."""
     from pyspark.sql import functions as F
 
     return F.trim(

@@ -73,6 +73,12 @@ def build_corpus(
     re-clustering the corpus per batch."""
     from .dedup import _PERSISTED_SHINGLES
 
+    # roll back any crashed run FIRST: a crash mid-build leaves
+    # flipped-but-uncommitted pointers (survivors without their shards)
+    # visible, and both the export's token skip and a later admission's
+    # replay guard would trust that state — silently losing docs
+    wh.recover()
+
     # the extraction is the one Python (Arrow) boundary in the whole
     # build; downstream stages fire many actions (label-propagation
     # rounds, table writes, the export token aggregate), so persist it
@@ -302,6 +308,11 @@ def admit_corpus_batch(
     admits nothing commits nothing."""
     from . import dedup_index
 
+    # recovery-before-resume: a crash between begin_run and commit_run
+    # below leaves uncommitted survivors visible; without this rollback
+    # the replay guard would report those docs 'admitted' while their
+    # shards were never exported (silent doc loss)
+    wh.recover()
     verdicts, admitted = _admission(wh, pages, tau, html_col, id_col)
     # freeze both BEFORE any table grows: the verdicts must describe
     # the pre-batch corpus even after the ledger/survivors appends
@@ -341,8 +352,13 @@ def admit_corpus_batch(
         "n_bpe_tokens", text.bpe_ish_token_count("text").cast("long")
     )
     train = enriched.where(F.col("split") == "train")
+    # coalesce: a committed corpus whose train split was EMPTY still has
+    # a training_shards table (export always writes it), and max() over
+    # an empty table is NULL — the first admitted batch then starts at
+    # shard 0 / position 0 instead of crashing on int(None)
     offs = wh.read(export.LAYER, export.T_SHARDS).select(
-        F.max("shard_id").alias("ms"), F.max("shuffle_pos").alias("mp")
+        F.coalesce(F.max("shard_id"), F.lit(-1)).cast("long").alias("ms"),
+        F.coalesce(F.max("shuffle_pos"), F.lit(0)).cast("long").alias("mp"),
     ).collect()[0]
     assigned = export.shard_assignments(
         train, size_col="n_bpe_tokens", key_col="doc_id",
@@ -378,13 +394,16 @@ def admit_corpus_batch(
     stats = newly.select(
         F.count("*").alias("n"),
         F.countDistinct("shard_id").alias("s"),
-        F.sum("n_bpe_tokens").cast("long").alias("b"),
+        # coalesce: an admitted batch whose docs ALL landed in val/test
+        # appends zero shards, and sum() over none is NULL
+        F.coalesce(F.sum("n_bpe_tokens"), F.lit(0)).cast("long").alias("b"),
     ).collect()[0]
     wh.append(
         export.LAYER, export.T_MANIFEST,
         pages.sparkSession.createDataFrame(
-            [(batch_token, int(stats["n"]), int(stats["s"]), int(stats["b"]))],
-            "token string, n_rows long, n_shards long, total_bytes long",
+            [(batch_token, int(stats["n"]), int(stats["s"]), int(stats["b"]),
+              int(wh._current(wh.path(export.LAYER, export.T_SHARDS))))],
+            export.MANIFEST_SCHEMA,
         ),
     )
     wh.append(

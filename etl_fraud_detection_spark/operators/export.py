@@ -147,17 +147,37 @@ def export_shards(
     ``own_run=False`` skips begin_run/commit_run so the export can ride
     a LARGER transaction (the one-commit corpus build,
     operators/corpus_build.py); the caller owns the commit."""
+    if own_run:
+        # roll back any crashed run FIRST: a crash between a staging
+        # append and its progress append leaves flipped-but-uncommitted
+        # pointers visible, and a resume over that state would re-append
+        # already-staged shards (self-consistently doubled checksums no
+        # verify can catch). Only when this call owns the transaction —
+        # under own_run=False the caller's run journal is live and
+        # recover() would destroy it mid-commit.
+        wh.recover()
     token = _content_token(df, size_col, key_col, target_bytes)
     man = wh.read(LAYER, T_MANIFEST)
     # the skip path requires the FULL committed table set: an export
     # written by an older layout (token present, shard_checksums
     # absent) must re-export, not resume into a partial schema
-    if man is not None and wh.read(LAYER, T_CHECKSUMS) is not None:
+    if (
+        man is not None
+        and "shards_version" in man.columns
+        and wh.read(LAYER, T_CHECKSUMS) is not None
+    ):
         # token-keyed lookup, not collect()[0]: incremental admission
         # (corpus_build.admit_corpus_batch) APPENDS one manifest row
         # per batch, so the table may hold several
         match = man.where(F.col("token") == F.lit(token)).collect()
-        if match:
+        # the skip is only safe when the shard table still IS the
+        # version this manifest row described: incremental admissions
+        # append shards after a build, so a later build over the
+        # original input must re-export (overwriting the admitted
+        # batches out) rather than skip into a state where shards no
+        # longer equal the train split
+        cur_v = wh._current(wh.path(LAYER, T_SHARDS))
+        if match and match[0]["shards_version"] == cur_v:
             prev = match[0]
             return {
                 "skipped": True,
@@ -196,12 +216,14 @@ def export_shards(
     stats = written.select(
         F.count("*").alias("n_rows"),
         F.countDistinct("shard_id").alias("n_shards"),
-        F.sum(F.col(size_col)).cast("long").alias("total_bytes"),
+        F.coalesce(F.sum(F.col(size_col)), F.lit(0))
+        .cast("long").alias("total_bytes"),
     ).collect()[0]
     manifest = df.sparkSession.createDataFrame(
         [(token, int(stats["n_rows"]), int(stats["n_shards"]),
-          int(stats["total_bytes"]))],
-        "token string, n_rows long, n_shards long, total_bytes long",
+          int(stats["total_bytes"]),
+          int(wh._current(wh.path(LAYER, T_SHARDS))))],
+        MANIFEST_SCHEMA,
     )
     wh.overwrite(LAYER, T_MANIFEST, manifest)
     if own_run:
@@ -219,6 +241,13 @@ def export_shards(
 T_CHECKSUMS = "shard_checksums"
 T_STAGE = "staging_shards"
 T_PROGRESS = "staging_progress"
+# shards_version pins each manifest row to the shard-table version it
+# described, so the exactly-once token skip can never serve a manifest
+# whose shard table has since grown (incremental admission appends)
+MANIFEST_SCHEMA = (
+    "token string, n_rows long, n_shards long, total_bytes long, "
+    "shards_version long"
+)
 
 
 def _export_resumable(
@@ -290,7 +319,7 @@ def _export_resumable(
         # publish: hardlink swap + manifest from the progress ledger —
         # no second pass over the shard DATA at any scale
         wh.begin_run(rid)
-        wh.adopt(LAYER, T_SHARDS, LAYER, T_STAGE)
+        shards_v = wh.adopt(LAYER, T_SHARDS, LAYER, T_STAGE)
         prog = wh.read(LAYER, T_PROGRESS)
         wh.overwrite(LAYER, T_CHECKSUMS, prog.drop("token"))
         stats = prog.select(
@@ -300,8 +329,8 @@ def _export_resumable(
         ).collect()[0]
         manifest = spark.createDataFrame(
             [(token, int(stats["n_rows"]), int(stats["n_shards"]),
-              int(stats["total_bytes"]))],
-            "token string, n_rows long, n_shards long, total_bytes long",
+              int(stats["total_bytes"]), int(shards_v))],
+            MANIFEST_SCHEMA,
         )
         wh.overwrite(LAYER, T_MANIFEST, manifest)
         wh.commit_run(rid)

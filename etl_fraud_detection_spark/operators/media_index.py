@@ -135,6 +135,13 @@ def ingest(
     ``commit=False`` is the WHAT-IF mode: verdicts against the current
     ledger, nothing appended, ``run_id`` not required.
     """
+    if commit:
+        # roll back any crashed ingest before probing: uncommitted
+        # appends left visible would make the replay guard report blobs
+        # 'admitted' whose admission never committed (the corpus_build
+        # recovery-before-resume discipline). Skipped in WHAT-IF mode —
+        # a read-only preview must not mutate the warehouse.
+        wh.recover()
     stored_bands = wh.read(LAYER, T_BANDS)
     if stored_bands is None:
         raise ValueError(

@@ -245,14 +245,75 @@ class Warehouse:
         v = self._current(p)
         if v is None:
             return None
-        return self.spark.read.parquet(self._vdir(p, v))
+        return self._read_vdir(self._vdir(p, v))
+
+    def _read_vdir(self, vdir: str) -> DataFrame:
+        """Read one version directory. A version holding ZERO data
+        files (an empty PARTITIONED write emits no parquet at all —
+        e.g. a corpus whose train split gated out) carries its schema
+        in a ``_SCHEMA`` marker written by the writer, so the read
+        returns a correctly-typed empty frame instead of failing
+        schema inference."""
+        sf = os.path.join(vdir, "_SCHEMA")
+        if os.path.exists(sf):
+            import json
+
+            from pyspark.sql.types import StructType
+
+            with open(sf) as fh:
+                schema = StructType.fromJson(json.load(fh))
+            return self.spark.read.schema(schema).parquet(vdir)
+        return self.spark.read.parquet(vdir)
+
+    @staticmethod
+    def _has_parquet(d: str) -> bool:
+        return any(
+            f.endswith(".parquet")
+            for _r, _d, fs in os.walk(d)
+            for f in fs
+        )
+
+    def _mark_schema(self, tmp: str, df: DataFrame) -> None:
+        """Reconcile the ``_SCHEMA`` marker with the staged version:
+        written when the version holds no data files, removed once real
+        files exist (the files are then the schema authority)."""
+        sf = os.path.join(tmp, "_SCHEMA")
+        if self._has_parquet(tmp):
+            if os.path.exists(sf):
+                os.remove(sf)
+        else:
+            _atomic_write(sf, df.schema.json())
 
     # -- writers ------------------------------------------------------------
 
-    def overwrite(self, layer: str, table: str, df: DataFrame, partition_by: list[str] | None = None) -> int:
+    def overwrite(
+        self,
+        layer: str,
+        table: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        zorder_files: int = 16,
+    ) -> int:
         """Materialize a complete new version then flip the pointer —
         safe when df reads the version being replaced (the SCD
-        recompute pattern): the old version's files are untouched."""
+        recompute pattern): the old version's files are untouched.
+
+        ``zorder_by`` lays the new version out z-ordered on those
+        columns (operators/layout.zorder_layout): range-partitioned on
+        (partition columns, Morton key) and sorted the same way, so
+        each data file's min/max stats cover a tight multi-column box
+        — combined with ``partition_by`` this gives a hypertable both
+        partition pruning on its date column AND file-level stats
+        pruning inside each partition. Layout-only: appends are not
+        re-ordered (run compact + a z-ordered overwrite periodically)."""
+        if zorder_by:
+            from .operators.layout import zorder_layout
+
+            df = zorder_layout(
+                df, list(zorder_by), n_files=zorder_files,
+                within=list(partition_by or []),
+            )
         p = self.path(layer, table)
         cur = self._current(p) or 0
         v = cur + 1
@@ -264,7 +325,8 @@ class Warehouse:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(tmp)
-        n = self.spark.read.parquet(tmp).count()
+        self._mark_schema(tmp, df)
+        n = self._read_vdir(tmp).count()
         if os.path.exists(vdir):
             # Orphan from a crash between os.replace and _set_current's
             # journal write: any version > _CURRENT that no committed
@@ -312,6 +374,7 @@ class Warehouse:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(tmp)
+        self._mark_schema(tmp, df)
         if os.path.exists(vdir):
             # same crash-orphan case as overwrite(): unreachable stale dir
             shutil.rmtree(vdir)
@@ -406,7 +469,7 @@ class Warehouse:
                 f"{layer}/{table}@run{run_id} (v{v}) was vacuumed: only the "
                 f"last {self.retain_commits} commits are retained"
             )
-        return self.spark.read.parquet(vdir)
+        return self._read_vdir(vdir)
 
     def _flush_journal(self) -> None:
         import json

@@ -5780,30 +5780,38 @@ def q_corpus_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_build.admission_verdicts(wh, batch, tau=0.8)
 
 
-def _zorder_oracle() -> str:
-    """Bit-for-bit Morton key replay: same grid normalization and
-    interleave as operators/layout.with_zorder_key, generated as
-    explicit integer terms (the simhash-oracle discipline)."""
-    from ..operators.layout import GRID_BITS
-
-    bits, cols = GRID_BITS, ("doc_id", "n_chars")
+def _zorder_terms(cols: tuple[str, ...], axis: dict[str, str], bits: int) -> str:
+    """The Morton-key SQL over per-column axis expressions: EXACT
+    integer grid cells — HUGEINT multiply then ``//`` integral
+    division (axis >= lo, so floor == truncate, matching Spark's
+    decimal ``div``) — interleaved as explicit bit terms (the
+    simhash-oracle discipline). Mirrors layout._cell_sql bit-for-bit."""
     n = len(cols)
     cells = {
         c: (
-            f"CAST(floor((CAST({c} AS BIGINT) - lo_{c}) * {1 << bits}"
-            f" / (hi_{c} - lo_{c} + 1)) AS BIGINT)"
+            f"(CAST(({axis[c]}) AS HUGEINT) - lo_{c}) * {1 << bits}"
+            f" // (hi_{c} - lo_{c} + 1)"
         )
         for c in cols
     }
-    terms = " + ".join(
-        f"(({cells[c]} >> {b}) & 1) * {1 << (b * n + j)}"
+    return " + ".join(
+        f"((CAST({cells[c]} AS BIGINT) >> {b}) & 1) * {1 << (b * n + j)}"
         for b in range(bits)
         for j, c in enumerate(cols)
     )
+
+
+def _zorder_oracle() -> str:
+    """Bit-for-bit Morton key replay over two integral columns."""
+    from ..operators.layout import GRID_BITS
+
+    cols = ("doc_id", "n_chars")
+    terms = _zorder_terms(cols, {c: c for c in cols}, GRID_BITS)
     return f"""
     WITH bounds AS (
         SELECT min(doc_id) AS lo_doc_id, max(doc_id) AS hi_doc_id,
-               min(n_chars) AS lo_n_chars, max(n_chars) AS hi_n_chars
+               CAST(min(n_chars) AS HUGEINT) AS lo_n_chars,
+               CAST(max(n_chars) AS HUGEINT) AS hi_n_chars
         FROM documents
     )
     SELECT doc_id, CAST({terms} AS BIGINT) AS z_key
@@ -5826,3 +5834,61 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout.with_zorder_key(docs, ["doc_id", "n_chars"]).select(
         "doc_id", "z_key"
     )
+
+
+def _zorder_mixed_oracle() -> str:
+    """Morton key over (timestamp, string, integral): timestamp axis =
+    micros since epoch, string axis = dictionary rank over the distinct
+    values, integral axis = the value — the same axis mapping as
+    layout._axis_value, then the shared exact-integer interleave."""
+    from ..operators.layout import GRID_BITS
+
+    cols = ("o_orderdate", "o_orderpriority", "o_custkey")
+    axis = {
+        "o_orderdate": "epoch_us(o_orderdate)",
+        "o_orderpriority": "pr_rank",
+        "o_custkey": "o_custkey",
+    }
+    terms = _zorder_terms(cols, axis, GRID_BITS)
+    return f"""
+    WITH ranks AS (
+        SELECT o_orderpriority AS pr_val,
+               row_number() OVER (ORDER BY o_orderpriority) - 1 AS pr_rank
+        FROM (SELECT DISTINCT o_orderpriority FROM orders)
+    ),
+    base AS (
+        SELECT o_orderkey, o_orderdate, o_custkey, pr_rank
+        FROM orders JOIN ranks ON o_orderpriority = pr_val
+    ),
+    bounds AS (
+        SELECT min(epoch_us(o_orderdate)) AS lo_o_orderdate,
+               max(epoch_us(o_orderdate)) AS hi_o_orderdate,
+               min(pr_rank) AS lo_o_orderpriority,
+               max(pr_rank) AS hi_o_orderpriority,
+               min(o_custkey) AS lo_o_custkey,
+               max(o_custkey) AS hi_o_custkey
+        FROM base
+    )
+    SELECT o_orderkey, CAST({terms} AS BIGINT) AS z_key
+    FROM base, bounds
+    """
+
+
+@query("q_zorder_key_mixed", oracle=_zorder_mixed_oracle())
+def q_zorder_key_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER key over MIXED column types — timestamp (micros since
+    epoch; the date axis is days, pinned in tests/test_layout.py),
+    low-cardinality string (dictionary rank over the distinct values,
+    one broadcast join), and integral — the axis mapping that lets the
+    hypertable layout z-order on (event time, entity, category)
+    without a UDF. Same exact-integer grid math as q_zorder_key (a
+    decimal multiply + integral div can never round a value across a
+    cell boundary, unlike double division on wide ranges)."""
+    from ..operators import layout
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_custkey"
+    )
+    return layout.with_zorder_key(
+        orders, ["o_orderdate", "o_orderpriority", "o_custkey"]
+    ).select("o_orderkey", "z_key")

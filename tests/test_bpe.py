@@ -75,3 +75,19 @@ def test_decode_inverts_encode_for_any_merge_table(spark):
         .collect()
     }
     assert got0 == want
+
+
+def test_marker_bearing_input_is_rejected_not_corrupted(spark):
+    """Text containing the literal terminal marker '</w>' cannot
+    round-trip (decode would read it as a word boundary) — encode must
+    raise the documented precondition error instead of silently
+    decoding to the wrong text."""
+    import pytest
+
+    from etl_fraud_detection_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(0, "pasted markup a</w>b here")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="terminal marker"):
+        bpe.encode_documents(docs, []).collect()

@@ -308,6 +308,112 @@ def test_admission_crash_rolls_back_whole_batch(spark, corpus_wh, monkeypatch):
     assert wh.read("corpus", "admissions") is None
 
 
+def test_admission_resume_without_manual_recover(spark, corpus_wh, monkeypatch):
+    """A crashed admission followed by a PLAIN re-run (no manual
+    recover) must not lose docs: without the rollback-at-entry, the
+    crashed run's uncommitted survivors stay visible, the re-run's
+    replay guard reports them 'admitted', and their shards are never
+    exported — silent doc loss."""
+    wh = corpus_wh
+    real = export.shard_checksums
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected admission crash")
+
+    monkeypatch.setattr(export, "shard_checksums", boom)
+    with pytest.raises(RuntimeError, match="injected admission"):
+        corpus_build.admit_corpus_batch(
+            wh, _batch_pages(spark), run_id=2, tau=0.8, target_tokens=64
+        )
+    monkeypatch.setattr(export, "shard_checksums", real)
+    # NO manual wh.recover() — the re-run must roll back first
+    res = corpus_build.admit_corpus_batch(
+        wh, _batch_pages(spark), run_id=3, tau=0.8, target_tokens=64
+    )
+    assert res["committed"] and res["n_admitted"] == 2
+    # every admitted train-split doc HAS shard rows (no silent loss)
+    surv = wh.read("corpus", "survivors").where(F.col("doc_id") >= 200)
+    train_ids = {
+        r.doc_id for r in surv.where(F.col("split") == "train").collect()
+    }
+    shard_ids = {
+        r.doc_id
+        for r in wh.read("export", "training_shards")
+        .where(F.col("doc_id") >= 200).collect()
+    }
+    assert shard_ids == train_ids
+    assert export.verify_export(
+        wh, "n_bpe_tokens",
+        ["doc_id", "text", "fp", "cluster_id", "n_members", "bucket",
+         "split", "n_bpe_tokens"],
+    ).count() == 0
+
+
+def test_rebuild_after_admission_must_not_stale_skip(spark, corpus_wh):
+    """After an admission APPENDS shards, a re-run of build_corpus over
+    the UNCHANGED original input must re-export, not token-skip: the
+    skip would overwrite survivors back to the original set while
+    training_shards kept the admitted batches — shards no longer equal
+    the train split. The manifest's shards_version pin forces the
+    re-export."""
+    wh = corpus_wh
+    corpus_build.admit_corpus_batch(
+        wh, _batch_pages(spark), run_id=2, tau=0.8, target_tokens=64
+    )
+    res = corpus_build.build_corpus(
+        wh, _pages(spark), run_id=3, tau=0.8, target_tokens=64,
+        with_ledger=True,
+    )
+    assert not res["skipped"]
+    # exactly-once restored: shards == the (rebuilt) train split
+    train = {
+        r.doc_id
+        for r in wh.read("corpus", "survivors")
+        .where(F.col("split") == "train").collect()
+    }
+    shards = {
+        r.doc_id
+        for r in wh.read("export", "training_shards").select("doc_id").collect()
+    }
+    assert shards == train
+    # and the skip works again once versions line up
+    res2 = corpus_build.build_corpus(
+        wh, _pages(spark), run_id=4, tau=0.8, target_tokens=64,
+        with_ledger=True,
+    )
+    assert res2["skipped"]
+
+
+def test_admit_into_corpus_with_empty_train_split(spark, tmp_path):
+    """A committed corpus whose quality gate rejected everything still
+    writes an (empty) shard table; the FIRST admitted batch must start
+    at shard 0 / position 0 instead of crashing on NULL aggregates."""
+    wh = Warehouse(spark, str(tmp_path / "emptywh"))
+    bad = spark.createDataFrame(
+        [_page(i, "tiny doc") for i in range(1, 4)], "doc_id long, html string"
+    )
+    corpus_build.build_corpus(
+        wh, bad, run_id=1, tau=0.8, target_tokens=64, with_ledger=True
+    )
+    assert wh.read("export", "training_shards").count() == 0
+    good = spark.createDataFrame(
+        [_page(10, BASE + " first real content about item 4242")],
+        "doc_id long, html string",
+    )
+    res = corpus_build.admit_corpus_batch(
+        wh, good, run_id=2, tau=0.8, target_tokens=64
+    )
+    assert res["committed"] and res["n_admitted"] == 1
+    rows = wh.read("export", "training_shards").collect()
+    # the one admitted doc may land in any split; if train, it shards
+    surv = wh.read("corpus", "survivors").collect()
+    assert {r.doc_id for r in surv} == {10}
+    if surv[0].split == "train":
+        assert [(r.shard_id, r.shuffle_pos) for r in rows] == [(0, 1)]
+    else:
+        assert rows == []
+
+
 def test_compaction_after_admissions_preserves_integrity(spark, corpus_wh):
     """Storage maintenance on the incrementally-grown corpus: batch
     appends accrete small files in survivors / the band ledger / the

@@ -312,6 +312,37 @@ def test_crash_resume_writes_only_missing_shards(spark, wh, tmp_path):
     assert export.verify_export(wh, "n_bytes", docs.columns).count() == 0
 
 
+def test_crash_resume_without_manual_recover(spark, wh, tmp_path):
+    """The advertised recovery path is a PLAIN re-run: export_shards
+    itself must roll the crashed run back before trusting the staging
+    ledger — without it, shards staged by the crashed (uncommitted)
+    chunk are visible-but-unrecorded and a resume re-appends them,
+    publishing duplicated rows with self-consistent checksums that
+    verify_export cannot catch."""
+    docs = _docs(spark)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        export.export_shards(
+            wh, docs, run_id=10, size_col="n_bytes", target_bytes=TARGET,
+            checkpoint_every=3, _fail_before_commit_chunk=2,
+        )
+    # NO manual wh.recover() here — the resume must do it itself
+    res = export.export_shards(
+        wh, docs, run_id=20, size_col="n_bytes", target_bytes=TARGET,
+        checkpoint_every=3,
+    )
+    assert res["resumed_shards"] == 3 and res["n_rows"] == 200
+    # no duplicated rows made it into the published table
+    rows = wh.read("export", "training_shards").collect()
+    assert sorted(r.doc_id for r in rows) == list(range(200))
+    assert export.verify_export(wh, "n_bytes", docs.columns).count() == 0
+    # byte-identical to an uninterrupted run
+    wh2 = Warehouse(spark, str(tmp_path / "cleanrun"))
+    export.export_shards(
+        wh2, docs, run_id=1, size_col="n_bytes", target_bytes=TARGET
+    )
+    assert _snapshot(wh) == _snapshot(wh2)
+
+
 def test_stale_staging_from_changed_corpus_is_discarded(spark, wh):
     docs_a = _docs(spark)
     with pytest.raises(RuntimeError, match="injected crash"):

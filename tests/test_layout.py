@@ -36,6 +36,121 @@ def test_zorder_key_matches_reference_interleave(spark):
     )
 
 
+def test_zorder_key_exact_on_wide_ranges(spark):
+    """Regression for double-division rounding: with hi-lo >= 2^47,
+    float math can floor a max value into cell 2^bits (whose low bits
+    are all zero — wrong locality at the grid origin). The decimal
+    multiply + integral div must keep every value inside [0, 2^bits)
+    and put lo/hi in the first/last cell."""
+    lo, hi = -(1 << 62), (1 << 62) - 1
+    mid = 12345678901234567
+    df = spark.createDataFrame(
+        [(lo,), (mid,), (hi,)], "v long"
+    ).withColumn("w", F.lit(0).cast("long"))
+    got = {
+        r.v: r.z_key
+        for r in layout.with_zorder_key(df, ["v", "w"], bits=16).collect()
+    }
+    span = (hi - lo) + 1
+    for v, z in got.items():
+        # w contributes nothing (constant column -> cell 0), so z is
+        # the v-cell's bits spread over even positions
+        cell = 0
+        for b in range(16):
+            cell |= ((z >> (2 * b)) & 1) << b
+        assert cell == ((v - lo) * (1 << 16)) // span, v
+        assert 0 <= cell < (1 << 16)
+    assert got[lo] % 4 == 0  # lo in cell 0
+    # hi lands in the LAST cell, not a wrapped-to-zero cell 2^bits
+    hi_cell = ((hi - lo) * (1 << 16)) // span
+    assert hi_cell == (1 << 16) - 1
+
+
+def test_zorder_axis_types_date_timestamp_string(spark):
+    """Axis mapping for non-integral columns: date -> days since
+    epoch, timestamp -> micros since epoch, string -> dictionary rank
+    over the distinct values. Pinned against hand-computed cells."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.date(2020, 1, 1), dt.datetime(2020, 1, 1, 0, 0, 0), "alpha"),
+        (2, dt.date(2020, 1, 2), dt.datetime(2020, 1, 1, 12, 0, 0), "beta"),
+        (3, dt.date(2020, 1, 4), dt.datetime(2020, 1, 2, 0, 0, 0), "gamma"),
+    ]
+    df = spark.createDataFrame(rows, "id long, d date, t timestamp, s string")
+    bits = 2
+
+    def cells(axis_vals):
+        lo, hi = min(axis_vals), max(axis_vals)
+        return [((v - lo) * (1 << bits)) // (hi - lo + 1) for v in axis_vals]
+
+    dc = cells([0, 1, 3])                      # days since 2020-01-01
+    tc = cells([0, 43_200 * 10**6, 86_400 * 10**6])  # micros since epoch0
+    sc = cells([0, 1, 2])                      # ranks alpha<beta<gamma
+
+    def morton(cs):
+        z = 0
+        for b in range(bits):
+            for j, c in enumerate(cs):
+                z |= ((c >> b) & 1) << (b * 3 + j)
+        return z
+
+    got = {
+        r.id: r.z_key
+        for r in layout.with_zorder_key(df, ["d", "t", "s"], bits=bits).collect()
+    }
+    want = {
+        i + 1: morton([dc[i], tc[i], sc[i]]) for i in range(3)
+    }
+    assert got == want
+
+
+def test_warehouse_overwrite_zorder_by_prunes_in_partitions(spark, tmp_path):
+    """Hypertable layout: partition pruning on the date column PLUS
+    z-order file locality inside each partition — a (user, value) box
+    inside one day touches a small fraction of that day's files."""
+    import os
+
+    from etl_fraud_detection_spark.pipeline import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "zwh"))
+    n = 64
+    rows = [
+        (d, x, y)
+        for d in ("2024-01-01", "2024-01-02")
+        for x in range(n)
+        for y in range(n)
+    ]
+    df = spark.createDataFrame(rows, "day string, x long, y long")
+    wh.begin_run(1)
+    wh.overwrite(
+        "stage", "hyper", df,
+        partition_by=["day"], zorder_by=["x", "y"], zorder_files=32,
+    )
+    wh.commit_run(1)
+    t = wh.read("stage", "hyper")
+    assert t.count() == 2 * n * n
+    box = t.where(
+        (F.col("day") == "2024-01-01")
+        & (F.col("x") >= 8) & (F.col("x") < 16)
+        & (F.col("y") >= 8) & (F.col("y") < 16)
+    )
+    assert box.count() == 64
+    # the matching rows live in a couple of that day's files
+    z_files = box.select(F.input_file_name()).distinct().count()
+    day_files = (
+        t.where(F.col("day") == "2024-01-01")
+        .select(F.input_file_name()).distinct().count()
+    )
+    assert z_files <= 3 and day_files >= 8, (z_files, day_files)
+    # the partition directory structure survived
+    p = wh.path("stage", "hyper")
+    vdir = wh._vdir(p, wh._current(p))
+    assert sorted(
+        d for d in os.listdir(vdir) if d.startswith("day=")
+    ) == ["day=2024-01-01", "day=2024-01-02"]
+
+
 def test_zorder_files_localize_box_queries(spark, tmp_path):
     df = spark.createDataFrame(_grid(64), "x long, y long")
     zdir, ndir = str(tmp_path / "z"), str(tmp_path / "n")
