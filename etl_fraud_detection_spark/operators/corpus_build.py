@@ -162,7 +162,15 @@ def _admission(
     """Shared core of the admission paths: extract/gate/redact the
     batch, then stage the rejection cascade against the COMMITTED
     corpus — intra-batch exact dup, stored-fingerprint exact dup,
-    band-ledger near dup (dedup_index.ingest, read-only). Returns
+    band-ledger near dup (dedup_index.ingest, read-only), and finally
+    INTRA-BATCH near dup: the ledger-admitted docs run the same LSH
+    pair generator + connected-components survivor pick the full build
+    uses (batch-sized input, bounded cost), so two near-identical
+    same-day crawl pages can never both admit — and can never land in
+    DIFFERENT holdout splits via their md5 buckets, the train/test
+    contamination the split-after-survivors ordering exists to
+    prevent. Non-survivors report near_dup with the in-batch survivor
+    (largest text, smallest id on ties) as dup_of. Returns
     (verdicts, admitted_docs): verdicts covers EVERY batch page with
     (doc_id, status, dup_of); admitted_docs is (doc_id, text, fp) for
     the docs that passed everything. All heavy intermediates register
@@ -223,8 +231,45 @@ def _admission(
         .agg(F.min("sv_id").alias("dup_of"))
     )
     fresh = cand.join(stored.select("doc_id"), "doc_id", "left_anti")
+    # CHECKPOINT (not persist) the ledger verdicts: they feed the
+    # verdict union, the intra-batch cluster input AND the admitted set,
+    # and the probe plan (128-hash signatures + banded join + jaccard
+    # verify) is enormous — composed lazily into the five consumers it
+    # multiplies into a gigabyte-scale plan string whose ANALYSIS alone
+    # dominates wall time (measured: 538s -> ~20s for the intra-batch
+    # admission query at sf0.01). The checkpoint runs the probe once
+    # and every consumer reads a leaf.
     near = dedup_index.ingest(
         wh, fresh.select("doc_id", "text"), tau=tau, commit=False
+    ).localCheckpoint()
+
+    # intra-batch near-dup stage over the LEDGER-ADMITTED docs: the
+    # same LSH pairs + pointer-doubling CC + keep-largest survivor the
+    # full build uses, confined to the batch (bounded cost). Ledger
+    # precedence: a doc near-dupping BOTH the corpus and a batchmate
+    # reports the corpus partner (it never reaches this stage).
+    from . import dedup
+
+    ledger_ok = fresh.join(
+        near.where(F.col("admitted")).select("doc_id"), "doc_id", "left_semi"
+    )
+    sized = ledger_ok.select(
+        "doc_id", "text", F.length("text").cast("long").alias("n_chars")
+    )
+    labels = dedup.near_dup_clusters(sized, tau=tau)
+    kept = dedup.survivors_from_labels(
+        labels, sized.select("doc_id", "n_chars"), "doc_id", "n_chars"
+    )
+    # tiny frame, but its lazy plan would re-drag labels × sized (and
+    # through them the whole extraction/probe tree) into every verdict
+    # branch — checkpoint it too (labels themselves are already
+    # checkpoint leaves from the CC loop)
+    inbatch = (
+        labels.join(F.broadcast(kept.select("cluster_id", "kept_id")),
+                    "cluster_id")
+        .where(F.col("doc_id") != F.col("kept_id"))
+        .select("doc_id", F.col("kept_id").alias("dup_of"))
+        .localCheckpoint()
     )
 
     def tag(df: DataFrame, status: str, with_dup: bool = False) -> DataFrame:
@@ -233,15 +278,11 @@ def _admission(
             "doc_id", F.lit(status).alias("status"), dup.alias("dup_of")
         )
 
-    # one branch for the ledger probe, not two: near's plan is the
-    # expensive one (bands + jaccard verify) and a where-split union
-    # would execute it twice
-    near_tagged = near.select(
-        "doc_id",
-        F.when(F.col("admitted"), F.lit("admitted"))
-        .otherwise(F.lit("near_dup")).alias("status"),
-        F.when(~F.col("admitted"), F.col("dup_of"))
-        .cast("long").alias("dup_of"),
+    ledger_rej = near.where(~F.col("admitted")).select(
+        "doc_id", F.col("dup_of").cast("long").alias("dup_of")
+    )
+    survivors_ok = near.where(F.col("admitted")).select("doc_id").join(
+        inbatch.select("doc_id"), "doc_id", "left_anti"
     )
     verdicts = (
         tag(replayed, "admitted")
@@ -249,11 +290,11 @@ def _admission(
         .unionByName(tag(gated, "gated"))
         .unionByName(tag(intra, "exact_dup", True))
         .unionByName(tag(stored, "exact_dup", True))
-        .unionByName(near_tagged)
+        .unionByName(tag(ledger_rej, "near_dup", True))
+        .unionByName(tag(inbatch.select("doc_id", "dup_of"), "near_dup", True))
+        .unionByName(tag(survivors_ok, "admitted"))
     )
-    admitted_docs = fresh.join(
-        near.where(F.col("admitted")).select("doc_id"), "doc_id", "left_semi"
-    )
+    admitted_docs = fresh.join(survivors_ok, "doc_id", "left_semi")
     return verdicts, admitted_docs
 
 

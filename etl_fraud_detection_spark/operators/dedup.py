@@ -45,9 +45,14 @@ MINHASH_B = [(40503 * (i + 7)) % MINHASH_P for i in range(NUM_HASHES)]
 _PERSISTED_SHINGLES: list[DataFrame] = []
 
 
-def release_shingles() -> None:
-    """Unpersist intermediates cached by :func:`minhash_lsh_pairs`."""
-    while _PERSISTED_SHINGLES:
+def release_shingles(since: int = 0) -> None:
+    """Unpersist intermediates cached by :func:`minhash_lsh_pairs`.
+    ``since`` scopes the release to frames registered after that list
+    position — components_from_edges uses it so an embedding caller's
+    OWN persisted frames (e.g. the admission paths' probe verdicts)
+    survive the mid-query cleanup of the pair generator's
+    intermediates."""
+    while len(_PERSISTED_SHINGLES) > since:
         try:
             _PERSISTED_SHINGLES.pop().unpersist()
         except Exception:
@@ -437,13 +442,18 @@ def near_dup_clusters(
     ``localCheckpoint`` truncates the growing lineage each round; on a
     real cluster use ``checkpoint`` with a reliable dir instead."""
     gen = minhash_lsh_pairs if candidates == "lsh" else ngram_jaccard_pairs
+    # mark BEFORE the generator runs so its shingle/signature/candidate
+    # persists fall inside the CC's scoped mid-loop release
+    mark = len(_PERSISTED_SHINGLES)
     return components_from_edges(
-        gen(docs, tau), docs.select(F.col(id_col).alias("doc_id")), "doc_id"
+        gen(docs, tau), docs.select(F.col(id_col).alias("doc_id")), "doc_id",
+        release_since=mark,
     )
 
 
 def components_from_edges(
-    pairs: DataFrame, ids: DataFrame, id_col: str = "doc_id"
+    pairs: DataFrame, ids: DataFrame, id_col: str = "doc_id",
+    release_since: int | None = None,
 ) -> DataFrame:
     """Connected components over an EXPLICIT pair frame — the label
     propagation core of :func:`near_dup_clusters`, factored out so any
@@ -451,7 +461,14 @@ def components_from_edges(
     frames) clusters through the same machinery. ``pairs`` carries
     (a, b) edges; ``ids`` is one row per member (column ``id_col``) —
     ids absent from every edge come back as singletons with their own
-    id. Returns (``id_col``, cluster_id)."""
+    id. Returns (``id_col``, cluster_id). ``release_since`` scopes the
+    post-checkpoint cleanup of _PERSISTED_SHINGLES (callers that built
+    the pair frame earlier pass their pre-generator mark; by default
+    only frames registered after THIS call are released, so an
+    embedding caller's own persisted frames survive)."""
+    # scope the mid-loop release to intermediates registered from here
+    # on (this call's pair generator), not a caller's persisted frames
+    mark = len(_PERSISTED_SHINGLES) if release_since is None else release_since
     # the symmetric union evaluates the pair subplan twice — persist it
     # (tiny: verified near-dup pairs only)
     pairs = pairs.select("a", "b").persist()
@@ -466,7 +483,7 @@ def components_from_edges(
     ).localCheckpoint()
     # edges (and everything upstream) are cached now — drop the
     # shingle/candidate intermediates behind the LSH pair generator
-    release_shingles()
+    release_shingles(since=mark)
     # symmetric edges -> grouping on "a" covers every edge endpoint.
     # Seed each label with the first propagation round folded in
     # (min of self and all direct neighbors): shallow near-dup clusters

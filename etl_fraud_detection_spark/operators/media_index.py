@@ -38,9 +38,12 @@ Scale shape (100 TB of media, daily batches): the batch side of every
 probe is broadcastable; the ledger side is scanned once per ingest
 (pre-bucketed at scale so only colliding buckets move); decode cost
 is strictly O(batch blobs) via the Arrow mapInPandas extractors.
-Batch×batch pairs are deliberately out of scope (parity with
-dedup_index.ingest): run media_near_dup_edges within the batch first
-if intra-batch dedup is wanted.
+INTRA-BATCH near dups are handled too (a daily crawl is full of
+same-template twins arriving together): after the ledger probe, the
+ledger-admitted blobs cluster over their own signature edges — the
+same banded/shared-frame join shapes, batch-sized — and only the
+largest blob per component admits, mirroring the text admission's
+in-batch stage (operators/corpus_build._admission).
 """
 
 from __future__ import annotations
@@ -89,6 +92,68 @@ def _signatures(media: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     return hashes, bands, frames
 
 
+def _intra_edges(
+    hashes: DataFrame,
+    bands: DataFrame,
+    frames: DataFrame,
+    max_dist_image: int,
+    max_dist_audio: int,
+    min_shared_frames: int,
+) -> DataFrame:
+    """Near-dup edges WITHIN one batch, from its already-computed
+    signatures (no re-decode): banded-Hamming self-join for image and
+    audio (one join, modality-tagged, popcount verify), shared-frame
+    containment for video — the same shapes as the ledger probe,
+    batch-sized. Returns (a, b, modality, score) with a < b."""
+    cand = (
+        bands.select(
+            F.col("media_id").alias("a"), "modality", "band_idx", "band_val"
+        )
+        .join(
+            bands.select(
+                F.col("media_id").alias("b"), "modality", "band_idx", "band_val"
+            ),
+            ["modality", "band_idx", "band_val"],
+        )
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "modality")
+        .distinct()
+    )
+    max_dist = (
+        F.when(F.col("modality") == "image", F.lit(max_dist_image))
+        .otherwise(F.lit(max_dist_audio))
+    )
+    banded = (
+        cand.join(
+            hashes.select(
+                F.col("media_id").alias("a"), "modality", F.col("h").alias("ha")
+            ),
+            ["a", "modality"],
+        )
+        .join(
+            hashes.select(
+                F.col("media_id").alias("b"), "modality", F.col("h").alias("hb")
+            ),
+            ["b", "modality"],
+        )
+        .select(
+            "a", "b", "modality",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("score"),
+        )
+        .where(F.col("score") <= max_dist)
+    )
+    video = (
+        frames.select(F.col("media_id").alias("a"), "ahash")
+        .join(frames.select(F.col("media_id").alias("b"), "ahash"), ["ahash"])
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count_distinct("ahash").alias("score"))
+        .where(F.col("score") >= min_shared_frames)
+        .select("a", "b", F.lit("video").alias("modality"), "score")
+    )
+    return banded.unionByName(video)
+
+
 def build(wh, media: DataFrame, run_id: int) -> None:
     """Initial (or rebuild-by-replacement) ledger from a media corpus:
     one decode pass per modality, all four tables overwritten under
@@ -117,8 +182,9 @@ def ingest(
     ``score`` its Hamming distance (banded modalities) or shared-frame
     count (video); the winning partner is the smallest ledger id.
 
-    Steps (every probe joins the BATCH's signatures against the stored
-    tables only — never batch×batch, never a re-decode of the corpus):
+    Steps (the LEDGER probes join the batch's signatures against the
+    stored tables — never a re-decode of the corpus; the one
+    batch×batch join is the bounded intra-batch stage of step 5):
     1. replay guard: batch ids already in ``md_admitted`` report
        admitted with no partner and are NOT re-appended (foreachBatch
        redelivery discipline, mirrored from dedup_index.ingest).
@@ -128,7 +194,13 @@ def ingest(
        with the true popcount against md_hashes.
     4. video probe: batch frame hashes ⋈ md_frames on the 64-bit hash,
        pairs kept at >= ``min_shared_frames`` distinct shared hashes.
-    5. admitted blobs' hashes/bands/frames + their ids APPEND to the
+    5. INTRA-BATCH stage over the ledger-admitted blobs: cluster them
+       on their own signature edges (same join shapes, batch-sized)
+       and keep only the largest payload per component — same-batch
+       twins can no longer both admit. Losers report dup_of = the
+       in-batch winner (via/score from their best direct edge to it;
+       NULL when the connection is transitive-only).
+    6. admitted blobs' hashes/bands/frames + their ids APPEND to the
        four tables under one atomic commit — a later batch near-dupping
        a blob admitted THIS batch rejects against the grown ledger.
 
@@ -225,10 +297,12 @@ def ingest(
     hits = banded_hits.unionByName(video_hits)
 
     # deterministic winner: smallest ledger id; its modality/score ride
-    # along via min_by-style struct ordering on (b, modality)
+    # along via min_by-style struct ordering on (b, modality). Persisted:
+    # it feeds the verdict frame AND the intra-batch stage's survivor
+    # set, and the CC below fires several actions over it.
     best = hits.groupBy(F.col("a").alias("media_id")).agg(
         F.min(F.struct("b", "modality", "score")).alias("_w")
-    )
+    ).persist()
     admission = (
         batch_ids.join(best, ["media_id"], "left")
         .select(
@@ -240,10 +314,77 @@ def ingest(
         )
     )
 
-    if not commit:
-        from . import dedup
+    # intra-batch stage: the ledger can only reject against STORED
+    # blobs, so a same-batch near-dup pair both pass it. Cluster the
+    # ledger-admitted new blobs over their own signature edges (same
+    # banded/shared-frame shapes, batch-sized), keep the largest
+    # payload per component (smallest id on ties — the text admission's
+    # survivor policy), and reject the rest with dup_of = the in-batch
+    # winner; via/score come from the loser's best direct edge to it
+    # (NULL when the link is transitive-only).
+    from . import dedup
 
-        for frame in (hashes, bands, frames):
+    ok_ids = new_media.select("media_id").join(
+        F.broadcast(best.select("media_id")), ["media_id"], "left_anti"
+    )
+    edges = _intra_edges(
+        hashes, bands, frames, max_dist_image, max_dist_audio,
+        min_shared_frames,
+    ).join(
+        F.broadcast(ok_ids.select(F.col("media_id").alias("a"))), ["a"],
+        "left_semi",
+    ).join(
+        F.broadcast(ok_ids.select(F.col("media_id").alias("b"))), ["b"],
+        "left_semi",
+    ).persist()
+    labels = dedup.components_from_edges(
+        edges.select("a", "b"), ok_ids, "media_id"
+    )
+    sized = new_media.select(
+        "media_id", F.octet_length("payload").cast("long").alias("n_bytes")
+    )
+    kept = dedup.survivors_from_labels(labels, sized, "media_id", "n_bytes")
+    losers = (
+        labels.join(F.broadcast(kept.select("cluster_id", "kept_id")),
+                    "cluster_id")
+        .where(F.col("media_id") != F.col("kept_id"))
+        .select("media_id", F.col("kept_id").alias("dup_of"))
+    )
+    sym = edges.unionByName(
+        edges.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "modality", "score"
+        )
+    ).select(
+        F.col("a").alias("_m"), F.col("b").alias("_w2"), "modality", "score"
+    )
+    inb = (
+        losers.join(
+            sym,
+            (F.col("media_id") == F.col("_m")) & (F.col("dup_of") == F.col("_w2")),
+            "left",
+        )
+        .groupBy("media_id", "dup_of")
+        .agg(F.min(F.struct("score", "modality")).alias("_e"))
+        .select(
+            "media_id",
+            F.col("dup_of").alias("_ib_dup"),
+            F.col("_e.modality").alias("_ib_via"),
+            F.col("_e.score").alias("_ib_score"),
+        )
+    )
+    admission = (
+        admission.join(inb, ["media_id"], "left")
+        .select(
+            "media_id",
+            (F.col("admitted") & F.col("_ib_dup").isNull()).alias("admitted"),
+            F.coalesce("dup_of", "_ib_dup").alias("dup_of"),
+            F.coalesce("via", "_ib_via").alias("via"),
+            F.coalesce("score", "_ib_score").alias("score"),
+        )
+    )
+
+    if not commit:
+        for frame in (hashes, bands, frames, best, edges):
             dedup._PERSISTED_SHINGLES.append(frame)
         return admission
 
@@ -261,7 +402,7 @@ def ingest(
         # full replay / all-rejected batch: the ledger is already
         # exactly right — skip the four appends and the commit (a
         # steady-state re-ingest costs the probe, not a table version)
-        for f in (hashes, bands, frames):
+        for f in (hashes, bands, frames, best, edges):
             f.unpersist()
         return admission
     wh.begin_run(run_id)
@@ -279,6 +420,6 @@ def ingest(
     )
     wh.append(LAYER, T_ADMITTED, adm_ids)
     wh.commit_run(run_id)
-    for f in (hashes, bands, frames):
+    for f in (hashes, bands, frames, best, edges):
         f.unpersist()
     return admission

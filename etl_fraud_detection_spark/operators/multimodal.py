@@ -602,11 +602,12 @@ def media_cluster_survivors(
     survivor pick is one window exchange over the label frame."""
     from . import dedup
 
+    mark = len(dedup._PERSISTED_SHINGLES)
     edges = media_near_dup_edges(
         media, max_dist_image, max_dist_audio, min_shared_frames
     )
     labels = dedup.components_from_edges(
-        edges, media.select("media_id"), "media_id"
+        edges, media.select("media_id"), "media_id", release_since=mark
     )
     sized = media.select(
         "media_id", F.octet_length("payload").cast("long").alias("n_bytes")

@@ -215,6 +215,48 @@ def query(
     return scored
 
 
+def query_terms(wh, text: str) -> list[str]:
+    """Tokenize a RAW query string through the SAME chain the index
+    side applies to documents (ngrams.tokens, evaluated by the engine
+    itself over a one-row local relation — never a Python reimplementation
+    that could drift from the JVM's split semantics). Returns the
+    sorted distinct terms. Bounded collect: the query's own tokens."""
+    rows = (
+        wh.spark.createDataFrame([(text,)], "text string")
+        .select(F.explode(tokens("text")).alias("term"))
+        .distinct()
+        .collect()
+    )
+    return sorted(r["term"] for r in rows)
+
+
+def query_text(
+    wh,
+    text: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int | None = None,
+) -> DataFrame:
+    """BM25 retrieval from a RAW query string — the user-facing form.
+    The first bug every retrieval user hits is an ANALYZER MISMATCH:
+    the index tokenized documents one way and the query was tokenized
+    by hand another way (casing, punctuation, whitespace). This
+    routes the query through the IDENTICAL tokenize chain as
+    :func:`build`/:func:`ingest` (one contract, both sides — the
+    reference's single schema shared by file ingest and staging,
+    SURVEY §1.2, applied to the query side), then delegates to
+    :func:`query`; equality with a hand-tokenized call is pinned in
+    tests/test_text_index.py and oracle-paired as q_bm25_query_text."""
+    terms = query_terms(wh, text)
+    # a blank query tokenizes to only empty-string terms (split("")
+    # is [""]): raise rather than scan for the empty posting. A mixed
+    # query KEEPS any empty term — parity with the index side, which
+    # also emits one for a double space.
+    if not any(terms):
+        raise ValueError("query text tokenized to no terms")
+    return query(wh, terms, k1=k1, b=b, k=k)
+
+
 def query_many(
     wh,
     queries: dict[str, list[str]],

@@ -4738,7 +4738,8 @@ def q_stream_rule4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs_as_html(
-    spark: SparkSession, sf_dir: str, with_pii: bool = False
+    spark: SparkSession, sf_dir: str, with_pii: bool = False,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic crawl fixture built IN-PLAN from the documents
     table (TESTDATA.md ships born-clean text, so the markup stage is
@@ -4748,8 +4749,11 @@ def _docs_as_html(
     is entity-escaped on the way in, so extraction must decode entities
     to round-trip. The expected clean text is therefore an exact
     SQL-expressible function of the source columns — the oracle
-    contract the extraction queries verify against."""
-    docs = _t(spark, sf_dir, "documents")
+    contract the extraction queries verify against. ``docs`` overrides
+    the source frame (doc_id, text) — the clone fixture of
+    q_corpus_admit_intra builds derived pages through the same markup."""
+    if docs is None:
+        docs = _t(spark, sf_dir, "documents")
     title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
     body = F.col("text")
     if with_pii:
@@ -5110,6 +5114,29 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wh = _bm25_warehouse(spark, sf_dir)
     return text_index.query(wh, ["spark", "table", "window"], k=10)
+
+
+@query(
+    "q_bm25_query_text",
+    oracle=f"""
+    SELECT doc_id, n_matched_terms, score_micro, bm25
+    FROM ({QUERIES["q_bm25"].oracle})
+    ORDER BY score_micro DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q_bm25_query_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval from a RAW query STRING: 'spark table window spark'
+    routes through the SAME tokenize chain the index side used
+    (text_index.query_text — engine-evaluated, duplicate terms
+    collapse), so analyzer mismatch between query and index cannot
+    occur. Must produce exactly q_bm25_topk's result — the oracle IS
+    that query's SQL — because the deduped token set is the same
+    three terms."""
+    from ..operators import text_index
+
+    wh = _bm25_warehouse(spark, sf_dir)
+    return text_index.query_text(wh, "spark table window spark", k=10)
 
 
 _BM25_QSETS = {
@@ -5550,13 +5577,16 @@ def q_multimodal_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _clean_corpus_ctes(p: str, where: str = "TRUE") -> str:
+def _clean_corpus_ctes(p: str, where: str = "TRUE", raw_sql: str | None = None) -> str:
     """CTE chain ``<p>raw`` -> ``<p>uniq`` replaying build_corpus's
     relational stages over ``documents`` rows matching ``where``:
     extraction survivors (torn %7 pages quarantined; clean body
     round-trips to text + PII suffix), quality gate, PII redaction
     chain, intra-set exact dedup. Every CTE name carries the prefix so
-    two corpora (admission ledger + batch) can coexist in one oracle."""
+    two corpora (admission ledger + batch) can coexist in one oracle.
+    ``raw_sql`` overrides the extraction-survivor source entirely (must
+    yield (doc_id, text) already carrying the PII suffix) — the clone
+    fixture of q_corpus_admit_intra injects derived pages with it."""
     steps, prev = [], "t0"
     for i, (label, pat) in enumerate(text.PII_PATTERNS, start=1):
         steps.append(
@@ -5564,10 +5594,13 @@ def _clean_corpus_ctes(p: str, where: str = "TRUE") -> str:
         )
         prev = f"t{i}"
     n = len(text.PII_PATTERNS)
-    return f"""
-    {p}raw AS (
+    raw_body = raw_sql or f"""
         SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text
         FROM documents WHERE doc_id % 7 <> 0 AND ({where})
+    """
+    return f"""
+    {p}raw AS (
+        {raw_body}
     ),
     {p}tk AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM {p}raw),
     {p}st AS (
@@ -5686,22 +5719,51 @@ def q_corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _admit_oracle() -> str:
+# Clone-id offset for the intra-batch fixture: ≡ 0 mod 7 AND mod 10,
+# so a clone keeps its original's torn-page residue and stays inside
+# the batch predicate; the appended tail makes it a NEAR (never exact)
+# dup of its original post-redaction.
+_CLONE_OFF = 7_000_000
+_CLONE_TAIL = " plus one extra trailing clone remark"
+
+
+def _admit_oracle(clones: bool = False) -> str:
     """Closed-form replay of the admission cascade: ledger = the full
     build over doc_id%10<>0 (clean chain + LSH survivors); batch =
     doc_id%10=0 through the same clean chain; statuses by precedence
     quarantined > gated > exact_dup(intra, then vs stored) > near_dup
-    (LSH batch x ledger verified at tau) > admitted."""
+    (LSH batch x ledger verified at tau, then IN-BATCH LSH clusters
+    over the ledger survivors — keep-largest, dup_of = the in-batch
+    winner) > admitted. ``clones=True`` doubles the batch with
+    near-dup clone pages (id + _CLONE_OFF, tail-extended text) so the
+    in-batch stage is actually exercised."""
     n = len(text.PII_PATTERNS)
     surv = _survivors_oracle(src="luniq", size_sql="length(d.text)")
     rejects = _minhash_incr_oracle(src="pool")
+    batch_raw = None
+    drive = f"SELECT doc_id FROM documents WHERE doc_id % 10 = 0"
+    if clones:
+        batch_raw = f"""
+        SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents
+        WHERE doc_id % 7 <> 0 AND doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM (
+            SELECT doc_id + {_CLONE_OFF} AS doc_id,
+                   text || '{_CLONE_TAIL}' AS text
+            FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 10 = 0
+        )
+        """
+        drive += (
+            f" UNION ALL SELECT doc_id + {_CLONE_OFF} FROM documents "
+            f"WHERE doc_id % 10 = 0"
+        )
     return f"""
     WITH {_clean_corpus_ctes("l", "doc_id % 10 <> 0")},
     lsurv AS ({surv}),
     ledger AS MATERIALIZED (
         SELECT u.doc_id, u.text FROM lsurv s JOIN luniq u ON u.doc_id = s.kept_id
     ),
-    {_clean_corpus_ctes("b", "doc_id % 10 = 0")},
+    {_clean_corpus_ctes("b", "doc_id % 10 = 0", raw_sql=batch_raw)},
     bgated AS (
         SELECT doc_id FROM braw WHERE doc_id NOT IN (SELECT doc_id FROM bs0)
     ),
@@ -5722,20 +5784,42 @@ def _admit_oracle() -> str:
         UNION ALL SELECT doc_id, text FROM ledger
     ),
     rejects AS ({rejects}),
-    bnear AS (SELECT a AS doc_id, min(b) AS dup_of FROM rejects GROUP BY a)
+    bnear AS (SELECT a AS doc_id, min(b) AS dup_of FROM rejects GROUP BY a),
+    blok AS MATERIALIZED (
+        SELECT doc_id, text FROM pool
+        WHERE doc_id % 10 = 0
+          AND doc_id NOT IN (SELECT doc_id FROM bnear)
+    ),
+    blab AS ({_clusters_oracle("blok")}),
+    bkept AS (
+        SELECT cluster_id, doc_id AS kept_id FROM (
+            SELECT l.cluster_id, l.doc_id,
+                   row_number() OVER (PARTITION BY l.cluster_id
+                                      ORDER BY length(d.text) DESC, l.doc_id)
+                       AS rk
+            FROM blab l JOIN blok d USING (doc_id)
+        ) WHERE rk = 1
+    ),
+    binb AS (
+        SELECT l.doc_id, k.kept_id AS dup_of
+        FROM blab l JOIN bkept k USING (cluster_id)
+        WHERE l.doc_id <> k.kept_id
+    )
     SELECT d.doc_id,
            CASE WHEN d.doc_id % 7 = 0 THEN 'quarantined'
                 WHEN g.doc_id IS NOT NULL THEN 'gated'
                 WHEN i.dup_of IS NOT NULL THEN 'exact_dup'
                 WHEN st.dup_of IS NOT NULL THEN 'exact_dup'
                 WHEN nn.dup_of IS NOT NULL THEN 'near_dup'
+                WHEN ib.dup_of IS NOT NULL THEN 'near_dup'
                 ELSE 'admitted' END AS status,
-           COALESCE(i.dup_of, st.dup_of, nn.dup_of) AS dup_of
-    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+           COALESCE(i.dup_of, st.dup_of, nn.dup_of, ib.dup_of) AS dup_of
+    FROM ({drive}) d
     LEFT JOIN bgated g USING (doc_id)
     LEFT JOIN bintra i USING (doc_id)
     LEFT JOIN bstored st USING (doc_id)
     LEFT JOIN bnear nn USING (doc_id)
+    LEFT JOIN binb ib USING (doc_id)
     """
 
 
@@ -5746,11 +5830,14 @@ def q_corpus_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     COMMITTED corpus built once from the other 90%: quarantine and
     quality-gate in-plan, exact dup against the batch itself then the
     stored survivor fingerprints, near dup against the persisted band
-    LEDGER (dedup_index probe — batch x ledger, never batch x batch,
-    never a re-cluster of the corpus). Read-only preview verdicts here
-    (deterministic under repetition); the committing twin —
-    survivors/ledger/shards/audit appended under ONE commit — is
-    admit_corpus_batch, pinned in tests/test_corpus_build.py.
+    LEDGER (dedup_index probe — batch x ledger, never a re-cluster of
+    the corpus), and finally IN-BATCH near dup over the ledger
+    survivors (batch-sized LSH + CC; exercised with real in-batch
+    pairs by q_corpus_admit_intra — this fixture's batch has none).
+    Read-only preview verdicts here (deterministic under repetition);
+    the committing twin — survivors/ledger/shards/audit appended under
+    ONE commit — is admit_corpus_batch, pinned in
+    tests/test_corpus_build.py.
     Reference analog: the watermark-incremental extract discipline of
     etl.py:190-199 applied to corpus membership."""
     import hashlib
@@ -5778,6 +5865,65 @@ def q_corpus_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = Warehouse(spark, root)
     batch = _torn_pages(spark, sf_dir).where(F.col("doc_id") % 10 == 0)
     return corpus_build.admission_verdicts(wh, batch, tau=0.8)
+
+
+@query("q_corpus_admit_intra", oracle=_admit_oracle(clones=True))
+def q_corpus_admit_intra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission with IN-BATCH near dups — the daily-crawl reality the
+    ledger probe alone cannot catch: the batch is the %10==0 pages
+    PLUS a near-dup clone of each (id + 7,000,000, one extra trailing
+    remark). The cascade must (a) reject the ledger near-dups exactly
+    as q_corpus_admit does, then (b) cluster the ledger survivors
+    WITHIN the batch (same LSH pairs + connected components + keep-
+    largest survivor as the full build) so exactly one of each
+    original/clone pair admits — the clone, being longer — with the
+    loser's dup_of pointing at the in-batch winner. Without this stage
+    both copies would admit AND could md5-bucket into different
+    holdout splits: train/test contamination. Oracle: the full
+    closed-form cascade with the clone construction replayed in SQL.
+    Shares q_corpus_admit's committed warehouse (read-only probes)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators import corpus_build
+    from ..pipeline import Warehouse
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:corpusadmit_v1".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_corpusadmit_{tag}")
+
+    def _build():
+        wh = Warehouse(spark, root)
+        pages = _torn_pages(spark, sf_dir).where(F.col("doc_id") % 10 != 0)
+        corpus_build.build_corpus(
+            wh, pages, run_id=1, tau=0.8, target_tokens=2048, with_ledger=True
+        )
+
+    _built_once(root, "corpus/survivors/_CURRENT", _build)
+    wh = Warehouse(spark, root)
+    base = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    clones = base.select(
+        (F.col("doc_id") + F.lit(_CLONE_OFF)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_CLONE_TAIL)).alias("text"),
+    )
+    pages = _docs_as_html(
+        spark, sf_dir, with_pii=True,
+        docs=base.select("doc_id", "text").unionByName(clones),
+    )
+    torn = pages.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 7) == 0,
+            F.expr(
+                "substring(html, 1, CAST(floor(length(html) * 2 / 3) AS INT))"
+            ),
+        ).otherwise(F.col("html")).alias("html"),
+    )
+    return corpus_build.admission_verdicts(wh, torn, tau=0.8)
 
 
 def _zorder_terms(cols: tuple[str, ...], axis: dict[str, str], bits: int) -> str:

@@ -142,11 +142,13 @@ def _page(i, text, torn=False):
 def _batch_pages(spark):
     """Admission batch covering every verdict: 200 fresh; 201 exact dup
     of stored survivor 3; 202 near dup of stored 4; 203 gated; 204
-    torn; 205/206 intra-batch exact pair."""
+    torn; 205/206 intra-batch exact pair; 207/208 intra-batch NEAR pair
+    (208 longer, so it survives and 207 rejects against it)."""
     corpus_text = lambda i: BASE + (
         f" closing sentence {i} about topic {i * i} and item {i + 100}"
     )
     fresh = BASE + " a wholly new closing thought about item 9000"
+    near_base = BASE + " a separate fresh remark about item 9200"
     rows = [
         _page(200, fresh),
         _page(201, corpus_text(3)),
@@ -155,6 +157,8 @@ def _batch_pages(spark):
         _page(204, corpus_text(9), torn=True),
         _page(205, BASE + " twin closing thought about item 9100"),
         _page(206, BASE + " twin closing thought about item 9100"),
+        _page(207, near_base),
+        _page(208, near_base + " extra"),
     ]
     return spark.createDataFrame(rows, "doc_id long, html string")
 
@@ -192,16 +196,20 @@ def test_admission_verdicts_and_one_commit(spark, corpus_wh):
     assert v[200][0] == "admitted"
     # intra-batch exact pair: min id admitted, twin rejected against it
     assert v[205][0] == "admitted" and v[206] == ("exact_dup", 205)
-    assert res["committed"] and res["n_admitted"] == 2
+    # intra-batch NEAR pair: the LONGER doc survives (208), the other
+    # rejects against the in-batch winner — without this stage both
+    # would admit and could straddle holdout splits
+    assert v[208][0] == "admitted" and v[207] == ("near_dup", 208)
+    assert res["committed"] and res["n_admitted"] == 3
 
-    # one commit for the whole batch; survivors and ledger grew by 2
+    # one commit for the whole batch; survivors and ledger grew by 3
     assert wh.commits() == [1, 2]
     surv = wh.read("corpus", "survivors")
-    assert surv.count() == surv_before + 2
+    assert surv.count() == surv_before + 3
     assert {
         r.doc_id for r in surv.where(F.col("cluster_id") == F.col("doc_id"))
         .where(F.col("doc_id") >= 200).collect()
-    } == {200, 205}
+    } == {200, 205, 208}
     # appended shards: new ids strictly after the stored max, and the
     # WHOLE grown export still verifies against its checksum table
     new_shards = wh.read("export", "training_shards").where(
@@ -267,6 +275,10 @@ def test_admission_replay_is_idempotent(spark, corpus_wh):
     # replayed already-admitted docs idempotently report admitted
     assert replay_verdicts[200] == "admitted"
     assert replay_verdicts[205] == "admitted"
+    assert replay_verdicts[208] == "admitted"
+    # the in-batch loser keeps rejecting — now against the LEDGER,
+    # where its winner was admitted
+    assert replay_verdicts[207] == "near_dup"
     after = {
         t: sorted(tuple(r) for r in wh.read(l, t).collect())
         for l, t in (
@@ -330,7 +342,7 @@ def test_admission_resume_without_manual_recover(spark, corpus_wh, monkeypatch):
     res = corpus_build.admit_corpus_batch(
         wh, _batch_pages(spark), run_id=3, tau=0.8, target_tokens=64
     )
-    assert res["committed"] and res["n_admitted"] == 2
+    assert res["committed"] and res["n_admitted"] == 3
     # every admitted train-split doc HAS shard rows (no silent loss)
     surv = wh.read("corpus", "survivors").where(F.col("doc_id") >= 200)
     train_ids = {

@@ -105,6 +105,58 @@ class TestLedgerGrows:
         assert got[12][0] is False and got[12][1] == 2
 
 
+class TestIntraBatch:
+    def test_same_batch_near_dup_pair_admits_exactly_one(self, spark, wh):
+        """Two near-dup images arriving in the SAME batch: the ledger
+        probe passes both (it only sees stored blobs), so the
+        intra-batch stage must keep exactly one — largest payload,
+        smallest id on ties — and point the loser at the in-batch
+        winner."""
+        media_index.build(wh, _media(spark, [_png_row(1, 0)]), run_id=1)
+        p10, p11 = _png_row(10, 5), _png_row(11, 5, bump=17)
+        # survivor policy is payload size then id — compute the expected
+        # winner from the actual encoded bytes
+        if len(p10[4]) != len(p11[4]):
+            win, lose = (10, 11) if len(p10[4]) > len(p11[4]) else (11, 10)
+        else:
+            win, lose = 10, 11
+        got = _verdicts(media_index.ingest(
+            wh, _media(spark, [p10, p11]), run_id=2
+        ))
+        assert got[win] == (True, None, None)
+        assert got[lose] == (False, win, "image")
+        # only the winner entered the ledger
+        adm = {
+            r.media_id
+            for r in wh.read("index", media_index.T_ADMITTED).collect()
+        }
+        assert adm == {1, win}
+        for t in (media_index.T_HASHES, media_index.T_BANDS):
+            ids = {
+                r.media_id
+                for r in wh.read("index", t).select("media_id").distinct().collect()
+            }
+            assert ids == {1, win}, t
+        # a later twin rejects against the stored WINNER
+        got2 = _verdicts(media_index.ingest(
+            wh, _media(spark, [_png_row(20, 5)]), run_id=3
+        ))
+        assert got2[20][0] is False and got2[20][1] == win
+
+    def test_ledger_hit_outranks_intra_batch_pair(self, spark, wh):
+        """A blob near-dupping BOTH the ledger and a batchmate reports
+        the ledger partner (it never reaches the intra-batch stage);
+        its batchmate — also a ledger near-dup here — likewise."""
+        media_index.build(wh, _media(spark, [_png_row(1, 0)]), run_id=1)
+        got = _verdicts(media_index.ingest(
+            wh,
+            _media(spark, [_png_row(10, 0, bump=17), _png_row(11, 0, bump=22)]),
+            run_id=2,
+        ))
+        assert got[10] == (False, 1, "image")
+        assert got[11] == (False, 1, "image")
+
+
 class TestExactlyOnce:
     def test_replay_is_idempotent(self, spark, wh):
         media_index.build(wh, _media(spark, [_png_row(1, 0)]), run_id=1)

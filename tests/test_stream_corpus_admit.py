@@ -24,6 +24,7 @@ BASE = (
 TEXT_A = BASE + " a first streaming arrival about item 7000"
 TEXT_B = BASE + " a second streaming arrival about item 8000"
 TEXT_C = BASE + " a third streaming arrival about item 9000"
+TEXT_D = BASE + " a fourth streaming arrival about item 9500"
 
 
 def _page(i, text):
@@ -80,6 +81,10 @@ def test_streaming_admission_grows_corpus_batch_by_batch(spark, tmp_path):
                 _page(120, TEXT_B),                     # exact copy of 102
                 _page(121, TEXT_C),                     # fresh
             ],
+            [
+                _page(130, TEXT_D),                     # in-batch near pair:
+                _page(131, TEXT_D + " extra"),          # longer twin wins
+            ],
         ],
     )
 
@@ -112,11 +117,15 @@ def test_streaming_admission_grows_corpus_batch_by_batch(spark, tmp_path):
     # ...and via fingerprints of a doc admitted two batches earlier
     assert v[120][:2] == ("exact_dup", 102)
     assert v[121][:2] == ("admitted", None)
+    # two near-dups arriving in the SAME micro-batch: exactly one
+    # admits (the longer), the other points at the in-batch winner
+    assert v[131][:2] == ("admitted", None)
+    assert v[130][:2] == ("near_dup", 131)
     # one audit run per micro-batch
-    assert {run for _s, _d, run in v.values()} == {100, 101, 102}
+    assert {run for _s, _d, run in v.values()} == {100, 101, 102, 103}
 
     surv = {r.doc_id for r in wh.read("corpus", "survivors").collect()}
-    assert surv == surv0 | {101, 102, 121}
+    assert surv == surv0 | {101, 102, 121, 131}
     # per-batch shard appends: strictly growing ids, whole export intact
     new_shards = wh.read("export", "training_shards").where(
         F.col("shard_id") > max_shard0

@@ -248,3 +248,47 @@ class TestTopK:
                 for r in text_index.query(wh, terms, k=2).collect()
             ]
             assert got == want, qid
+
+
+class TestQueryText:
+    def test_raw_string_equals_hand_tokenized(self, spark, tmp_path):
+        """query_text must route the raw string through the SAME
+        tokenize chain as indexing: duplicates collapse, and the result
+        is bit-identical to the hand-tokenized query() call."""
+        wh = Warehouse(spark, str(tmp_path / "ix"))
+        text_index.build(wh, _docs(spark), run_id=1)
+        got = text_index.query_text(wh, "spark table window spark")
+        want = text_index.query(wh, TERMS)
+        assert _key(got) == _key(want)
+        # and with top-k
+        got_k = text_index.query_text(wh, "spark table window", k=3)
+        want_k = text_index.query(wh, TERMS, k=3)
+        assert _key(got_k) == _key(want_k)
+
+    def test_analyzer_parity_includes_split_quirks(self, spark, tmp_path):
+        """The contract is PARITY with the index-side tokenizer, quirks
+        included: the index splits on single spaces, so a double space
+        yields an empty-string term on BOTH sides — query_terms must
+        reproduce it, not 'helpfully' normalize."""
+        wh = Warehouse(spark, str(tmp_path / "ix"))
+        docs = _docs(spark).unionByName(
+            spark.createDataFrame(
+                [Row(doc_id=9, text="gap  spark")]  # double space
+            )
+        )
+        text_index.build(wh, docs, run_id=1)
+        assert text_index.query_terms(wh, "gap  spark") == ["", "gap", "spark"]
+        got = text_index.query_text(wh, "gap  spark")
+        want = text_index.query(wh, ["", "gap", "spark"])
+        assert _key(got) == _key(want)
+        # the empty term matches doc 9's empty posting (parity, both sides)
+        n9 = {r.doc_id: r.n_matched_terms for r in got.collect()}
+        assert n9[9] == 3
+
+    def test_empty_query_raises(self, spark, tmp_path):
+        import pytest
+
+        wh = Warehouse(spark, str(tmp_path / "ix"))
+        text_index.build(wh, _docs(spark), run_id=1)
+        with pytest.raises(ValueError, match="no terms"):
+            text_index.query_text(wh, "")
