@@ -89,6 +89,18 @@ def main() -> None:
     # Warm the JVM + parquet footers once so per-query numbers measure the
     # engine, not first-touch JIT.
     next(iter(QUERIES.values())).fn(spark, SF_DIR).count()
+    # Warm the STREAMING machinery too (state-store + micro-batch
+    # execution classes + streaming codegen): the first drained stream
+    # of a session pays ~6s of one-time init, and without this warmup
+    # that cost lands inside sweep 1's sample of whichever streaming
+    # query runs first — the round-7 q_stream_join 'weak' measurement
+    # was exactly this cold sample polluting the median.
+    QUERIES["q_stream_join"].fn(spark, SF_DIR).count()
+    for view in _STREAM_VIEWS:
+        try:
+            spark.catalog.dropTempView(view)
+        except Exception:
+            pass
 
     runs = []
     for i in range(N_RUNS):
