@@ -253,3 +253,52 @@ class TestContracts:
             wh2, _media(spark, [_png_row(10, 5)]), run_id=3
         ))
         assert got[10][0] is True
+
+
+class TestCompaction:
+    def test_compact_preserves_ledger_and_probe(self, spark, wh):
+        """Storage maintenance on the incrementally-grown media ledger:
+        per-batch appends accrete small files in all four tables; the
+        generic Warehouse.compact must collapse them without disturbing
+        content — identical rows, and a twin of an admitted blob still
+        rejects against the compacted ledger."""
+        media_index.build(wh, _media(spark, [
+            _png_row(1, 0),
+            (2, "mjpeg", W, H, _frame(40) + _frame(41)),
+        ]), run_id=1)
+        media_index.ingest(wh, _media(spark, [_png_row(10, 5)]), run_id=2)
+        media_index.ingest(
+            wh, _media(spark, [(11, "mjpeg", W, H, _frame(50) + _frame(51))]),
+            run_id=3,
+        )
+        tables = (media_index.T_HASHES, media_index.T_BANDS,
+                  media_index.T_FRAMES, media_index.T_ADMITTED)
+        before = {
+            t: sorted(tuple(r) for r in wh.read("index", t).collect())
+            for t in tables
+        }
+        import os
+
+        for t in tables:
+            n_files = wh.compact("index", t)
+            p = wh.path("index", t)
+            vdir = wh._vdir(p, wh._current(p))
+            assert n_files == sum(
+                1 for _r, _d, fs in os.walk(vdir)
+                for f in fs if f.endswith(".parquet")
+            )
+        after = {
+            t: sorted(tuple(r) for r in wh.read("index", t).collect())
+            for t in tables
+        }
+        assert after == before
+        # probe behavior is unchanged over the compacted ledger: image
+        # twin, frame-sharing clip, and replayed id all resolve as before
+        got = _verdicts(media_index.ingest(wh, _media(spark, [
+            _png_row(20, 5, bump=17),
+            (21, "mjpeg", W, H, _frame(51) + _frame(60)),
+            _png_row(10, 5),
+        ]), run_id=4))
+        assert got[20] == (False, 10, "image")
+        assert got[21][0] is False and got[21][1] == 11
+        assert got[10] == (True, None, None)  # replay guard intact

@@ -50,14 +50,22 @@ def _media_frame(spark, n: int, start: int = 0, bump_every: int | None = None):
         for pdf in it:
             payloads = []
             for mid in pdf["id"]:
-                seed = int(mid) - start if bump_every else int(mid)
+                if not bump_every:
+                    seed = int(mid)
+                elif int(mid) % bump_every == 0:
+                    seed = int(mid) - start  # reuses a ledger seed
+                else:
+                    seed = int(mid)  # >= start: content the ledger lacks
+                # seed-unique pattern: the x*y*(seed//256) term breaks
+                # the mod-256 period, so distinct seeds give distinct
+                # images (a plain additive term collides every 256)
                 px = bytearray(
-                    (x * 29 + y * 57 + seed * 83) % 256
+                    (x * 29 + y * 57 + seed * 83 + x * y * (seed // 256)) % 256
                     for y in range(H)
                     for x in range(W)
                 )
                 if bump_every and int(mid) % bump_every == 0:
-                    px[17] = (px[17] + 40) % 256
+                    px[17] = (px[17] + 40) % 256  # near (not exact) dup
                 payloads.append(png.encode_png(W, H, 1, bytes(px)))
             yield pd.DataFrame(
                 {
@@ -125,10 +133,10 @@ def main() -> None:
         shutil.rmtree(root, ignore_errors=True)
 
     print()
-    print("## zorder_write + box-query file pruning vs corpus size")
+    print("## zorder_write + stats-pruned probes vs corpus size")
     print(
-        "| corpus | write (s) | z files hit / total | x-sort files hit "
-        "| rows |"
+        "| corpus | write (s) | box: z / x-sort | n_chars-only: z / x-sort "
+        "| box rows |"
     )
     print("|---|---|---|---|---|")
     scaled = os.path.join("/tmp", f"spark_graft_scale_{args.factor}x")
@@ -150,23 +158,29 @@ def main() -> None:
             .sortWithinPartitions("doc_id")
             .write.mode("overwrite").parquet(ndir)
         )
-        # fixed fractional box: middle 1/8 of each axis
+        # fixed fractional predicates: a 2D box (middle 1/8 of each
+        # axis) and a SECOND-column-only band — the case a single-column
+        # sort cannot prune at all (every x-file spans the full y range)
+        ybond = (
+            (F.col("n_chars") >= clo + (chi - clo) * 7 // 16)
+            & (F.col("n_chars") < clo + (chi - clo) * 9 // 16)
+        )
         box = (
             (F.col("doc_id") >= lo + (hi - lo) * 7 // 16)
             & (F.col("doc_id") < lo + (hi - lo) * 9 // 16)
-            & (F.col("n_chars") >= clo + (chi - clo) * 7 // 16)
-            & (F.col("n_chars") < clo + (chi - clo) * 9 // 16)
-        )
+        ) & ybond
 
-        def hit(path):
+        def hit(path, pred):
             return (
-                spark.read.parquet(path).where(box)
+                spark.read.parquet(path).where(pred)
                 .select(F.input_file_name()).distinct().count()
             )
 
         rows = spark.read.parquet(zdir).where(box).count()
         print(
-            f"| {tag} | {t_w:.2f} | {hit(zdir)}/32 | {hit(ndir)}/32 "
+            f"| {tag} | {t_w:.2f} "
+            f"| {hit(zdir, box)} / {hit(ndir, box)} of 32 "
+            f"| {hit(zdir, ybond)} / {hit(ndir, ybond)} of 32 "
             f"| {rows} |"
         )
         shutil.rmtree(zdir, ignore_errors=True)
