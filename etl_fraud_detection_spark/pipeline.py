@@ -630,6 +630,7 @@ class Warehouse:
         table: str,
         target_mb: int = 128,
         partition_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """Small-file compaction: rewrite the table into
         ceil(bytes / target_mb) files via the same swap-on-overwrite
@@ -649,7 +650,13 @@ class Warehouse:
         partition directory, which is the right granularity when
         partitions are value-bounded like cid/event_date.) A plain
         coalesce would silently flatten the directory tree — resolving
-        the spec here is what prevents that."""
+        the spec here is what prevents that.
+
+        ``zorder_by`` restores Z-ORDER during the rewrite (the
+        Delta/Iceberg OPTIMIZE ZORDER maintenance step): appends land
+        unordered, so an incrementally-grown z table's file stats
+        degrade until a compaction re-clusters it on (partition
+        columns, Morton key)."""
         import math
 
         partition_by = self._resolve_partition_by(layer, table, partition_by)
@@ -662,7 +669,13 @@ class Warehouse:
             if f.endswith(".parquet")
         )
         n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
-        if partition_by:
+        if zorder_by:
+            self.overwrite(
+                layer, table, self.read(layer, table),
+                partition_by=partition_by, zorder_by=list(zorder_by),
+                zorder_files=n_files,
+            )
+        elif partition_by:
             df = self.read(layer, table).repartition(
                 *[F.col(c) for c in partition_by]
             )

@@ -200,3 +200,50 @@ def test_zorder_files_localize_box_queries(spark, tmp_path):
     )
     assert zrows == [(x, y) for x in range(8, 16) for y in range(8, 16)]
     assert z_files < n_files or n_files <= 2  # z strictly tighter here
+
+
+def test_compact_restores_zorder_after_appends(spark, tmp_path):
+    """Appends land unordered, degrading the z table's file stats; a
+    compact(zorder_by=...) rewrite must restore the multi-column
+    locality — the OPTIMIZE ZORDER maintenance step."""
+    from etl_fraud_detection_spark.pipeline import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "zc"))
+    base = spark.createDataFrame(
+        [(x, y) for x in range(0, 64, 2) for y in range(64)], "x long, y long"
+    )
+    wh.begin_run(1)
+    wh.overwrite("stage", "pts", base, zorder_by=["x", "y"], zorder_files=16)
+    wh.commit_run(1)
+    # the odd-x half arrives later, in x-major order (z-oblivious)
+    wh.begin_run(2)
+    wh.append(
+        "stage", "pts",
+        spark.createDataFrame(
+            [(x, y) for x in range(1, 64, 2) for y in range(64)],
+            "x long, y long",
+        ).repartitionByRange(16, "x").sortWithinPartitions("x"),
+    )
+    wh.commit_run(2)
+
+    box = (
+        (F.col("x") >= 8) & (F.col("x") < 16)
+        & (F.col("y") >= 8) & (F.col("y") < 16)
+    )
+
+    def files_hit():
+        return (
+            wh.read("stage", "pts").where(box)
+            .select(F.input_file_name()).distinct().count()
+        )
+
+    degraded = files_hit()
+    wh.begin_run(3)
+    wh.compact("stage", "pts", target_mb=1, zorder_by=["x", "y"])
+    wh.commit_run(3)
+    restored = files_hit()
+    # content identical, locality restored
+    assert wh.read("stage", "pts").count() == 64 * 64
+    assert wh.read("stage", "pts").where(box).count() == 64
+    assert restored < degraded, (restored, degraded)
+    assert restored <= 3, restored

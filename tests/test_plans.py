@@ -485,3 +485,32 @@ def test_data_card_is_one_expand_one_shuffle(spark):
     assert count_nodes(p, "Expand") == 1
     assert count_nodes(p, "Exchange") == 1
     assert "EvalPython" not in p
+
+
+def test_bm25_query_text_is_takeordered_not_global_sort(spark):
+    """The raw-string retrieval form inherits q_bm25_topk's physical
+    contract: TakeOrderedAndProject, zero Sort exchanges — the
+    query-side analyzer adds a bounded driver tokenize, never a plan
+    change."""
+    p = plan_of(q(spark, "q_bm25_query_text"))
+    assert "TakeOrderedAndProject" in p
+    assert count_nodes(p, "Sort") == 0
+
+
+def test_zorder_key_mixed_axes_stay_jvm_side(spark):
+    """Mixed-type axes (timestamp/string/integral) keep the Morton key
+    in codegen: no Python, no window over the DATA (the one window
+    ranks the handful of DISTINCT strings), and the only exchanges are
+    the single-row bounds aggregate and the dictionary-rank side —
+    the fact table itself is never hash-partitioned."""
+    p = plan_of(q(spark, "q_zorder_key_mixed"))
+    assert "EvalPython" not in p
+    # the dict-rank subplan appears under the fact side AND the bounds
+    # side (two windows), but each window's input is the DISTINCT
+    # aggregation — every hash-partition exchange in the whole plan is
+    # over the handful of distinct strings, never the fact table
+    assert count_nodes(p, "Window") == 2
+    import re as _re
+
+    for m in _re.findall(r"hashpartitioning\(([^,]+),", p):
+        assert "o_orderpriority" in m, p
