@@ -231,46 +231,58 @@ def _admission(
         .agg(F.min("sv_id").alias("dup_of"))
     )
     fresh = cand.join(stored.select("doc_id"), "doc_id", "left_anti")
-    # CHECKPOINT (not persist) the ledger verdicts: they feed the
-    # verdict union, the intra-batch cluster input AND the admitted set,
-    # and the probe plan (128-hash signatures + banded join + jaccard
-    # verify) is enormous — composed lazily into the five consumers it
-    # multiplies into a gigabyte-scale plan string whose ANALYSIS alone
-    # dominates wall time (measured: 538s -> ~20s for the intra-batch
-    # admission query at sf0.01). The checkpoint runs the probe once
-    # and every consumer reads a leaf.
-    near = dedup_index.ingest(
-        wh, fresh.select("doc_id", "text"), tau=tau, commit=False
-    ).localCheckpoint()
+    # CHECKPOINT (not persist) the ledger verdicts AND the intra-batch
+    # pairs: they feed the verdict union, the cluster input and the
+    # admitted set, and the probe plan (128-hash signatures + banded
+    # join + jaccard verify) is enormous — composed lazily into its
+    # five consumers it multiplies into a gigabyte-scale plan string
+    # whose ANALYSIS alone dominates wall time (measured: 538s -> ~20s
+    # for the intra-batch admission query at sf0.01). intra_pairs=True
+    # derives the batch×batch pairs from the SAME fingerprints/bands
+    # the ledger probe computes — one extra band self-join instead of
+    # a second full shingle/signature pass.
+    near, ipairs = dedup_index.ingest(
+        wh, fresh.select("doc_id", "text"), tau=tau, commit=False,
+        intra_pairs=True,
+    )
+    near = near.localCheckpoint()
+    ipairs = ipairs.localCheckpoint()
 
     # intra-batch near-dup stage over the LEDGER-ADMITTED docs: the
-    # same LSH pairs + pointer-doubling CC + keep-largest survivor the
-    # full build uses, confined to the batch (bounded cost). Ledger
-    # precedence: a doc near-dupping BOTH the corpus and a batchmate
-    # reports the corpus partner (it never reaches this stage).
+    # verified batch pairs (ends filtered to ledger survivors — a
+    # per-doc property, so the pair set equals one computed over that
+    # subset) + the shared pointer-doubling CC + keep-largest survivor.
+    # Ledger precedence: a doc near-dupping BOTH the corpus and a
+    # batchmate reports the corpus partner (it never reaches this
+    # stage). Empty pair set (the common case: a batch with no
+    # same-day twins) SKIPS the iterative CC entirely.
     from . import dedup
 
-    ledger_ok = fresh.join(
-        near.where(F.col("admitted")).select("doc_id"), "doc_id", "left_semi"
+    ok_ids = near.where(F.col("admitted")).select("doc_id")
+    ipairs = (
+        ipairs.select("a", "b")
+        .join(F.broadcast(ok_ids.select(F.col("doc_id").alias("a"))), ["a"],
+              "left_semi")
+        .join(F.broadcast(ok_ids.select(F.col("doc_id").alias("b"))), ["b"],
+              "left_semi")
     )
-    sized = ledger_ok.select(
-        "doc_id", "text", F.length("text").cast("long").alias("n_chars")
-    )
-    labels = dedup.near_dup_clusters(sized, tau=tau)
-    kept = dedup.survivors_from_labels(
-        labels, sized.select("doc_id", "n_chars"), "doc_id", "n_chars"
-    )
-    # tiny frame, but its lazy plan would re-drag labels × sized (and
-    # through them the whole extraction/probe tree) into every verdict
-    # branch — checkpoint it too (labels themselves are already
-    # checkpoint leaves from the CC loop)
-    inbatch = (
-        labels.join(F.broadcast(kept.select("cluster_id", "kept_id")),
-                    "cluster_id")
-        .where(F.col("doc_id") != F.col("kept_id"))
-        .select("doc_id", F.col("kept_id").alias("dup_of"))
-        .localCheckpoint()
-    )
+    if ipairs.limit(1).count() == 0:
+        inbatch = ipairs.sparkSession.createDataFrame(
+            [], "doc_id long, dup_of long"
+        )
+    else:
+        sized = fresh.select(
+            "doc_id", F.length("text").cast("long").alias("n_chars")
+        )
+        labels = dedup.components_from_edges(ipairs, ok_ids, "doc_id")
+        kept = dedup.survivors_from_labels(labels, sized, "doc_id", "n_chars")
+        inbatch = (
+            labels.join(F.broadcast(kept.select("cluster_id", "kept_id")),
+                        "cluster_id")
+            .where(F.col("doc_id") != F.col("kept_id"))
+            .select("doc_id", F.col("kept_id").alias("dup_of"))
+            .localCheckpoint()
+        )
 
     def tag(df: DataFrame, status: str, with_dup: bool = False) -> DataFrame:
         dup = F.col("dup_of") if with_dup else F.lit(None).cast("long")

@@ -337,51 +337,57 @@ def ingest(
         F.broadcast(ok_ids.select(F.col("media_id").alias("b"))), ["b"],
         "left_semi",
     ).persist()
-    labels = dedup.components_from_edges(
-        edges.select("a", "b"), ok_ids, "media_id"
-    )
-    sized = new_media.select(
-        "media_id", F.octet_length("payload").cast("long").alias("n_bytes")
-    )
-    kept = dedup.survivors_from_labels(labels, sized, "media_id", "n_bytes")
-    losers = (
-        labels.join(F.broadcast(kept.select("cluster_id", "kept_id")),
-                    "cluster_id")
-        .where(F.col("media_id") != F.col("kept_id"))
-        .select("media_id", F.col("kept_id").alias("dup_of"))
-    )
-    sym = edges.unionByName(
-        edges.select(
-            F.col("b").alias("a"), F.col("a").alias("b"), "modality", "score"
+    # the common case — a batch with no same-day twins — skips the
+    # iterative CC (several jobs of fixed overhead) entirely
+    if edges.limit(1).count() > 0:
+        labels = dedup.components_from_edges(
+            edges.select("a", "b"), ok_ids, "media_id"
         )
-    ).select(
-        F.col("a").alias("_m"), F.col("b").alias("_w2"), "modality", "score"
-    )
-    inb = (
-        losers.join(
-            sym,
-            (F.col("media_id") == F.col("_m")) & (F.col("dup_of") == F.col("_w2")),
-            "left",
+        sized = new_media.select(
+            "media_id", F.octet_length("payload").cast("long").alias("n_bytes")
         )
-        .groupBy("media_id", "dup_of")
-        .agg(F.min(F.struct("score", "modality")).alias("_e"))
-        .select(
-            "media_id",
-            F.col("dup_of").alias("_ib_dup"),
-            F.col("_e.modality").alias("_ib_via"),
-            F.col("_e.score").alias("_ib_score"),
+        kept = dedup.survivors_from_labels(labels, sized, "media_id", "n_bytes")
+        losers = (
+            labels.join(F.broadcast(kept.select("cluster_id", "kept_id")),
+                        "cluster_id")
+            .where(F.col("media_id") != F.col("kept_id"))
+            .select("media_id", F.col("kept_id").alias("dup_of"))
         )
-    )
-    admission = (
-        admission.join(inb, ["media_id"], "left")
-        .select(
-            "media_id",
-            (F.col("admitted") & F.col("_ib_dup").isNull()).alias("admitted"),
-            F.coalesce("dup_of", "_ib_dup").alias("dup_of"),
-            F.coalesce("via", "_ib_via").alias("via"),
-            F.coalesce("score", "_ib_score").alias("score"),
+        sym = edges.unionByName(
+            edges.select(
+                F.col("b").alias("a"), F.col("a").alias("b"), "modality",
+                "score",
+            )
+        ).select(
+            F.col("a").alias("_m"), F.col("b").alias("_w2"), "modality",
+            "score",
         )
-    )
+        inb = (
+            losers.join(
+                sym,
+                (F.col("media_id") == F.col("_m"))
+                & (F.col("dup_of") == F.col("_w2")),
+                "left",
+            )
+            .groupBy("media_id", "dup_of")
+            .agg(F.min(F.struct("score", "modality")).alias("_e"))
+            .select(
+                "media_id",
+                F.col("dup_of").alias("_ib_dup"),
+                F.col("_e.modality").alias("_ib_via"),
+                F.col("_e.score").alias("_ib_score"),
+            )
+        )
+        admission = (
+            admission.join(inb, ["media_id"], "left")
+            .select(
+                "media_id",
+                (F.col("admitted") & F.col("_ib_dup").isNull()).alias("admitted"),
+                F.coalesce("dup_of", "_ib_dup").alias("dup_of"),
+                F.coalesce("via", "_ib_via").alias("via"),
+                F.coalesce("score", "_ib_score").alias("score"),
+            )
+        )
 
     if not commit:
         for frame in (hashes, bands, frames, best, edges):
