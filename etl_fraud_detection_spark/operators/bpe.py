@@ -92,32 +92,39 @@ def encode_text(text: str, merges: list[tuple[str, str]]) -> list[str]:
 
 
 def encode_documents(
-    docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    strict: bool = False,
 ) -> DataFrame:
     """Distributed BPE encode: merge table broadcast via closure, each
     Arrow batch encoded independently (map-only). Emits the token array
-    and the billing-grade token count."""
+    and the billing-grade token count.
+
+    Precondition, enforced per-document: the terminal marker must not
+    occur IN the text, or decode_tokens' marker replacement would
+    corrupt the round trip — a word containing ``</w>`` splits into
+    chars whose concatenation reproduces the marker mid-stream. Corpus
+    text reaching this operator is whitespace/markup-normalized
+    upstream (html_extract strips tags), so real corpora never trip
+    this. Default mode QUARANTINES the offending doc (``bpe_tokens``
+    and ``n_bpe_tokens`` NULL) so one adversarial/unnormalized doc
+    cannot abort a corpus-wide encode job; ``strict=True`` restores
+    the hard ValueError for callers that require all-or-nothing."""
     # per-word memoization: corpus words repeat heavily, so encoding
     # each distinct word once per batch beats re-merging every copy
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[str, list[str]] = {}
 
-        def enc(text: str) -> list[str]:
-            # hard precondition, asserted where it's cheapest (inside
-            # the batch that already scans the text): the terminal
-            # marker must not occur IN the text, or decode_tokens'
-            # marker replacement would corrupt the round trip — a word
-            # containing '</w>' splits into chars whose concatenation
-            # reproduces the marker mid-stream. Corpus text reaching
-            # this operator is whitespace/markup-normalized upstream
-            # (html_extract strips tags), so real corpora never trip
-            # this; raising beats silently decoding to the wrong text.
+        def enc(text: str) -> list[str] | None:
             if WORD_END in text:
-                raise ValueError(
-                    f"BPE input contains the literal terminal marker "
-                    f"{WORD_END!r}; decode would not round-trip — strip "
-                    f"or escape markup before encoding"
-                )
+                if strict:
+                    raise ValueError(
+                        f"BPE input contains the literal terminal marker "
+                        f"{WORD_END!r}; decode would not round-trip — "
+                        f"strip or escape markup before encoding"
+                    )
+                return None
             out: list[str] = []
             for w in text.split():
                 if not w:
@@ -135,7 +142,8 @@ def encode_documents(
                     "doc_id": pdf["doc_id"],
                     "bpe_tokens": toks,
                     "n_bpe_tokens": pd.array(
-                        [len(t) for t in toks], dtype="int64"
+                        [None if t is None else len(t) for t in toks],
+                        dtype="Int64",
                     ),
                 }
             )
@@ -152,8 +160,9 @@ def decode_tokens(tokens_col: str = "bpe_tokens"):
     of encode for whitespace-normalized, MARKER-FREE input (encoding
     splits on whitespace runs, so the round trip yields words joined
     by single spaces; text containing the literal ``</w>`` characters
-    is rejected by encode_documents — the marker replacement here
-    cannot distinguish it from a word boundary) — the property
+    is quarantined to NULL by encode_documents — the marker
+    replacement here cannot distinguish it from a word boundary, and
+    NULL tokens decode to NULL, never wrong text) — the property
     q_bpe_roundtrip pins for EVERY merge table, since merges only
     re-segment within a word and never cross the marker. Encode is
     the documented Arrow escape hatch; decode stays in whole-stage

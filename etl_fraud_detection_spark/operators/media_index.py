@@ -370,7 +370,22 @@ def ingest(
                 "left",
             )
             .groupBy("media_id", "dup_of")
-            .agg(F.min(F.struct("score", "modality")).alias("_e"))
+            # "best edge" = CLOSEST match, but score direction differs
+            # by modality: image/audio score is a Hamming distance
+            # (lower = closer) while video score is a shared-frame
+            # count (higher = closer). Order on a per-modality
+            # closeness key so mixed-modality edges compare sanely.
+            .agg(
+                F.min(
+                    F.struct(
+                        F.when(F.col("modality") == "video", -F.col("score"))
+                        .otherwise(F.col("score"))
+                        .alias("closeness"),
+                        F.col("modality").alias("modality"),
+                        F.col("score").alias("score"),
+                    )
+                ).alias("_e")
+            )
             .select(
                 "media_id",
                 F.col("dup_of").alias("_ib_dup"),

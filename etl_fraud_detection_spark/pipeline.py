@@ -409,6 +409,12 @@ class Warehouse:
             shutil.rmtree(tmp)
         os.makedirs(tmp)
         _link_tree(self._vdir(sp, sv), tmp)
+        # _link_tree skips marker files; a source version holding ZERO
+        # parquet files carries its schema only in _SCHEMA, so carry the
+        # marker over or the adopted version fails schema inference.
+        src_schema = os.path.join(self._vdir(sp, sv), "_SCHEMA")
+        if not self._has_parquet(tmp) and os.path.exists(src_schema):
+            shutil.copyfile(src_schema, os.path.join(tmp, "_SCHEMA"))
         if os.path.exists(vdir):
             shutil.rmtree(vdir)
         os.replace(tmp, vdir)

@@ -77,17 +77,24 @@ def test_decode_inverts_encode_for_any_merge_table(spark):
     assert got0 == want
 
 
-def test_marker_bearing_input_is_rejected_not_corrupted(spark):
+def test_marker_bearing_input_is_quarantined_not_corrupted(spark):
     """Text containing the literal terminal marker '</w>' cannot
-    round-trip (decode would read it as a word boundary) — encode must
-    raise the documented precondition error instead of silently
-    decoding to the wrong text."""
+    round-trip (decode would read it as a word boundary). Default mode
+    quarantines ONLY the offending doc (NULL tokens/count) so one bad
+    doc never aborts the corpus-wide encode; clean rows in the same
+    batch still encode. strict=True restores the hard error."""
     import pytest
 
     from etl_fraud_detection_spark.operators import bpe
 
     docs = spark.createDataFrame(
-        [(0, "pasted markup a</w>b here")], "doc_id long, text string"
+        [(0, "pasted markup a</w>b here"), (1, "clean text")],
+        "doc_id long, text string",
     )
+    rows = {r["doc_id"]: r for r in bpe.encode_documents(docs, []).collect()}
+    assert rows[0]["bpe_tokens"] is None
+    assert rows[0]["n_bpe_tokens"] is None
+    assert rows[1]["bpe_tokens"] is not None
+    assert rows[1]["n_bpe_tokens"] == len(rows[1]["bpe_tokens"])
     with pytest.raises(Exception, match="terminal marker"):
-        bpe.encode_documents(docs, []).collect()
+        bpe.encode_documents(docs, [], strict=True).collect()

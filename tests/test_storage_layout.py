@@ -132,3 +132,22 @@ def test_warehouse_partition_spec_is_table_metadata(spark, tmp_path):
     # conflicting explicit layout is an error, not silent corruption
     with pytest.raises(ValueError, match="partitioned by"):
         wh.append("l", "t", df, partition_by=["v"])
+
+
+def test_adopt_empty_version_carries_schema_marker(spark, tmp_path):
+    """adopt() of a staged version holding ZERO parquet files (an empty
+    PARTITIONED write — e.g. a train split that gated out entirely)
+    must carry the source's _SCHEMA marker into the published version:
+    _link_tree skips underscore files, and without the marker the
+    adopted version fails schema inference on read."""
+    from etl_fraud_detection_spark.pipeline import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(5).select(
+        (F.col("id") % 2).alias("part"), F.col("id").alias("v")
+    )
+    wh.overwrite("l", "stage", df.where(F.lit(False)), partition_by=["part"])
+    wh.adopt("l", "served", "l", "stage")
+    got = wh.read("l", "served")
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["part", "v"]
