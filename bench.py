@@ -20,6 +20,15 @@ folded in, and per-family subtotals (sums of medians, keyed by
 plans.queries.family) make round-over-round comparisons robust to
 catalog growth: compare family subtotals, not bare totals.
 
+Adaptive resampling (round 9): a stall that lands on 2 of a query's 3
+sweep samples moves the median itself — round 8 recorded 3.9x/3.6x
+phantom regressions on untouched code that way. Queries whose spread
+exceeds max(0.3s, 0.5*median) after the sweeps now get up to
+$SPARK_GRAFT_BENCH_EXTRA (default 4) extra interleaved samples; their
+recorded median is over all samples (median of up to 7 — robust to a
+passed stall) while spread keeps the full range as the noise-floor
+annotation, and BENCH_DETAIL "resampled" names them.
+
 Round-over-round caveat (learned r2->r3): the testdata parquet files are
 REGENERATED between rounds and the host is shared — medians from a
 previous round are only comparable after re-running the previous code on
@@ -49,37 +58,37 @@ _STREAM_VIEWS = (
 )
 
 
-def _run_catalog(spark) -> dict[str, float]:
-    timings: dict[str, float] = {}
-    for name, spec in QUERIES.items():
-        # Each query is timed from a clean cache so earlier queries'
-        # persisted frames don't skew later measurements. Draining the
-        # operator persist registries as well keeps the driver from
-        # accumulating references to frames clearCache already evicted.
-        from etl_fraud_detection_spark.operators.dedup import release_shingles
-        from etl_fraud_detection_spark.operators.sampling import release_ranked
+def _time_query(spark, name: str) -> float:
+    """One bench sample of one query: clean cache + drained persist
+    registries before, streaming memory-sink cleanup after."""
+    from etl_fraud_detection_spark.operators.dedup import release_shingles
+    from etl_fraud_detection_spark.operators.sampling import release_ranked
 
-        release_shingles()
-        release_ranked()
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        df = spec.fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = time.perf_counter() - t0
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-        # Free memory-sink tables of drained streaming queries — a
-        # "complete"-mode sink pins its rows on the driver and skews the
-        # next query's timing.
-        dropped = False
-        for view in _STREAM_VIEWS:
-            try:
-                dropped = spark.catalog.dropTempView(view) or dropped
-            except Exception:
-                pass
-        if dropped:
-            # reclaim the sink rows now, not during the next measurement
-            spark.sparkContext._jvm.System.gc()
-    return timings
+    release_shingles()
+    release_ranked()
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    df = QUERIES[name].fn(spark, SF_DIR)
+    n = df.count()
+    took = time.perf_counter() - t0
+    print(f"# {name}: {took:.3f}s ({n} rows)", file=sys.stderr)
+    # Free memory-sink tables of drained streaming queries — a
+    # "complete"-mode sink pins its rows on the driver and skews the
+    # next query's timing.
+    dropped = False
+    for view in _STREAM_VIEWS:
+        try:
+            dropped = spark.catalog.dropTempView(view) or dropped
+        except Exception:
+            pass
+    if dropped:
+        # reclaim the sink rows now, not during the next measurement
+        spark.sparkContext._jvm.System.gc()
+    return took
+
+
+def _run_catalog(spark) -> dict[str, float]:
+    return {name: _time_query(spark, name) for name in QUERIES}
 
 
 def main() -> None:
@@ -107,16 +116,46 @@ def main() -> None:
         print(f"# --- run {i + 1}/{N_RUNS} ---", file=sys.stderr)
         runs.append(_run_catalog(spark))
 
-    medians = {
-        name: round(statistics.median(r[name] for r in runs), 4)
+    samples = {name: [r[name] for r in runs] for name in QUERIES}
+
+    # Adaptive resampling (round-9 protocol hardening): a recorded
+    # number is only falsifiable when its spread is small against its
+    # median. With 3 sweeps, one host stall inflates up to 2 of a
+    # query's 3 samples and the median silently follows — round 8
+    # recorded 3.9x/3.6x "regressions" on untouched code exactly this
+    # way (both re-measured at their old values under a 10-sample
+    # same-boot probe, SCALE.md round 9). So: any query whose spread
+    # exceeds BOTH 0.3s and half its median gets up to 4 extra
+    # samples, round-robin across the noisy set (interleaved, so a
+    # persisting stall keeps hitting all of them equally and stays
+    # visible in the recorded spread rather than hiding in one query).
+    extra_rounds = max(
+        0, int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "4"))
+    )
+    noisy = [
+        name
         for name in QUERIES
+        if (max(samples[name]) - min(samples[name]))
+        > max(0.3, 0.5 * statistics.median(samples[name]))
+    ]
+    if noisy and extra_rounds:
+        print(
+            f"# resampling {len(noisy)} noisy queries x{extra_rounds}: "
+            + " ".join(noisy),
+            file=sys.stderr,
+        )
+        for _ in range(extra_rounds):
+            for name in noisy:
+                samples[name].append(_time_query(spark, name))
+
+    medians = {
+        name: round(statistics.median(samples[name]), 4) for name in QUERIES
     }
     spread = {
-        name: round(
-            max(r[name] for r in runs) - min(r[name] for r in runs), 4
-        )
+        name: round(max(samples[name]) - min(samples[name]), 4)
         for name in QUERIES
     }
+    resampled = {name: len(samples[name]) for name in noisy}
     families: dict[str, float] = {}
     fam_spread: dict[str, float] = {}
     for name in QUERIES:
@@ -136,14 +175,21 @@ def main() -> None:
                 "families": families,
                 "family_spread": fam_spread,
                 "runs": N_RUNS,
+                "resampled": resampled,
                 "sf": sf_val,
                 "protocol": (
                     "runs interleaved round-robin: full catalog swept "
-                    f"{N_RUNS}x, per-query median reported; families = "
-                    "sum of medians per plans.queries.family; testdata "
-                    "is regenerated between rounds, so cross-round "
-                    "comparisons require re-running old code on current "
-                    "data (SCALE.md 'Bench comparability')"
+                    f"{N_RUNS}x, per-query median reported; queries "
+                    "whose spread exceeded max(0.3s, 0.5*median) after "
+                    f"the sweeps got up to {extra_rounds} extra "
+                    "interleaved samples ('resampled' maps name -> "
+                    "total sample count; their median is over ALL "
+                    "samples, their spread keeps the full range as a "
+                    "noise-floor annotation); families = sum of "
+                    "medians per plans.queries.family; testdata is "
+                    "regenerated between rounds, so cross-round "
+                    "comparisons require re-running old code on "
+                    "current data (SCALE.md 'Bench comparability')"
                 ),
             },
             f,

@@ -45,6 +45,10 @@ from pyspark.sql import DataFrame, Window, functions as F
 from . import dedup, export, extraction, sampling, text
 
 LAYER = "corpus"
+
+# round-9 A/B toggle for the admission checkpoint fold (SCALE.md
+# "Round 9"); measurement-only, the folded path is the product path
+_FOLD_CHECKPOINTS = True
 T_QUARANTINE = "quarantine"
 T_SURVIVORS = "survivors"
 
@@ -245,8 +249,42 @@ def _admission(
         wh, fresh.select("doc_id", "text"), tau=tau, commit=False,
         intra_pairs=True,
     )
-    near = near.localCheckpoint()
-    ipairs = ipairs.localCheckpoint()
+    if _FOLD_CHECKPOINTS:
+        # ONE materialization for both verdict frames: the ledger
+        # verdicts and the intra-batch pairs share the probe's
+        # persisted fingerprints/bands, so evaluating them as one
+        # unioned job halves the eager-checkpoint count on the daily
+        # steady-state path (round-9 verdict task 2); the split-back
+        # filters read the checkpointed rows, never the probe plan.
+        combined = (
+            near.select(
+                F.lit("adm").alias("_k"),
+                F.col("doc_id").alias("_x"),
+                F.col("dup_of").cast("long").alias("_y"),
+                "admitted",
+                "jaccard",
+            )
+            .unionByName(
+                ipairs.select(
+                    F.lit("ip").alias("_k"),
+                    F.col("a").alias("_x"),
+                    F.col("b").alias("_y"),
+                    F.lit(None).cast("boolean").alias("admitted"),
+                    "jaccard",
+                )
+            )
+            .localCheckpoint()
+        )
+        near = combined.where(F.col("_k") == "adm").select(
+            F.col("_x").alias("doc_id"), "admitted",
+            F.col("_y").alias("dup_of"), "jaccard",
+        )
+        ipairs = combined.where(F.col("_k") == "ip").select(
+            F.col("_x").alias("a"), F.col("_y").alias("b"), "jaccard"
+        )
+    else:  # pragma: no cover - measurement-only branch, removed post-A/B
+        near = near.localCheckpoint()
+        ipairs = ipairs.localCheckpoint()
 
     # intra-batch near-dup stage over the LEDGER-ADMITTED docs: the
     # verified batch pairs (ends filtered to ledger survivors — a

@@ -623,6 +623,89 @@ def paragraph_dedup(
     )
 
 
+def substring_dedup(
+    docs: DataFrame,
+    k: int = SEG_TOKENS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level exact dedup: remove corpus-wide repeated token
+    spans of length >= ``k`` at ANY alignment — the suffix-array
+    "deduplicating training data" shape that :func:`paragraph_dedup`'s
+    fixed segments approximate. A boilerplate sentence straddling two
+    segment boundaries survives segment dedup; here every repeated run
+    of >= k tokens is caught regardless of alignment, because a
+    repeated L-token span (L >= k) contains L-k+1 repeated OVERLAPPING
+    k-grams whose dup marks jointly cover all L tokens.
+
+    Semantics (deterministic, oracle-expressible): fingerprint every
+    overlapping k-gram; the corpus-wide FIRST occurrence of each
+    fingerprint ((doc_id, pos) order) is original, every later
+    occurrence marks its k token positions for removal; a token is
+    removed iff covered by any marked k-gram; documents are rebuilt
+    from the surviving tokens in order. First-occurrence-wins keeps
+    one copy of every repeat (true ExactSubstr can drop both); spans
+    shorter than k are below the threshold by contract.
+
+    Scale shape — three shuffles, ZERO joins, no token blow-up:
+    - k-gram fingerprints are computed INSIDE a per-doc transform over
+      the token array (md5 of a k-slice), so the exploded row set is
+      one row per token carrying one 32-char fp, never the k-times
+      token copy a gram-explode would ship, and never the whole-array
+      carry a post-explode slice would need.
+    - dup marking is a row_number window on the fp — uniform keys by
+      construction. Tail positions (no k-gram starts there) have NULL
+      fp and BYPASS the window entirely: at 100 TB the k-1 tail rows
+      of every doc would otherwise pile into one NULL partition.
+    - coverage is a per-doc ROWS window (max of dup over the k-1
+      preceding starts — positions are dense, one row per token), and
+      the rebuild groupBy rides the same doc partitioning.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    arr = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.element_at(toks, i + 1).alias("tok"),
+            F.when(
+                i <= n - k, F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k)))
+            ).alias("fp"),
+        ),
+    )
+    rows = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(arr).alias("e")
+    ).select("doc_id", "e.pos", "e.tok", "e.fp")
+    w_fp = Window.partitionBy("fp").orderBy("doc_id", "pos")
+    grams = rows.where(F.col("fp").isNotNull()).withColumn(
+        "dup", (F.row_number().over(w_fp) > 1).cast("int")
+    )
+    tails = rows.where(F.col("fp").isNull()).withColumn("dup", F.lit(0))
+    w_doc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(k - 1), Window.currentRow)
+    )
+    marked = grams.unionByName(tails).withColumn(
+        "removed", F.max("dup").over(w_doc)
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("removed").cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("removed") == 0, F.struct("pos", "tok"))
+                    )
+                ),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+
+
 def cluster_survivors(
     docs: DataFrame,
     tau: float = 0.8,

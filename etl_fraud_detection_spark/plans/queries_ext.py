@@ -2150,6 +2150,51 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_substring",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, i - 1 AS pos, toks[i] AS tok,
+               CASE WHEN i - 1 <= len(toks) - 8
+                    THEN md5(array_to_string(toks[i : i + 7], ' ')) END AS fp
+        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+              FROM ({_TOKS}))
+    ),
+    d AS (
+        SELECT doc_id, pos, tok,
+               CASE WHEN fp IS NOT NULL
+                         AND ROW_NUMBER() OVER (PARTITION BY fp
+                                                ORDER BY doc_id, pos) > 1
+                    THEN 1 ELSE 0 END AS dup
+        FROM p
+    ),
+    r AS (
+        SELECT doc_id, pos, tok,
+               MAX(dup) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+                   AS removed
+        FROM d
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(removed) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(CASE WHEN removed = 0 THEN tok END, ' '
+                               ORDER BY pos), '') AS text_clean
+    FROM r GROUP BY doc_id
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (the suffix-array 'deduplicating
+    training data' shape): corpus-wide repeated token spans >= 8 tokens
+    removed at ANY alignment via overlapping k-gram fingerprints —
+    first occurrence wins, a token goes iff covered by a later-occurring
+    repeated k-gram, docs rebuilt from survivors. Catches the
+    boundary-straddling boilerplate q_dedup_paragraphs' fixed segments
+    miss. Three shuffles (fp window, doc window, rebuild), zero joins;
+    tail positions bypass the fp window so there is no NULL-key
+    mega-partition at scale."""
+    return dedup.substring_dedup(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "q_udaf_norm_stats",
     oracle=f"""
     SELECT label,

@@ -366,6 +366,19 @@ def test_dedup_paragraphs_no_joins(spark):
         assert node not in p
 
 
+def test_dedup_substring_no_joins_no_null_mega_partition(spark):
+    """Substring dedup must be per-doc gram transform → fp-window →
+    doc-window → rebuild: bounded exchanges, zero joins, and the tail
+    rows (NULL fp) must BYPASS the fp window — a window whose partition
+    key is NULL for k-1 rows of every doc would be a mega-partition at
+    scale (the plan shows the isnotnull filter under the fp sort)."""
+    p = plan_of(q(spark, "q_dedup_substring"))
+    assert count_nodes(p, "Exchange") <= 4
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in p
+    assert re.search(r"isnotnull\(\S*fp\)", p)
+
+
 def test_udaf_is_arrow_grouped_agg(spark):
     """The UDAF surface pin must actually plan as an Arrow grouped
     aggregation (not row-at-a-time Python)."""

@@ -536,3 +536,58 @@ def test_ahash_scale_invariant_and_discriminative(spark):
     rows = {r.media_id: r.ahash for r in perceptual_hash(media).collect()}
     assert rows[1] == rows[2] and rows[1] is not None
     assert rows[3] is None
+
+
+# ---------------------------------------------------------------------------
+# substring-level exact dedup (any-alignment repeated spans)
+# ---------------------------------------------------------------------------
+
+
+def _tc(df):
+    return {r["doc_id"]: r for r in df.collect()}
+
+
+def test_substring_dedup_boundary_straddling_repeat(spark):
+    """The designed fixture from the round-8 verdict: a repeated
+    k-token run placed so it STRADDLES two fixed 8-token segment
+    boundaries. paragraph_dedup keeps both copies (no 8-aligned segment
+    repeats); substring_dedup removes the later copy."""
+    boiler = "all rights reserved contact us for terms of"  # 8 tokens
+    # doc 0: boilerplate at offset 0 (aligned); doc 1: at offset 4 —
+    # straddles the seg boundary between tokens 8 and 9
+    d0 = boiler + " alpha beta gamma delta"
+    d1 = "one two three four " + boiler + " epsilon zeta"
+    docs = docs_df(spark, [(0, d0), (1, d1)])
+    seg = _tc(dedup.paragraph_dedup(docs))
+    assert seg[1]["n_kept"] == seg[1]["n_segments"]  # segment dedup misses it
+    sub = _tc(dedup.substring_dedup(docs, k=8))
+    assert sub[0]["n_removed"] == 0  # first occurrence keeps its text
+    assert sub[1]["n_removed"] == 8
+    assert sub[1]["text_clean"] == "one two three four epsilon zeta"
+
+
+def test_substring_dedup_long_repeat_covered_at_every_alignment(spark):
+    """A repeated span LONGER than k is fully removed (its L-k+1
+    overlapping k-grams jointly cover all L tokens), and the remainder
+    of the doc survives."""
+    span = " ".join(f"w{i}" for i in range(12))  # 12-token repeat
+    docs = docs_df(spark, [(0, span + " tail0 tail1"),
+                           (1, "head0 " + span + " tail2")])
+    got = _tc(dedup.substring_dedup(docs, k=8))
+    assert got[0]["n_removed"] == 0
+    assert got[1]["n_removed"] == 12
+    assert got[1]["text_clean"] == "head0 tail2"
+
+
+def test_substring_dedup_below_threshold_and_self_repeat(spark):
+    """Spans shorter than k survive by contract; a repeat WITHIN one
+    doc is removed at its second occurrence; short docs (< k tokens)
+    pass through untouched."""
+    short = "just a few tokens"
+    rep = " ".join(f"r{i}" for i in range(8))
+    docs = docs_df(spark, [(0, short),
+                           (1, rep + " mid " + rep)])
+    got = _tc(dedup.substring_dedup(docs, k=8))
+    assert got[0]["n_removed"] == 0 and got[0]["text_clean"] == short
+    assert got[1]["n_removed"] == 8
+    assert got[1]["text_clean"] == rep + " mid"
