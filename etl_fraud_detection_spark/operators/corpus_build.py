@@ -45,10 +45,6 @@ from pyspark.sql import DataFrame, Window, functions as F
 from . import dedup, export, extraction, sampling, text
 
 LAYER = "corpus"
-
-# round-9 A/B toggle for the admission checkpoint fold (SCALE.md
-# "Round 9"); measurement-only, the folded path is the product path
-_FOLD_CHECKPOINTS = True
 T_QUARANTINE = "quarantine"
 T_SURVIVORS = "survivors"
 
@@ -96,6 +92,10 @@ def build_corpus(
     clean = ext.where(F.col("_error").isNull())
     # the BODY is the clean text minus the title line html_extract
     # excavated — gate/dedup on content, not boilerplate-adjacent titles
+    # clean_text is NFC by the extraction contract (html_extract
+    # normalizes inside its Arrow stage): the stored survivor text,
+    # its exact fp, and the seeded shingle ledger are all NFC, so a
+    # later batch's byte-different Unicode twin rejects against them.
     body = F.expr("substring(clean_text, length(title) + 2)")
     docs = clean.select(F.col(id_col).alias("doc_id"), body.alias("text"))
     kept = docs.where(text.quality_keep())
@@ -137,7 +137,9 @@ def build_corpus(
     if with_ledger:
         from . import dedup_index
 
-        fps = dedup_index._fps(survdocs.select("doc_id", "text")).persist()
+        fps = dedup_index._fps(
+            survdocs.select("doc_id", "text"), normalize=False
+        ).persist()
         _PERSISTED_SHINGLES.append(fps)
         wh.overwrite(dedup_index.LAYER, dedup_index.T_SHINGLES, fps)
         wh.overwrite(
@@ -205,6 +207,11 @@ def _admission(
     quarantined = ext.where(F.col("_error").isNotNull()).select(
         F.col(id_col).alias("doc_id")
     )
+    # clean_text is NFC by the extraction contract (html_extract
+    # normalizes inside its Arrow stage): every downstream fingerprint
+    # — the exact md5, the shingle minhash ledger, the stored survivor
+    # text — sees the same bytes, so an NFD-encoded twin of an admitted
+    # NFC page is caught as an exact dup instead of both admitting.
     body = F.expr("substring(clean_text, length(title) + 2)")
     docs = ext.where(F.col("_error").isNull()).select(
         F.col(id_col).alias("doc_id"), body.alias("text")
@@ -235,68 +242,79 @@ def _admission(
         .agg(F.min("sv_id").alias("dup_of"))
     )
     fresh = cand.join(stored.select("doc_id"), "doc_id", "left_anti")
-    # CHECKPOINT (not persist) the ledger verdicts AND the intra-batch
-    # pairs: they feed the verdict union, the cluster input and the
-    # admitted set, and the probe plan (128-hash signatures + banded
-    # join + jaccard verify) is enormous — composed lazily into its
-    # five consumers it multiplies into a gigabyte-scale plan string
-    # whose ANALYSIS alone dominates wall time (measured: 538s -> ~20s
-    # for the intra-batch admission query at sf0.01). intra_pairs=True
-    # derives the batch×batch pairs from the SAME fingerprints/bands
-    # the ledger probe computes — one extra band self-join instead of
-    # a second full shingle/signature pass.
+    # intra_pairs=True derives the batch×batch near-dup pairs from the
+    # SAME fingerprints/bands the ledger probe computes — one extra
+    # band self-join instead of a second full shingle/signature pass.
+    # normalize=False: batch text is NFC already (html_extract's
+    # Arrow-stage contract) — skip the redundant per-branch Arrow hop.
     near, ipairs = dedup_index.ingest(
         wh, fresh.select("doc_id", "text"), tau=tau, commit=False,
-        intra_pairs=True,
+        intra_pairs=True, normalize=False,
     )
-    if _FOLD_CHECKPOINTS:
-        # ONE materialization for both verdict frames: the ledger
-        # verdicts and the intra-batch pairs share the probe's
-        # persisted fingerprints/bands, so evaluating them as one
-        # unioned job halves the eager-checkpoint count on the daily
-        # steady-state path (round-9 verdict task 2); the split-back
-        # filters read the checkpointed rows, never the probe plan.
-        combined = (
-            near.select(
-                F.lit("adm").alias("_k"),
-                F.col("doc_id").alias("_x"),
-                F.col("dup_of").cast("long").alias("_y"),
-                "admitted",
-                "jaccard",
-            )
-            .unionByName(
-                ipairs.select(
-                    F.lit("ip").alias("_k"),
-                    F.col("a").alias("_x"),
-                    F.col("b").alias("_y"),
-                    F.lit(None).cast("boolean").alias("admitted"),
-                    "jaccard",
-                )
-            )
-            .localCheckpoint()
-        )
-        near = combined.where(F.col("_k") == "adm").select(
-            F.col("_x").alias("doc_id"), "admitted",
-            F.col("_y").alias("dup_of"), "jaccard",
-        )
-        ipairs = combined.where(F.col("_k") == "ip").select(
-            F.col("_x").alias("a"), F.col("_y").alias("b"), "jaccard"
-        )
-    else:  # pragma: no cover - measurement-only branch, removed post-A/B
-        near = near.localCheckpoint()
-        ipairs = ipairs.localCheckpoint()
 
+    def tag(df: DataFrame, status: str, with_dup: bool = False) -> DataFrame:
+        dup = F.col("dup_of") if with_dup else F.lit(None).cast("long")
+        return df.select(
+            "doc_id", F.lit(status).alias("status"), dup.alias("dup_of")
+        )
+
+    def base_verdicts():
+        return (
+            tag(replayed, "admitted")
+            .unionByName(tag(quarantined, "quarantined"))
+            .unionByName(tag(gated, "gated"))
+            .unionByName(tag(intra, "exact_dup", True))
+            .unionByName(tag(stored, "exact_dup", True))
+        )
+
+    # FIRST action: probe the UNFILTERED intra-pair set for emptiness —
+    # a correct over-approximation of the pair set the CC would see
+    # (filtering to ledger survivors only ever removes pairs). Its job
+    # materializes the probe's persisted fingerprints/bands, which
+    # every job after reads from cache, and limit(1) short-circuits as
+    # soon as one pair surfaces. This ordering lets the steady-state
+    # daily batch — no same-day twins, the common case — keep round
+    # 7's ZERO-checkpoint shape below.
+    if ipairs.limit(1).count() == 0:
+        # STEADY STATE: no verified in-batch pairs, so no CC, no
+        # survivor pick, and `near` has exactly ONE verdict consumer —
+        # keep it LAZY with a when-split single union branch (round
+        # 7's shape; a where-split would execute the probe plan twice,
+        # and a localCheckpoint here measured ~+1.5s per batch for
+        # nothing). One reference cannot re-trigger the 538s
+        # plan-multiplication pathology (that needed the probe plan
+        # composed into N verdict branches).
+        near_tagged = near.select(
+            "doc_id",
+            F.when(F.col("admitted"), F.lit("admitted"))
+            .otherwise(F.lit("near_dup")).alias("status"),
+            F.when(~F.col("admitted"), F.col("dup_of"))
+            .cast("long").alias("dup_of"),
+        )
+        verdicts = base_verdicts().unionByName(near_tagged)
+        admitted_docs = fresh.join(
+            near.where(F.col("admitted")).select("doc_id"),
+            "doc_id", "left_semi",
+        )
+        return verdicts, admitted_docs
+
+    # PAIR-BEARING batch: `near` now feeds several consumers (verdict
+    # union, the survivor filter, the admitted set) and the CC consumes
+    # its edge input many times per doubling round — CHECKPOINT both
+    # (not persist): composed lazily into five consumers the probe plan
+    # multiplies into a gigabyte-scale plan string whose ANALYSIS alone
+    # dominates wall time (measured: 538s -> ~20s at sf0.01).
+    from . import dedup
+
+    near = near.localCheckpoint()
+    ok_ids = near.where(F.col("admitted")).select("doc_id")
     # intra-batch near-dup stage over the LEDGER-ADMITTED docs: the
     # verified batch pairs (ends filtered to ledger survivors — a
     # per-doc property, so the pair set equals one computed over that
     # subset) + the shared pointer-doubling CC + keep-largest survivor.
     # Ledger precedence: a doc near-dupping BOTH the corpus and a
     # batchmate reports the corpus partner (it never reaches this
-    # stage). Empty pair set (the common case: a batch with no
-    # same-day twins) SKIPS the iterative CC entirely.
-    from . import dedup
-
-    ok_ids = near.where(F.col("admitted")).select("doc_id")
+    # stage).
     ipairs = (
         ipairs.select("a", "b")
         .join(F.broadcast(ok_ids.select(F.col("doc_id").alias("a"))), ["a"],
@@ -305,10 +323,12 @@ def _admission(
               "left_semi")
     )
     if ipairs.limit(1).count() == 0:
+        # every pair had a ledger-rejected end: nothing to cluster
         inbatch = ipairs.sparkSession.createDataFrame(
             [], "doc_id long, dup_of long"
         )
     else:
+        ipairs = ipairs.localCheckpoint()
         sized = fresh.select(
             "doc_id", F.length("text").cast("long").alias("n_chars")
         )
@@ -322,12 +342,6 @@ def _admission(
             .localCheckpoint()
         )
 
-    def tag(df: DataFrame, status: str, with_dup: bool = False) -> DataFrame:
-        dup = F.col("dup_of") if with_dup else F.lit(None).cast("long")
-        return df.select(
-            "doc_id", F.lit(status).alias("status"), dup.alias("dup_of")
-        )
-
     ledger_rej = near.where(~F.col("admitted")).select(
         "doc_id", F.col("dup_of").cast("long").alias("dup_of")
     )
@@ -335,11 +349,7 @@ def _admission(
         inbatch.select("doc_id"), "doc_id", "left_anti"
     )
     verdicts = (
-        tag(replayed, "admitted")
-        .unionByName(tag(quarantined, "quarantined"))
-        .unionByName(tag(gated, "gated"))
-        .unionByName(tag(intra, "exact_dup", True))
-        .unionByName(tag(stored, "exact_dup", True))
+        base_verdicts()
         .unionByName(tag(ledger_rej, "near_dup", True))
         .unionByName(tag(inbatch.select("doc_id", "dup_of"), "near_dup", True))
         .unionByName(tag(survivors_ok, "admitted"))
@@ -463,7 +473,9 @@ def admit_corpus_batch(
 
     wh.begin_run(run_id)
     wh.append(LAYER, T_SURVIVORS, enriched)
-    fps = dedup_index._fps(new.select("doc_id", "text")).persist()
+    fps = dedup_index._fps(
+        new.select("doc_id", "text"), normalize=False
+    ).persist()
     wh.append(dedup_index.LAYER, dedup_index.T_SHINGLES, fps)
     wh.append(
         dedup_index.LAYER, dedup_index.T_BANDS,

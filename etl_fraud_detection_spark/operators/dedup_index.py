@@ -42,8 +42,21 @@ T_SHINGLES = "nd_shingles"
 T_BANDS = "nd_bands"
 
 
-def _fps(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh_fp) for a doc frame: md5 per distinct shingle."""
+def _fps(docs: DataFrame, normalize: bool = True) -> DataFrame:
+    """(doc_id, sh_fp) for a doc frame: md5 per distinct shingle.
+
+    Text is NFC-normalized BEFORE shingling (text.nfc — the engine-wide
+    normalization contract): an NFD-encoded twin of an admitted NFC doc
+    must collide on every shingle fingerprint, or byte-different
+    visually-identical crawl pages both admit. Callers whose text is
+    ALREADY NFC by an upstream contract (corpus_build — html_extract
+    normalizes inside its Arrow stage) pass ``normalize=False`` to skip
+    the redundant Arrow hop; NFC is idempotent, so leaving it on is
+    always safe, just slower."""
+    if normalize:
+        from . import text
+
+        docs = docs.withColumn("text", text.nfc(F.col("text")))
     return dedup.shingles(docs).select(
         "doc_id", F.md5(F.col("shingle")).alias("sh_fp")
     )
@@ -71,11 +84,12 @@ def build(
     run_id: int,
     num_hashes: int = NUM_HASHES,
     bands: int = BANDS,
+    normalize: bool = True,
 ) -> None:
     """Initial (or rebuild) index from a corpus: overwrite both tables
     atomically. One shingle pass; signatures/bands derive from the
     fingerprints that are being persisted anyway."""
-    fps = _fps(docs).persist()
+    fps = _fps(docs, normalize=normalize).persist()
     wh.begin_run(run_id)
     wh.overwrite(LAYER, T_SHINGLES, fps)
     # banding consumes the cached fingerprints (materialized by the
@@ -94,6 +108,7 @@ def ingest(
     bands: int = BANDS,
     commit: bool = True,
     intra_pairs: bool = False,
+    normalize: bool = True,
 ) -> DataFrame:
     """Admit a batch against the persisted index; returns the admission
     frame (doc_id, admitted, dup_of, jaccard) for every batch doc.
@@ -151,7 +166,7 @@ def ingest(
     )
     new_docs = batch.join(F.broadcast(already), ["doc_id"], "left_anti")
 
-    fps = _fps(new_docs).persist()
+    fps = _fps(new_docs, normalize=normalize).persist()
     batch_bands = _bands_of(fps, num_hashes, bands).persist()
 
     candidates = (

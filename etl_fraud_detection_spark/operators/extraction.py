@@ -28,6 +28,7 @@ surface); SURVEY.md §2 LLM-ops raw-extraction stage.
 
 from __future__ import annotations
 
+import unicodedata
 from collections.abc import Iterator
 
 import pandas as pd
@@ -78,12 +79,26 @@ def html_extract(
                         )
                     rows.append((*keys, None, None, None, None, None, ex.error))
                 else:
-                    n_chars = len(ex.text)
+                    # NFC-normalize INSIDE this (already-Arrow) stage —
+                    # the engine-wide contract (text.nfc docstring):
+                    # every downstream fingerprint sees NFC bytes, and
+                    # folding it here costs zero extra Python hops (a
+                    # separate nfc stage on the extraction output
+                    # measured ~+3s per admission batch: the column
+                    # re-evaluates per verdict branch). isascii() is
+                    # the C-speed fast path; n_text_chars is the
+                    # length of the NORMALIZED text (the text we keep).
+                    title, body = ex.title, ex.text
+                    if not title.isascii():
+                        title = unicodedata.normalize("NFC", title)
+                    if not body.isascii():
+                        body = unicodedata.normalize("NFC", body)
+                    n_chars = len(body)
                     ratio = (
                         1.0 - n_chars / len(markup) if markup else None
                     )
                     rows.append(
-                        (*keys, ex.title, ex.text, ex.n_tags, n_chars,
+                        (*keys, title, body, ex.n_tags, n_chars,
                          ratio, None)
                     )
             yield pd.DataFrame(

@@ -2,14 +2,17 @@
 language ID (marker-token heuristic), quality scoring, token counting,
 document fingerprinting.
 
-All column-expression based (whole-stage codegen; no UDFs): at 100 TB
-these run as a single scan-project over the documents table — no
-shuffle at all. Every ratio is exact integer arithmetic cast to double
-at the end so the DuckDB oracle matches bitwise.
+All column-expression based (whole-stage codegen; no UDFs) with ONE
+documented exception — :func:`nfc`, the Arrow-vectorized Unicode
+normalization contract (Spark has no built-in NFC): at 100 TB these
+run as a single scan-project over the documents table — no shuffle at
+all. Every ratio is exact integer arithmetic cast to double at the end
+so the DuckDB oracle matches bitwise.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
@@ -26,6 +29,62 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 def tokens(text_col: str = "text") -> Column:
     return F.split(F.col(text_col), " ")
+
+
+def nfc(col: Column) -> Column:
+    """Unicode NFC normalization of a string column — THE engine-wide
+    normalization contract ahead of fingerprinting (round-9 verdict
+    task 5). Crawl data carries NFC/NFKC variants of visually identical
+    text (an NFD 'café' is byte-different from the NFC one), which
+    defeats exact AND near-dup detection if fingerprints hash raw
+    bytes. One normalization, applied at the ADMISSION/INDEX boundary:
+
+    - corpus admission (corpus_build._admission) normalizes the
+      extracted body once, so the exact md5 fingerprint, the PII/
+      quality stages, the shingle minhash ledger and the stored
+      survivor text all see the same bytes;
+    - dedup_index._fps normalizes before shingling (direct build/
+      ingest callers get the same ledger bytes as admission);
+    - text_index normalizes in its shared tokenize helper, so BM25
+      indexing and query_text are identical by construction (the
+      analyzer-mismatch discipline, one stage earlier).
+
+    Ad-hoc catalog operators (dedup.py / this module over caller
+    frames) deliberately fingerprint the bytes they are given — the
+    contract is that admitted corpora are already NFC.
+
+    Spark has no built-in NFC, so this is the documented Arrow escape
+    hatch: a vectorized pandas_udf with a per-row str.isascii() fast
+    path (C-speed; ASCII batches never touch unicodedata). NFC is
+    idempotent, so double application along composed paths is safe."""
+    return _nfc_udf(col)
+
+
+def _nfc_series(s: "pd.Series") -> "pd.Series":
+    import unicodedata
+
+    return pd.Series(
+        [
+            t if t is None or t.isascii()
+            else unicodedata.normalize("NFC", t)
+            for t in s
+        ],
+        dtype=object,
+    )
+
+
+# built lazily: pandas_udf resolves its return type through the active
+# SparkSession, which doesn't exist at import time
+_NFC_UDF = None
+
+
+def _nfc_udf(col: Column) -> Column:
+    global _NFC_UDF
+    if _NFC_UDF is None:
+        from pyspark.sql.types import StringType
+
+        _NFC_UDF = F.pandas_udf(_nfc_series, StringType())
+    return _NFC_UDF(col)
 
 
 def token_count(text_col: str = "text") -> Column:

@@ -36,12 +36,22 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from .ngrams import tokens
+from . import text as _text
 
 MICRO = 1_000_000
 N_BUCKETS = 32
 
 LAYER = "index"
+
+
+def tokens(text_col: str = "text") -> Column:
+    """THE analyzer: NFC normalization (text.nfc, the engine-wide
+    contract) then whitespace split — used identically by build/ingest
+    (document side) and query_terms (query side), so an analyzer drift
+    between the two is structurally impossible and a non-ASCII query
+    in any Unicode encoding matches documents indexed from any other
+    (previously this was ngrams.tokens, i.e. raw-byte split)."""
+    return F.split(_text.nfc(F.col(text_col)), " ")
 
 
 def _bucket(term_col: Column) -> Column:

@@ -469,3 +469,59 @@ def test_compaction_after_admissions_preserves_integrity(spark, corpus_wh):
                 if f.endswith(".parquet")
             ]
             assert len(parts) == 1, (d, parts)
+
+
+def test_unicode_twin_rejected_as_exact_dup(spark, corpus_wh):
+    """The NFC normalization contract (text.nfc, applied once after
+    extraction): an admitted page containing NFC 'café' and a later
+    batch carrying the BYTE-DIFFERENT NFD encoding of the same text
+    must collide on the exact fingerprint — without the contract both
+    visually-identical pages admit. Also the reverse order (NFD first)
+    via the intra-batch exact stage: an NFC/NFD twin pair in ONE batch
+    admits exactly one."""
+    import unicodedata
+
+    wh = corpus_wh
+    nfc_text = BASE + " the café review of naïve décor item 9300"
+    assert unicodedata.normalize("NFC", nfc_text) == nfc_text
+    nfd_text = unicodedata.normalize("NFD", nfc_text)
+    assert nfd_text != nfc_text
+
+    # batch 1: admit the NFC page
+    v1 = {
+        r.doc_id: (r.status, r.dup_of)
+        for r in corpus_build.admission_verdicts(
+            wh, spark.createDataFrame([_page(300, nfc_text)],
+                                      "doc_id long, html string")
+        ).collect()
+    }
+    assert v1[300][0] == "admitted"
+    corpus_build.admit_corpus_batch(
+        wh, spark.createDataFrame([_page(300, nfc_text)],
+                                  "doc_id long, html string"),
+        run_id=5, tau=0.8, target_tokens=64,
+    )
+
+    # batch 2: the NFD twin rejects as an exact dup of the stored page
+    v2 = {
+        r.doc_id: (r.status, r.dup_of)
+        for r in corpus_build.admission_verdicts(
+            wh, spark.createDataFrame([_page(301, nfd_text)],
+                                      "doc_id long, html string")
+        ).collect()
+    }
+    assert v2[301] == ("exact_dup", 300)
+
+    # same-batch NFC/NFD twins: intra-batch exact stage keeps one
+    other_nfc = BASE + " a résumé of the crème brûlée item 9400"
+    other_nfd = unicodedata.normalize("NFD", other_nfc)
+    v3 = {
+        r.doc_id: (r.status, r.dup_of)
+        for r in corpus_build.admission_verdicts(
+            wh, spark.createDataFrame(
+                [_page(310, other_nfc), _page(311, other_nfd)],
+                "doc_id long, html string")
+        ).collect()
+    }
+    assert v3[310][0] == "admitted"
+    assert v3[311] == ("exact_dup", 310)

@@ -211,3 +211,25 @@ def test_compaction_preserves_probe_results_and_admission(spark, wh):
     }
     assert adm[10] == (True, None)  # replayed doc: skipped, not re-matched
     assert adm[40] == (False, 10)   # rejects against the compacted index
+
+
+def test_nfd_twin_rejects_against_nfc_ledger(spark, wh):
+    """_fps NFC-normalizes before shingling (text.nfc — the engine-wide
+    contract): an NFD-encoded twin of an NFC ledger doc collides on
+    every shingle fingerprint and rejects, instead of both admitting
+    as byte-different 'new' content."""
+    import unicodedata
+
+    nfc_doc = "the café review praised the naïve décor and the crème " \
+              "brûlée dessert menu highly"
+    assert unicodedata.normalize("NFC", nfc_doc) == nfc_doc
+    nfd_doc = unicodedata.normalize("NFD", nfc_doc)
+    assert nfd_doc != nfc_doc
+    dedup_index.build(wh, _docs(spark, [(1, nfc_doc), (2, OTHER)]), run_id=1)
+    adm = {
+        r.doc_id: (r.admitted, r.dup_of)
+        for r in dedup_index.ingest(
+            wh, _docs(spark, [(10, nfd_doc)]), run_id=2
+        ).collect()
+    }
+    assert adm == {10: (False, 1)}

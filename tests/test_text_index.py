@@ -292,3 +292,50 @@ class TestQueryText:
         text_index.build(wh, _docs(spark), run_id=1)
         with pytest.raises(ValueError, match="no terms"):
             text_index.query_text(wh, "")
+
+
+class TestUnicodeContract:
+    def test_nfd_query_matches_nfc_indexed_docs(self, spark, tmp_path):
+        """The analyzer NFC-normalizes BOTH sides (text.nfc — the
+        engine-wide contract): documents indexed with NFC 'café' must
+        be found by an NFD-encoded query ('cafe' + combining acute),
+        and the result is bit-identical to the NFC query."""
+        import unicodedata
+
+        from pyspark.sql import Row
+
+        nfc_text = "the café review mentions spark"  # NFC é
+        assert unicodedata.normalize("NFC", nfc_text) == nfc_text
+        wh = Warehouse(spark, str(tmp_path / "ix"))
+        docs = _docs(spark).unionByName(
+            spark.createDataFrame([Row(doc_id=9, text=nfc_text)])
+        )
+        text_index.build(wh, docs, run_id=1)
+        nfd_query = unicodedata.normalize("NFD", "café spark")
+        assert nfd_query != "café spark"  # really byte-different
+        got = text_index.query_text(wh, nfd_query)
+        want = text_index.query_text(wh, "café spark")
+        assert _key(got) == _key(want)
+        matched = {r.doc_id: r.n_matched_terms for r in got.collect()}
+        assert matched[9] == 2  # café AND spark both hit doc 9
+
+    def test_nfd_indexed_doc_found_by_nfc_query(self, spark, tmp_path):
+        """Normalization is document-side too: an NFD-encoded doc
+        entering build/ingest lands in the index under its NFC terms."""
+        import unicodedata
+
+        from pyspark.sql import Row
+
+        nfd_text = unicodedata.normalize(
+            "NFD", "the café review mentions spark"
+        )
+        wh = Warehouse(spark, str(tmp_path / "ix"))
+        docs = _docs(spark).unionByName(
+            spark.createDataFrame([Row(doc_id=9, text=nfd_text)])
+        )
+        text_index.build(wh, docs, run_id=1)
+        got = {
+            r.doc_id: r.n_matched_terms
+            for r in text_index.query_text(wh, "café").collect()
+        }
+        assert got == {9: 1}
