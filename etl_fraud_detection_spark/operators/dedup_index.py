@@ -99,6 +99,27 @@ def build(
     fps.unpersist()
 
 
+def optimize(wh, run_id: int, band_files: int | None = None) -> None:
+    """Storage maintenance for an incrementally-grown band index,
+    under one atomic commit: ``nd_shingles`` compacts to block-sized
+    files; ``nd_bands`` — the table every batch PROBES by
+    (band_idx, band_hash) — is laid out in Z-ORDER on that probe key,
+    so a band-key lookup opens the one file whose min/max covers it
+    instead of every append sliver (the media twin,
+    :func:`media_index.optimize`, pins the files-touched property)."""
+    wh.begin_run(run_id)
+    wh.compact(LAYER, T_SHINGLES)
+    if band_files is None:
+        wh.compact(LAYER, T_BANDS, zorder_by=["band_idx", "band_hash"])
+    else:
+        wh.overwrite(
+            LAYER, T_BANDS, wh.read(LAYER, T_BANDS),
+            zorder_by=["band_idx", "band_hash"],
+            zorder_files=band_files,
+        )
+    wh.commit_run(run_id)
+
+
 def ingest(
     wh,
     batch: DataFrame,

@@ -167,6 +167,35 @@ def build(wh, media: DataFrame, run_id: int) -> None:
     wh.commit_run(run_id)
 
 
+def optimize(wh, run_id: int, band_files: int | None = None) -> None:
+    """Storage maintenance for an incrementally-grown media ledger,
+    under one atomic commit: the three row-store tables compact to
+    block-sized files, and ``md_bands`` — the table every batch PROBES
+    by (modality, band_idx, band_val) — is additionally laid out in
+    Z-ORDER on its probe key. Per-batch appends leave every small file
+    spanning the whole band-value space, so a single band-key lookup
+    must open ALL of them; after the z layout each band key lives in
+    one file's min/max range and a probe opens ~1 of N
+    (tests/test_media_index.py pins files-touched before/after). At
+    100 TB this is the difference between a daily probe reading the
+    colliding slivers of the ledger and re-reading all of it.
+    ``band_files`` overrides the bytes-derived file count (probes and
+    tests); the dedup_index twin is :func:`dedup_index.optimize`."""
+    wh.begin_run(run_id)
+    for t in (T_HASHES, T_FRAMES, T_ADMITTED):
+        wh.compact(LAYER, t)
+    if band_files is None:
+        wh.compact(LAYER, T_BANDS,
+                   zorder_by=["modality", "band_idx", "band_val"])
+    else:
+        wh.overwrite(
+            LAYER, T_BANDS, wh.read(LAYER, T_BANDS),
+            zorder_by=["modality", "band_idx", "band_val"],
+            zorder_files=band_files,
+        )
+    wh.commit_run(run_id)
+
+
 def ingest(
     wh,
     batch: DataFrame,

@@ -302,3 +302,69 @@ class TestCompaction:
         assert got[20] == (False, 10, "image")
         assert got[21][0] is False and got[21][1] == 11
         assert got[10] == (True, None, None)  # replay guard intact
+
+
+class TestOptimizeLayout:
+    def test_optimize_zorders_band_table_for_probe_locality(self, spark, wh):
+        """media_index.optimize lays md_bands out in Z-ORDER on the
+        probe key (modality, band_idx, band_val): after unordered
+        per-batch appends every small file spans the whole band-value
+        space, so the rows matching a narrow band_val range are
+        scattered across ~all files; after optimize they are
+        co-located in 1-2 of the z files (min/max stats exclude the
+        rest). Content and probe verdicts must be unchanged."""
+        import pandas as pd
+
+        from etl_fraud_detection_spark.functions import png
+
+        def blob(seed):
+            px = bytearray(
+                (x * 29 + y * 57 + seed * 83 + x * y * (seed // 256)) % 256
+                for y in range(H) for x in range(W)
+            )
+            return png.encode_png(W, H, 1, bytes(px))
+
+        def media(seeds, id0):
+            return _media(spark, [
+                (id0 + i, "png", W, H, blob(s)) for i, s in enumerate(seeds)
+            ])
+
+        media_index.build(wh, media(range(256), 0), run_id=1)
+        for b in range(6):  # unordered appends accrete sliver files
+            media_index.ingest(
+                wh, media(range(1000 + 32 * b, 1000 + 32 * (b + 1)),
+                          10_000 + 100 * b),
+                run_id=2 + b,
+            )
+        bands = wh.read("index", media_index.T_BANDS)
+        before_rows = sorted(tuple(r) for r in bands.collect())
+        lo, hi = bands.where(
+            (F.col("modality") == "image") & (F.col("band_idx") == 0)
+        ).agg(F.min("band_val"), F.max("band_val")).first()
+        rng = (
+            (F.col("modality") == "image") & (F.col("band_idx") == 0)
+            & (F.col("band_val") >= lo + (hi - lo) * 3 // 8)
+            & (F.col("band_val") < lo + (hi - lo) * 5 // 8)
+        )
+
+        def files_hit():
+            return (
+                wh.read("index", media_index.T_BANDS).where(rng)
+                .select(F.input_file_name()).distinct().count()
+            )
+
+        scattered = files_hit()
+        media_index.optimize(wh, run_id=50, band_files=8)
+        localized = files_hit()
+        assert localized <= 2, (scattered, localized)
+        assert localized < scattered, (scattered, localized)
+        after_rows = sorted(
+            tuple(r) for r in wh.read("index", media_index.T_BANDS).collect()
+        )
+        assert after_rows == before_rows
+        # probe behavior unchanged: a twin of an admitted blob rejects
+        got = _verdicts(media_index.ingest(
+            wh, _media(spark, [(99_000, "png", W, H, blob(5))]),
+            commit=False,
+        ))
+        assert got[99_000][0] is False

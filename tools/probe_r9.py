@@ -91,6 +91,25 @@ def _probe_batch(spark, n_pairs: int = 12):
     return spark.createDataFrame(rows, "doc_id long, html string")
 
 
+
+def _px_of(seed: int, bump: bool = False) -> bytes:
+    """Per-(pixel, seed) splitmix mix — consecutive seeds must produce
+    INDEPENDENT patterns: an affine-in-seed formula only adds a
+    constant to every gray, which aHash (threshold vs mean) is
+    invariant to, collapsing 50k 'distinct' blobs onto a handful of
+    hashes (measured: min pairwise Hamming 0; with this mix, 13)."""
+    m = (1 << 64) - 1
+    out = bytearray()
+    for i in range(W * H):
+        v = (i * 0x9E3779B97F4A7C15 + seed * 0xBF58476D1CE4E5B9) & m
+        v ^= v >> 31
+        v = v * 0x94D049BB133111EB & m
+        v ^= v >> 29
+        out.append(v & 0xFF)
+    if bump:
+        out[17] = (out[17] + 40) % 256
+    return bytes(out)
+
 def _media_frame(spark, n: int, start: int = 0):
     import pandas as pd
 
@@ -100,13 +119,9 @@ def _media_frame(spark, n: int, start: int = 0):
         for pdf in it:
             payloads = []
             for mid in pdf["id"]:
-                seed = int(mid) - start
-                px = bytearray(
-                    (x * 29 + y * 57 + seed * 83 + x * y * (seed // 256)) % 256
-                    for y in range(H)
-                    for x in range(W)
+                payloads.append(
+                    png.encode_png(W, H, 1, _px_of(int(mid) - start))
                 )
-                payloads.append(png.encode_png(W, H, 1, bytes(px)))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["id"],
@@ -136,16 +151,6 @@ def _media_batch(spark, n_pairs: int = 12):
 
     from etl_fraud_detection_spark.functions import png
 
-    def px_of(seed: int, bump: bool) -> bytes:
-        px = bytearray(
-            (x * 29 + y * 57 + seed * 83 + x * y * (seed // 256)) % 256
-            for y in range(H)
-            for x in range(W)
-        )
-        if bump:
-            px[17] = (px[17] + 40) % 256
-        return bytes(px)
-
     rows = []
     for j in range(16):
         rows.append((9_000_000 + j, 7_000_000 + j, False))
@@ -161,7 +166,7 @@ def _media_batch(spark, n_pairs: int = 12):
             "kind": "png",
             "width": W,
             "height": H,
-            "payload": [png.encode_png(W, H, 1, px_of(r[1], r[2]))
+            "payload": [png.encode_png(W, H, 1, _px_of(r[1], r[2]))
                         for r in rows],
         }
     )
