@@ -251,6 +251,18 @@ def _admission(
         wh, fresh.select("doc_id", "text"), tau=tau, commit=False,
         intra_pairs=True, normalize=False,
     )
+    # persist (not checkpoint) the pair verify: the emptiness probe
+    # below materializes it into cache, and the pair-bearing branch's
+    # filter + localCheckpoint then READ that cache instead of
+    # re-running the band self-join + jaccard verify — without this
+    # the verify evaluated 3x per pair-bearing batch (probe, filtered
+    # probe, checkpoint; measured +3.4s on q_corpus_admit_intra).
+    # persist alone is safe here because the probe is the ONLY
+    # consumer until the pair branch truncates lineage with its
+    # localCheckpoint (the 538s plan-string hazard needs N consumers
+    # composing the raw plan).
+    ipairs = ipairs.persist()
+    _PERSISTED_SHINGLES.append(ipairs)
 
     def tag(df: DataFrame, status: str, with_dup: bool = False) -> DataFrame:
         dup = F.col("dup_of") if with_dup else F.lit(None).cast("long")

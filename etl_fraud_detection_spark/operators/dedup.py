@@ -654,9 +654,13 @@ def substring_dedup(
       token copy a gram-explode would ship, and never the whole-array
       carry a post-explode slice would need.
     - dup marking is a row_number window on the fp — uniform keys by
-      construction. Tail positions (no k-gram starts there) have NULL
-      fp and BYPASS the window entirely: at 100 TB the k-1 tail rows
-      of every doc would otherwise pile into one NULL partition.
+      construction. Tail positions (no k-gram starts there) get a
+      UNIQUE synthetic key ("t:<doc>:<pos>" — a "t:" prefix cannot
+      collide with 32-hex md5), so they ride the same window with
+      row_number 1 by construction: at 100 TB a shared NULL key would
+      pile the k-1 tail rows of every doc into one mega-partition,
+      and a where-split union would SCAN THE CORPUS TWICE, re-running
+      the O(len·k) gram build (measured 2x the whole query at sf0.1).
     - coverage is a per-doc ROWS window (max of dup over the k-1
       preceding starts — positions are dense, one row per token), and
       the rebuild groupBy rides the same doc partitioning.
@@ -675,20 +679,22 @@ def substring_dedup(
     )
     rows = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(arr).alias("e")
-    ).select("doc_id", "e.pos", "e.tok", "e.fp")
-    w_fp = Window.partitionBy("fp").orderBy("doc_id", "pos")
-    grams = rows.where(F.col("fp").isNotNull()).withColumn(
-        "dup", (F.row_number().over(w_fp) > 1).cast("int")
+    ).select(
+        "doc_id", "e.pos", "e.tok",
+        F.coalesce(
+            F.col("e.fp"),
+            F.concat_ws(":", F.lit("t"), F.col("doc_id"), F.col("e.pos")),
+        ).alias("fp"),
     )
-    tails = rows.where(F.col("fp").isNull()).withColumn("dup", F.lit(0))
+    w_fp = Window.partitionBy("fp").orderBy("doc_id", "pos")
     w_doc = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
         .rowsBetween(-(k - 1), Window.currentRow)
     )
-    marked = grams.unionByName(tails).withColumn(
-        "removed", F.max("dup").over(w_doc)
-    )
+    marked = rows.withColumn(
+        "dup", (F.row_number().over(w_fp) > 1).cast("int")
+    ).withColumn("removed", F.max("dup").over(w_doc))
     return marked.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         F.sum("removed").cast("long").alias("n_removed"),
