@@ -31,7 +31,7 @@ def tokens(text_col: str = "text") -> Column:
     return F.split(F.col(text_col), " ")
 
 
-def nfc(col: Column) -> Column:
+def nfc(col: Column, casefold: bool = False) -> Column:
     """Unicode NFC normalization of a string column — THE engine-wide
     normalization contract ahead of fingerprinting (round-9 verdict
     task 5). Crawl data carries NFC/NFKC variants of visually identical
@@ -56,7 +56,14 @@ def nfc(col: Column) -> Column:
     Spark has no built-in NFC, so this is the documented Arrow escape
     hatch: a vectorized pandas_udf with a per-row str.isascii() fast
     path (C-speed; ASCII batches never touch unicodedata). NFC is
-    idempotent, so double application along composed paths is safe."""
+    idempotent, so double application along composed paths is safe.
+    ``casefold=True`` additionally applies str.casefold() AFTER the
+    NFC pass — the optional case-insensitive variant of the contract
+    for pipelines whose dedup policy treats case variants as dups
+    (NOT the default: the ledger/BM25 chain is case-sensitive and its
+    oracles must match lower()-free SQL)."""
+    if casefold:
+        return _nfc_casefold_udf(col)
     return _nfc_udf(col)
 
 
@@ -73,9 +80,24 @@ def _nfc_series(s: "pd.Series") -> "pd.Series":
     )
 
 
+def _nfc_casefold_series(s: "pd.Series") -> "pd.Series":
+    import unicodedata
+
+    return pd.Series(
+        [
+            t if t is None
+            else (t.casefold() if t.isascii()
+                  else unicodedata.normalize("NFC", t).casefold())
+            for t in s
+        ],
+        dtype=object,
+    )
+
+
 # built lazily: pandas_udf resolves its return type through the active
 # SparkSession, which doesn't exist at import time
 _NFC_UDF = None
+_NFC_CF_UDF = None
 
 
 def _nfc_udf(col: Column) -> Column:
@@ -85,6 +107,15 @@ def _nfc_udf(col: Column) -> Column:
 
         _NFC_UDF = F.pandas_udf(_nfc_series, StringType())
     return _NFC_UDF(col)
+
+
+def _nfc_casefold_udf(col: Column) -> Column:
+    global _NFC_CF_UDF
+    if _NFC_CF_UDF is None:
+        from pyspark.sql.types import StringType
+
+        _NFC_CF_UDF = F.pandas_udf(_nfc_casefold_series, StringType())
+    return _NFC_CF_UDF(col)
 
 
 def token_count(text_col: str = "text") -> Column:

@@ -2089,6 +2089,65 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+
+_UNICODE_TWIN_LITS = [
+    "the caf\u00e9 review praised the na\u00efve d\u00e9cor",
+    "la cr\u00e8me br\u00fbl\u00e9e \u00e9tait d\u00e9j\u00e0 pr\u00e9sent\u00e9e",
+    "zo\u00eb and chlo\u00eb enjoyed the pi\u00f1ata fiesta",
+]
+
+
+@query(
+    "q_dedup_unicode_exact",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT * FROM (VALUES (CAST(9000000 AS BIGINT), 'the café review praised the naïve décor'), (CAST(9000001 AS BIGINT), 'la crème brûlée était déjà présentée'), (CAST(9000002 AS BIGINT), 'zoë and chloë enjoyed the piñata fiesta')) AS vc(doc_id, text)
+        UNION ALL SELECT * FROM (VALUES (CAST(9100000 AS BIGINT), 'the café review praised the naïve décor'), (CAST(9100001 AS BIGINT), 'la crème brûlée était déjà présentée'), (CAST(9100002 AS BIGINT), 'zoë and chloë enjoyed the piñata fiesta')) AS vd(doc_id, text)
+    ),
+    n AS (SELECT doc_id, md5(nfc_normalize(text)) AS nfp FROM u)
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY nfp) AS first_id,
+           CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY nfp) AS INTEGER)
+               AS is_dup
+    FROM n
+    """,
+)
+def q_dedup_unicode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-ENGINE pin of the Unicode normalization contract: exact
+    dedup on md5(NFC(text)) over the corpus plus three NFC literals
+    and their byte-different NFD twins — each twin must resolve to its
+    NFC original (first_id = the NFC row, is_dup = 1). The Spark side
+    normalizes through text.nfc (Python unicodedata, Arrow-vectorized);
+    the oracle through DuckDB's nfc_normalize (utf8proc) — the gate
+    passing means the two NFC implementations agree byte-for-byte on
+    the fingerprinted bytes, the property every ledger fingerprint
+    relies on (operators/dedup_index._fps, corpus admission,
+    text_index's analyzer)."""
+    import unicodedata
+
+    from ..operators import text as text_ops
+
+    lits = [
+        (9_000_000 + i, t) for i, t in enumerate(_UNICODE_TWIN_LITS)
+    ] + [
+        (9_100_000 + i, unicodedata.normalize("NFD", t))
+        for i, t in enumerate(_UNICODE_TWIN_LITS)
+    ]
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+        .unionByName(spark.createDataFrame(lits, "doc_id long, text string"))
+    )
+    norm = docs.withColumn("nfp", F.md5(text_ops.nfc(F.col("text"))))
+    w = Window.partitionBy("nfp")
+    return norm.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("first_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).cast("int")
+        .alias("is_dup"),
+    )
+
+
 @query(
     "q_dedup_incremental",
     oracle="""

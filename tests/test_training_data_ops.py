@@ -591,3 +591,25 @@ def test_substring_dedup_below_threshold_and_self_repeat(spark):
     assert got[0]["n_removed"] == 0 and got[0]["text_clean"] == short
     assert got[1]["n_removed"] == 8
     assert got[1]["text_clean"] == rep + " mid"
+
+
+def test_nfc_casefold_variant(spark):
+    """text.nfc(casefold=True): NFC then casefold — the optional
+    case-insensitive form of the normalization contract; the default
+    stays case-sensitive."""
+    import unicodedata
+
+    rows = [(0, unicodedata.normalize("NFD", "Café")), (1, "CAFÉ"),
+            (2, "plain ASCII Mixed")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n, r.cf)
+        for r in df.select(
+            "doc_id",
+            text.nfc(F.col("text")).alias("n"),
+            text.nfc(F.col("text"), casefold=True).alias("cf"),
+        ).collect()
+    }
+    assert got[0] == ("Café", "café")
+    assert got[1] == ("CAFÉ", "café")
+    assert got[2] == ("plain ASCII Mixed", "plain ascii mixed")
