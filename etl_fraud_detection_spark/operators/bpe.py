@@ -36,14 +36,12 @@ def _word_symbols(word: str) -> tuple[str, ...]:
     return tuple(word) + (WORD_END,)
 
 
-def train_bpe(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
-    """Learn ``n_merges`` merge rules from whitespace-split words.
-    Deterministic: pair-count ties break lexicographically."""
-    vocab = Counter()
-    for t in texts:
-        for w in t.split():
-            if w:
-                vocab[_word_symbols(w)] += 1
+def _merge_loop(vocab: Counter, n_merges: int) -> list[tuple[str, str]]:
+    """The iterative merge selection over a word-frequency table —
+    shared by the sampled (train_bpe) and full-corpus
+    (train_merges_distributed) entry points so both produce identical
+    rules for identical statistics. Deterministic: pair-count ties
+    break lexicographically."""
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pairs: Counter = Counter()
@@ -59,6 +57,43 @@ def train_bpe(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
             {_apply_merge(syms, best): cnt for syms, cnt in vocab.items()}
         )
     return merges
+
+
+def train_bpe(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` merge rules from whitespace-split words of a
+    driver-side text sample (the bounded-sample path)."""
+    vocab = Counter()
+    for t in texts:
+        for w in t.split():
+            if w:
+                vocab[_word_symbols(w)] += 1
+    return _merge_loop(vocab, n_merges)
+
+
+def train_merges_distributed(
+    docs: DataFrame, n_merges: int, text_col: str = "text"
+) -> list[tuple[str, str]]:
+    """Learn merge rules from the FULL corpus's exact word statistics:
+    the corpus-sized work — word counting — is ONE distributed
+    explode + groupBy whose output is the VOCABULARY-bounded word-
+    frequency table (natural-language vocab grows ~log with corpus
+    size: a few MB at any scale, the same bounded-collect class as
+    text_index's term stats); the iterative merge loop then runs on
+    that table driver-side, identically to :func:`train_bpe`
+    (pinned equal in tests/test_bpe.py). Trains on exact full-corpus
+    counts where the sampled path trains on a subset — same
+    determinism contract, zero per-merge distributed jobs."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .collect()
+    )
+    vocab = Counter({_word_symbols(r["w"]): r["freq"] for r in rows})
+    return _merge_loop(vocab, n_merges)
 
 
 def _apply_merge(syms: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:

@@ -1340,7 +1340,8 @@ def family(name: str) -> str:
         "q_rolling_hash", "q_tfidf_topterms", "q_lm_score", "q_bm25",
         "q_bm25_index", "q_bm25_topk", "q_bm25_topk_multi",
         "q_chi2_terms", "q_lexical_diversity", "q_repetition_stats",
-        "q_repetition_removal", "q_bpe_encode", "q_fuzzy_join",
+        "q_repetition_removal", "q_bpe_encode", "q_bpe_train",
+        "q_fuzzy_join",
     }:
         return "text"
     if name in {

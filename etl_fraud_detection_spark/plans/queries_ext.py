@@ -4695,6 +4695,29 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_bpe_train")  # rows-only: iterative merge selection is not
+# SQL-expressible; correctness is carried by tests/test_bpe.py's
+# equality pin (distributed == driver-side trainer, exact round-trip)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN a BPE merge table from the full documents corpus: the
+    corpus-sized work is one distributed explode + groupBy producing
+    the vocabulary-bounded word-frequency table; the iterative merge
+    loop runs driver-side over that table (bpe.train_merges_distributed
+    — identical rules to the sampled trainer, pinned in
+    tests/test_bpe.py). Returns the learned rules in order — the
+    artifact q_bpe_encode replays. Deterministic: counts are exact
+    integers and ties break lexicographically."""
+    from ..operators import bpe
+
+    merges = bpe.train_merges_distributed(
+        _t(spark, sf_dir, "documents"), n_merges=40
+    )
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_idx int, left string, right string",
+    )
+
+
 @query(
     "q_bpe_roundtrip",
     oracle="""

@@ -98,3 +98,32 @@ def test_marker_bearing_input_is_quarantined_not_corrupted(spark):
     assert rows[1]["n_bpe_tokens"] == len(rows[1]["bpe_tokens"])
     with pytest.raises(Exception, match="terminal marker"):
         bpe.encode_documents(docs, [], strict=True).collect()
+
+
+def test_distributed_training_equals_driver_side(spark):
+    """train_merges_distributed (Spark word-frequency pass + shared
+    merge loop) must produce the IDENTICAL merge list as train_bpe
+    over the same texts — the distributed path changes where the
+    counting runs, never the learned rules."""
+    from etl_fraud_detection_spark.operators import bpe
+
+    texts = [
+        "low lower lowest newer newest wide wider widest",
+        "the lower the wider the newer the better better",
+        "low low low newest newest wide",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for n in (0, 5, 20):
+        assert bpe.train_merges_distributed(docs, n) == bpe.train_bpe(
+            texts, n
+        ), n
+    # and the trained table round-trips through the distributed encoder
+    merges = bpe.train_merges_distributed(docs, 12)
+    got = {
+        r.doc_id: r.bpe_tokens
+        for r in bpe.encode_documents(docs, merges).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == bpe.encode_text(t, merges)
