@@ -50,7 +50,13 @@ def main() -> int:
     tail = combined.splitlines()[-1] if combined else ""
     t_pass = int(m2.group(1)) if (m2 := re.search(r"(\d+) passed", combined)) else 0
     t_fail = int(m3.group(1)) if (m3 := re.search(r"(\d+) failed", combined)) else 0
+    # record WHICH tests failed — a transient flake inside a 25-minute
+    # full-suite run is unattributable otherwise (round 9: one gate run
+    # recorded 1 failed with no name; both targeted reruns were green)
+    failed_names = re.findall(r"^FAILED (\S+)", combined, re.MULTILINE)
     print(f"pytest: {tail} (rc={pytest.returncode})")
+    if failed_names:
+        print("failed:", " ".join(failed_names))
 
     record = {
         "ts": time.time(),
@@ -61,6 +67,7 @@ def main() -> int:
         "oracle_rows_only": o_skip,
         "pytest_passed": t_pass,
         "pytest_failed": t_fail,
+        "pytest_failed_names": failed_names,
         "pytest_rc": pytest.returncode,
         "gate_wall_s": round(time.time() - t0, 1),
     }
