@@ -336,6 +336,17 @@ class TestOptimizeLayout:
                           10_000 + 100 * b),
                 run_id=2 + b,
             )
+        # force a DETERMINISTIC degraded layout: hash-scatter the band
+        # table across 8 files so every file spans the full band-value
+        # space (the append path's file counts vary with AQE coalescing
+        # under load — a relative before/after assert on them flaked in
+        # the round-9 gate run; the scatter rewrite pins the contrast)
+        wh.begin_run(40)
+        wh.overwrite(
+            "index", media_index.T_BANDS,
+            wh.read("index", media_index.T_BANDS).repartition(8),
+        )
+        wh.commit_run(40)
         bands = wh.read("index", media_index.T_BANDS)
         before_rows = sorted(tuple(r) for r in bands.collect())
         lo, hi = bands.where(
@@ -354,10 +365,10 @@ class TestOptimizeLayout:
             )
 
         scattered = files_hit()
+        assert scattered >= 4, scattered  # every hash file has range rows
         media_index.optimize(wh, run_id=50, band_files=8)
         localized = files_hit()
         assert localized <= 2, (scattered, localized)
-        assert localized < scattered, (scattered, localized)
         after_rows = sorted(
             tuple(r) for r in wh.read("index", media_index.T_BANDS).collect()
         )
