@@ -100,6 +100,58 @@ def test_marker_bearing_input_is_quarantined_not_corrupted(spark):
         bpe.encode_documents(docs, [], strict=True).collect()
 
 
+def test_incremental_merge_loop_equals_naive():
+    """_merge_loop (incremental: pair→word index + lazy-deletion heap)
+    must select the IDENTICAL merge sequence as _merge_loop_naive
+    (full recount per round) on arbitrary vocabularies — including
+    overlapping pairs (aaa), reappearing pairs, count ties, and
+    merge budgets past exhaustion."""
+    import random
+
+    from collections import Counter
+
+    rng = random.Random(20260815)
+    alphabet = "abcdef"
+    for trial in range(40):
+        vocab = Counter()
+        for _ in range(rng.randint(1, 30)):
+            w = "".join(
+                rng.choice(alphabet) for _ in range(rng.randint(1, 12))
+            )
+            vocab[bpe._word_symbols(w)] += rng.randint(1, 9)
+        for n in (0, 1, 7, 200):
+            assert bpe._merge_loop(
+                Counter(vocab), n
+            ) == bpe._merge_loop_naive(Counter(vocab), n), (trial, n)
+    # the classic overlap corner explicitly
+    v = Counter({bpe._word_symbols("aaaa"): 3, bpe._word_symbols("aab"): 2})
+    assert bpe._merge_loop(Counter(v), 50) == bpe._merge_loop_naive(
+        Counter(v), 50
+    )
+
+
+def test_distributed_training_splits_like_str_split(spark):
+    """html_extract emits newline-joined block text: the distributed
+    word counter must split on whitespace RUNS (str.split() semantics
+    incl. \\t, \\n, NBSP), not single spaces — else it learns
+    newline-bearing symbols the encoder can never produce."""
+    from etl_fraud_detection_spark.operators import bpe
+
+    texts = [
+        "first block\nsecond block\nthe end",
+        "tabs\there\tand  double  spaces",
+        "nbsp separated words em-space",
+        " leading and trailing \n",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for n in (5, 25):
+        got = bpe.train_merges_distributed(docs, n)
+        assert got == bpe.train_bpe(texts, n), n
+        assert all("\n" not in a + b and "\t" not in a + b for a, b in got)
+
+
 def test_distributed_training_equals_driver_side(spark):
     """train_merges_distributed (Spark word-frequency pass + shared
     merge loop) must produce the IDENTICAL merge list as train_bpe
