@@ -564,6 +564,57 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS, id_col: str = "doc_id", t
 SEG_TOKENS = 8
 
 
+def _first_occurrence_flag(
+    rows: DataFrame,
+    fp_col: str = "fp",
+    flag: str = "dup",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Mark every row whose (doc_id, pos) is NOT the corpus-wide first
+    occurrence of its fingerprint — the skew-safe core shared by
+    :func:`paragraph_dedup` and :func:`substring_dedup`.
+
+    Why not ``row_number() over (partition by fp)``: a window cannot
+    map-side combine, so a crawl-frequent fingerprint (boilerplate
+    sentence repeated 10⁶×) lands every occurrence on ONE reducer that
+    must sort them all. Here the global first is a
+    ``groupBy(fp).agg(min(struct(doc_id, pos)))`` — partial (hash)
+    aggregation collapses the hot key map-side, each task shipping one
+    candidate row per distinct fp — joined back on fp, where AQE's
+    skew-join splits any remaining hot probe-side partition across
+    tasks. Same shuffled volume as the window shape (rows move on fp
+    once either way); no single-task sort anywhere. Struct ordering ==
+    (doc_id, pos) lexicographic order, the same first-occurrence rule
+    the window form used.
+
+    ``checkpoint``: the aggregate and the join probe are two consumers
+    of ``rows``, and rows is typically an EXPENSIVE frame (the
+    O(len·k) k-gram build) — without materialization Spark recomputes
+    it per branch (measured 1.9× whole-query at probe scale, and the
+    branches race if merely persist()ed inside one job). An eager
+    localCheckpoint computes it once to executor-local storage — the
+    same I/O class as the one fp shuffle the window shape paid, and
+    the engine's documented multi-consumer pattern
+    (corpus_build.py:321). Callers whose rows frame is trivial to
+    recompute can pass False."""
+    if checkpoint:
+        rows = rows.localCheckpoint()
+    firsts = rows.groupBy(fp_col).agg(
+        F.min(F.struct("doc_id", "pos")).alias("_first")
+    )
+    return (
+        rows.join(firsts, fp_col)
+        .withColumn(
+            flag,
+            (
+                (F.col("doc_id") != F.col("_first.doc_id"))
+                | (F.col("pos") != F.col("_first.pos"))
+            ).cast("int"),
+        )
+        .drop("_first")
+    )
+
+
 def paragraph_dedup(
     docs: DataFrame,
     seg_tokens: int = SEG_TOKENS,
@@ -576,14 +627,18 @@ def paragraph_dedup(
     corpus-wide FIRST occurrence of every fingerprint ((doc_id, pos)
     order), and rebuild each document from its surviving segments.
 
-    Two shuffles total and no joins: the first-occurrence decision is a
-    row_number window on the fingerprint (md5 — the hash both engines
-    share), and the rebuild aggregates on the doc id with dropped
-    segments carried as NULLs through ``collect_list`` (which skips
-    them) — so fully-deduped documents still surface with
-    ``text_clean = ''`` instead of needing a trailing doc-sized join.
-    At 100 TB both shuffle keys are fine: fingerprints are uniform by
-    construction, and the rebuild key is the doc id."""
+    The first-occurrence decision is skew-safe
+    (:func:`_first_occurrence_flag`): a map-side-combinable
+    min-(doc_id, pos) per fingerprint (md5 — the hash both engines
+    share) joined back on the fingerprint, so a boilerplate paragraph
+    repeated millions of times collapses to one candidate per map task
+    instead of piling onto one window reducer. The rebuild aggregates
+    on the doc id with dropped segments carried as NULLs through
+    ``collect_list`` (which skips them) — so fully-deduped documents
+    still surface with ``text_clean = ''`` instead of needing a
+    trailing doc-sized join. At 100 TB the rebuild key is the doc id
+    — uniform — and hot fingerprints are absorbed by partial
+    aggregation + AQE skew-join."""
     toks = F.split(F.col(text_col), " ")
     n_segs = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
     segs = docs.select(
@@ -596,10 +651,9 @@ def paragraph_dedup(
                 ),
             )
         ).alias("pos", "seg"),
-    )
-    w = Window.partitionBy(F.md5(F.col("seg"))).orderBy("doc_id", "pos")
-    kept = segs.withColumn(
-        "kept", (F.row_number().over(w) == 1).cast("int")
+    ).withColumn("fp", F.md5(F.col("seg")))
+    kept = _first_occurrence_flag(segs, flag="dup").withColumn(
+        "kept", (1 - F.col("dup")).cast("int")
     )
     return (
         kept.groupBy("doc_id")
@@ -647,20 +701,29 @@ def substring_dedup(
     one copy of every repeat (true ExactSubstr can drop both); spans
     shorter than k are below the threshold by contract.
 
-    Scale shape — three shuffles, ZERO joins, no token blow-up:
+    Scale shape — no token blow-up, no skewed single-task stage:
     - k-gram fingerprints are computed INSIDE a per-doc transform over
       the token array (md5 of a k-slice), so the exploded row set is
       one row per token carrying one 32-char fp, never the k-times
       token copy a gram-explode would ship, and never the whole-array
       carry a post-explode slice would need.
-    - dup marking is a row_number window on the fp — uniform keys by
-      construction. Tail positions (no k-gram starts there) get a
-      UNIQUE synthetic key ("t:<doc>:<pos>" — a "t:" prefix cannot
-      collide with 32-hex md5), so they ride the same window with
-      row_number 1 by construction: at 100 TB a shared NULL key would
-      pile the k-1 tail rows of every doc into one mega-partition,
-      and a where-split union would SCAN THE CORPUS TWICE, re-running
-      the O(len·k) gram build (measured 2x the whole query at sf0.1).
+    - dup marking is skew-safe (:func:`_first_occurrence_flag`): the
+      corpus-wide first occurrence per fp is a map-side-combinable
+      ``groupBy(fp).agg(min(struct(doc_id, pos)))`` joined back on fp
+      — a crawl-frequent 8-gram (license boilerplate repeated 10⁶×)
+      collapses to one candidate per map task in the aggregate, and
+      AQE's skew-join splits the hot probe-side join partition across
+      tasks; the old ``row_number() over (partition by fp)`` form put
+      every occurrence of the hot gram on ONE reducer's sort
+      (SCALE.md round 10 measures the two shapes on a hot-key
+      fixture). Tail positions (no k-gram starts there) get a UNIQUE
+      synthetic key ("t:<doc>:<pos>" — a "t:" prefix cannot collide
+      with 32-hex md5), so they ride the same aggregate+join as
+      singleton groups, trivially first-occurrence: at 100 TB a
+      shared NULL key would pile the k-1 tail rows of every doc into
+      one mega-partition, and a where-split union would SCAN THE
+      CORPUS TWICE, re-running the O(len·k) gram build (measured 2x
+      the whole query at sf0.1).
     - coverage is a per-doc ROWS window (max of dup over the k-1
       preceding starts — positions are dense, one row per token), and
       the rebuild groupBy rides the same doc partitioning.
@@ -686,15 +749,14 @@ def substring_dedup(
             F.concat_ws(":", F.lit("t"), F.col("doc_id"), F.col("e.pos")),
         ).alias("fp"),
     )
-    w_fp = Window.partitionBy("fp").orderBy("doc_id", "pos")
     w_doc = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
         .rowsBetween(-(k - 1), Window.currentRow)
     )
-    marked = rows.withColumn(
-        "dup", (F.row_number().over(w_fp) > 1).cast("int")
-    ).withColumn("removed", F.max("dup").over(w_doc))
+    marked = _first_occurrence_flag(rows, flag="dup").withColumn(
+        "removed", F.max("dup").over(w_doc)
+    )
     return marked.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         F.sum("removed").cast("long").alias("n_removed"),

@@ -356,29 +356,31 @@ def test_semdedup_cell_join_and_broadcast_backflag(spark):
     assert "CartesianProduct" not in p and "SortMergeJoin" not in p
 
 
-def test_dedup_paragraphs_no_joins(spark):
-    """Paragraph dedup must be explode → fp-window → doc-rebuild: two
-    exchanges, zero joins (fully-deduped docs ride through collect_list
-    as NULLs, not via a trailing join)."""
+def test_dedup_paragraphs_skew_safe_first_occurrence(spark):
+    """Paragraph dedup (round 10, skew-hardened): first occurrence is
+    a map-side-combinable min-struct AGGREGATE joined back on the
+    fingerprint — never a row_number window partitioned by fp, whose
+    hot boilerplate key would pile every occurrence onto one reducer
+    (SCALE.md round 10: 52s single task at 10^6 hot rows). The doc
+    rebuild still rides collect_list NULLs, no trailing doc join."""
     p = plan_of(q(spark, "q_dedup_paragraphs"))
-    assert count_nodes(p, "Exchange") <= 2
-    for node in ("Join", "CartesianProduct"):
-        assert node not in p
+    assert "row_number" not in p  # the skewed marker shape
+    assert "partial_min" in p  # map-side combine collapses hot fps
+    assert "CartesianProduct" not in p
 
 
-def test_dedup_substring_single_scan_no_joins(spark):
-    """Substring dedup must be per-doc gram transform → fp-window →
-    doc-window → rebuild: bounded exchanges, zero joins, and exactly
-    ONE scan of the corpus — a where-split union of gram vs tail rows
-    reads the parquet twice and re-runs the O(len·k) gram build
-    (measured 2x the whole query); tail rows instead carry a unique
-    synthetic fp so one window serves both without a NULL
-    mega-partition."""
+def test_dedup_substring_skew_safe_single_gram_build(spark):
+    """Substring dedup (round 10): the per-token gram frame is
+    localCheckpointed (computed ONCE — the agg and join branches would
+    otherwise each re-run the O(len·k) gram build, measured 1.9x the
+    query), first occurrence is the min-struct aggregate + join back
+    (no fp-partitioned row_number window — the hot-boilerplate skew
+    hazard), and the per-doc coverage window + rebuild remain."""
     p = plan_of(q(spark, "q_dedup_substring"))
-    assert count_nodes(p, "Exchange") <= 3
-    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
-        assert node not in p
-    assert count_nodes(p, "Scan parquet") == 1
+    assert "row_number" not in p
+    assert "partial_min" in p  # map-side combine collapses hot fps
+    assert "ExistingRDD" in p  # checkpointed gram frame, built once
+    assert "CartesianProduct" not in p
 
 
 def test_udaf_is_arrow_grouped_agg(spark):

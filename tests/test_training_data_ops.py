@@ -593,6 +593,39 @@ def test_substring_dedup_below_threshold_and_self_repeat(spark):
     assert got[1]["text_clean"] == rep + " mid"
 
 
+def test_substring_dedup_hot_fingerprint_fixture(spark):
+    """The round-10 skew fixture at correctness scale: ONE boilerplate
+    8-gram repeated in EVERY doc (3 occurrences × 60 docs on one md5
+    fingerprint — the crawl-boilerplate shape the agg+join rewrite
+    exists for). Exactly one occurrence corpus-wide survives (doc 0,
+    first position); every other occurrence is removed while each
+    doc's unique filler survives untouched."""
+    boiler = " ".join(f"b{i}" for i in range(8))
+    docs = docs_df(
+        spark,
+        [
+            (
+                d,
+                f"{boiler} u{d}a0 u{d}a1 u{d}a2 u{d}a3 u{d}a4 u{d}a5 "
+                f"u{d}a6 u{d}a7 {boiler} u{d}b0 u{d}b1 u{d}b2 u{d}b3 "
+                f"u{d}b4 u{d}b5 u{d}b6 u{d}b7 {boiler}",
+            )
+            for d in range(60)
+        ],
+    )
+    got = _tc(dedup.substring_dedup(docs, k=8))
+    # doc 0 keeps its first boilerplate copy, loses the other two
+    assert got[0]["n_removed"] == 16
+    assert got[0]["text_clean"].startswith(boiler + " u0a0")
+    assert "b0" not in got[0]["text_clean"].split()[8:]
+    for d in range(1, 60):
+        assert got[d]["n_removed"] == 24, d  # all three copies removed
+        assert got[d]["text_clean"] == (
+            f"u{d}a0 u{d}a1 u{d}a2 u{d}a3 u{d}a4 u{d}a5 u{d}a6 u{d}a7 "
+            f"u{d}b0 u{d}b1 u{d}b2 u{d}b3 u{d}b4 u{d}b5 u{d}b6 u{d}b7"
+        ), d
+
+
 def test_nfc_casefold_variant(spark):
     """text.nfc(casefold=True): NFC then casefold — the optional
     case-insensitive form of the normalization contract; the default
