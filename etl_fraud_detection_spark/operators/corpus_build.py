@@ -177,10 +177,14 @@ def _admission(
     contamination the split-after-survivors ordering exists to
     prevent. Non-survivors report near_dup with the in-batch survivor
     (largest text, smallest id on ties) as dup_of. Returns
-    (verdicts, admitted_docs): verdicts covers EVERY batch page with
-    (doc_id, status, dup_of); admitted_docs is (doc_id, text, fp) for
-    the docs that passed everything. All heavy intermediates register
-    with the shared release list; nothing is written."""
+    (verdicts, fresh): verdicts covers EVERY batch page with
+    (doc_id, status, dup_of); fresh is (doc_id, text, fp) for the docs
+    that survived the gate/exact cascade — callers derive the admitted
+    set as ``fresh ⋉ verdicts[status=admitted]`` (replayed ids tag
+    admitted too but are disjoint from fresh), AFTER checkpointing
+    verdicts, so the probe plan composes into exactly one executed
+    frame. All heavy intermediates register with the shared release
+    list; nothing is written."""
     from . import dedup_index
     from .dedup import _PERSISTED_SHINGLES
 
@@ -247,7 +251,7 @@ def _admission(
     # band self-join instead of a second full shingle/signature pass.
     # normalize=False: batch text is NFC already (html_extract's
     # Arrow-stage contract) — skip the redundant per-branch Arrow hop.
-    near, ipairs = dedup_index.ingest(
+    near, ipairs, icand = dedup_index.ingest(
         wh, fresh.select("doc_id", "text"), tau=tau, commit=False,
         intra_pairs=True, normalize=False,
     )
@@ -279,23 +283,30 @@ def _admission(
             .unionByName(tag(stored, "exact_dup", True))
         )
 
-    # FIRST action: probe the UNFILTERED intra-pair set for emptiness —
-    # a correct over-approximation of the pair set the CC would see
-    # (filtering to ledger survivors only ever removes pairs). Its job
-    # materializes the probe's persisted fingerprints/bands, which
+    # FIRST action: TIERED emptiness probe of the intra-pair set, both
+    # tiers correct over-approximations of the pair set the CC would
+    # see (filtering to ledger survivors only ever removes pairs).
+    # Tier 1 probes the raw BAND COLLISIONS (batch_bands self-join —
+    # no shingle explode, no jaccard): the steady-state daily batch
+    # has no same-day twins, so no two docs share a band bucket and
+    # the expensive verify never runs at all. Only a colliding batch
+    # pays tier 2, the verified-pair probe (a sub-tau false collision
+    # still resolves pair-free there and keeps the steady shape).
+    # Either probe's job materializes the persisted fingerprints/bands
     # every job after reads from cache, and limit(1) short-circuits as
-    # soon as one pair surfaces. This ordering lets the steady-state
-    # daily batch — no same-day twins, the common case — keep round
-    # 7's ZERO-checkpoint shape below.
-    if ipairs.limit(1).count() == 0:
-        # STEADY STATE: no verified in-batch pairs, so no CC, no
-        # survivor pick, and `near` has exactly ONE verdict consumer —
-        # keep it LAZY with a when-split single union branch (round
-        # 7's shape; a where-split would execute the probe plan twice,
-        # and a localCheckpoint here measured ~+1.5s per batch for
-        # nothing). One reference cannot re-trigger the 538s
-        # plan-multiplication pathology (that needed the probe plan
-        # composed into N verdict branches).
+    # soon as one row surfaces. This ordering keeps round 7's
+    # ZERO-checkpoint shape for the committing pair-free batch.
+    if icand.limit(1).count() == 0 or ipairs.limit(1).count() == 0:
+        # STEADY STATE: no verified in-batch pairs, so no CC and no
+        # survivor pick — keep `near` LAZY with a when-split single
+        # union branch (round 7's shape; a where-split would execute
+        # the probe plan twice, and a localCheckpoint here measured
+        # ~+1.5s per batch for nothing). The verdict union is the one
+        # composition of the probe plan; the admitted-doc set is
+        # DERIVED FROM THE VERDICTS by the callers (admit_corpus_batch
+        # checkpoints verdicts first and semi-joins `fresh` against
+        # the checkpoint), so the probe plan is analyzed/executed
+        # exactly once per batch — not once per returned frame.
         near_tagged = near.select(
             "doc_id",
             F.when(F.col("admitted"), F.lit("admitted"))
@@ -304,11 +315,7 @@ def _admission(
             .cast("long").alias("dup_of"),
         )
         verdicts = base_verdicts().unionByName(near_tagged)
-        admitted_docs = fresh.join(
-            near.where(F.col("admitted")).select("doc_id"),
-            "doc_id", "left_semi",
-        )
-        return verdicts, admitted_docs
+        return verdicts, fresh
 
     # PAIR-BEARING batch: `near` now feeds several consumers (verdict
     # union, the survivor filter, the admitted set) and the CC consumes
@@ -366,8 +373,7 @@ def _admission(
         .unionByName(tag(inbatch.select("doc_id", "dup_of"), "near_dup", True))
         .unionByName(tag(survivors_ok, "admitted"))
     )
-    admitted_docs = fresh.join(survivors_ok, "doc_id", "left_semi")
-    return verdicts, admitted_docs
+    return verdicts, fresh
 
 
 def admission_verdicts(
@@ -426,11 +432,18 @@ def admit_corpus_batch(
     # the replay guard would report those docs 'admitted' while their
     # shards were never exported (silent doc loss)
     wh.recover()
-    verdicts, admitted = _admission(wh, pages, tau, html_col, id_col)
+    verdicts, fresh = _admission(wh, pages, tau, html_col, id_col)
     # freeze both BEFORE any table grows: the verdicts must describe
-    # the pre-batch corpus even after the ledger/survivors appends
+    # the pre-batch corpus even after the ledger/survivors appends.
+    # verdicts first — the admitted set then derives from the
+    # CHECKPOINTED verdicts (one semi-join over cached `fresh`), so
+    # the admission probe plan executes once per batch, not once per
+    # frame (the round-9 two-consumer residue).
     verdicts = verdicts.localCheckpoint()
-    admitted = admitted.localCheckpoint()
+    admitted = fresh.join(
+        verdicts.where(F.col("status") == "admitted").select("doc_id"),
+        "doc_id", "left_semi",
+    ).localCheckpoint()
     from .dedup import release_shingles
 
     release_shingles()

@@ -162,9 +162,11 @@ def ingest(
     and bands the ledger probe already computed, so the admission
     paths' intra-batch stage costs one extra band self-join + verify
     instead of a full second shingle/signature pass (measured ~2x the
-    whole stage at sf0.1). The pair set equals minhash_lsh_pairs over
-    the batch: signatures are per-doc, so restricting the corpus to
-    the batch changes no band key and no jaccard.
+    whole stage at sf0.1) — plus the raw band-collision candidates
+    (a, b) as a THIRD frame for tiered emptiness probing. The pair
+    set equals minhash_lsh_pairs over the batch: signatures are
+    per-doc, so restricting the corpus to the batch changes no band
+    key and no jaccard.
 
     IDEMPOTENT on replay: a batch doc whose doc_id is already IN the
     index (foreachBatch redelivery after a crash between index commit
@@ -254,7 +256,13 @@ def ingest(
             ipairs = dedup._jaccard_between(
                 fps.withColumnRenamed("sh_fp", "shingle"), icand, tau
             )
-            return admission, ipairs
+            # icand (the UNVERIFIED band collisions) rides along so the
+            # caller can probe pair-emptiness in two tiers: a batch
+            # with no band collision at all — the steady-state daily
+            # case — is proven pair-free by the cheap self-join alone,
+            # never paying the shingle-explode jaccard verify
+            # (corpus_build._admission's layered probe).
+            return admission, ipairs, icand
         return admission
     if intra_pairs:
         raise ValueError("intra_pairs is a read-only (commit=False) feature")

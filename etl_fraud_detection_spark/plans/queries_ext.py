@@ -2148,6 +2148,76 @@ def q_dedup_unicode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNICODE_CF_VALUES = ", ".join(
+    f"(CAST({9_200_000 + block * 10_000 + i} AS BIGINT), '{lit}')"
+    for block, xform in enumerate(
+        [lambda t: t, lambda t: t.upper(), lambda t: t.upper()]
+    )
+    for i, lit in enumerate(map(xform, _UNICODE_TWIN_LITS))
+)
+
+
+@query(
+    "q_dedup_unicode_casefold",
+    oracle=f"""
+    WITH u AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT * FROM (VALUES {_UNICODE_CF_VALUES})
+            AS vc(doc_id, text)
+    ),
+    n AS (
+        SELECT doc_id, md5(lower(nfc_normalize(text))) AS nfp FROM u
+    )
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY nfp) AS first_id,
+           CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY nfp) AS INTEGER)
+               AS is_dup
+    FROM n
+    """,
+)
+def q_dedup_unicode_casefold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-ENGINE pin of the CASEFOLDED normalization variant
+    (text.nfc(casefold=True) — round-9 verdict task 8): exact dedup on
+    md5(casefold(NFC(text))) over the corpus plus, per NFC literal,
+    an UPPERCASE twin and an NFD-decomposed uppercase twin — all
+    variants of one literal must collapse to its row (first_id = the
+    original, is_dup = 1). Spark normalizes via Python
+    str.casefold() after unicodedata NFC; the oracle via DuckDB
+    lower(nfc_normalize(...)) — the pin holds on the Latin-1 accent
+    range where casefold == lower (full-casefold divergences like
+    'ß'→'ss' are exactly why the DEFAULT contract stays
+    case-sensitive; this variant is for pipelines that opt in)."""
+    import unicodedata
+
+    from ..operators import text as text_ops
+
+    lits = (
+        [(9_200_000 + i, t) for i, t in enumerate(_UNICODE_TWIN_LITS)]
+        + [
+            (9_210_000 + i, t.upper())
+            for i, t in enumerate(_UNICODE_TWIN_LITS)
+        ]
+        + [
+            (9_220_000 + i, unicodedata.normalize("NFD", t.upper()))
+            for i, t in enumerate(_UNICODE_TWIN_LITS)
+        ]
+    )
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+        .unionByName(spark.createDataFrame(lits, "doc_id long, text string"))
+    )
+    norm = docs.withColumn(
+        "nfp", F.md5(text_ops.nfc(F.col("text"), casefold=True))
+    )
+    w = Window.partitionBy("nfp")
+    return norm.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("first_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).cast("int")
+        .alias("is_dup"),
+    )
+
+
 @query(
     "q_dedup_incremental",
     oracle="""
