@@ -107,13 +107,21 @@ def optimize(wh, run_id: int, band_files: int | None = None) -> None:
     so a band-key lookup opens the one file whose min/max covers it
     instead of every append sliver (the media twin,
     :func:`media_index.optimize`, pins the files-touched property)."""
+    bands_tbl = wh.read(LAYER, T_BANDS)
+    if bands_tbl is None:
+        # mirror ingest's missing-index contract, and check BEFORE
+        # begin_run — failing after would leave an open run to recover
+        raise ValueError(
+            f"band index not built: table {LAYER}.{T_BANDS} is missing in "
+            f"this warehouse — nothing to optimize; call build() first"
+        )
     wh.begin_run(run_id)
     wh.compact(LAYER, T_SHINGLES)
     if band_files is None:
         wh.compact(LAYER, T_BANDS, zorder_by=["band_idx", "band_hash"])
     else:
         wh.overwrite(
-            LAYER, T_BANDS, wh.read(LAYER, T_BANDS),
+            LAYER, T_BANDS, bands_tbl,
             zorder_by=["band_idx", "band_hash"],
             zorder_files=band_files,
         )

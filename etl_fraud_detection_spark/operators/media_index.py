@@ -181,6 +181,15 @@ def optimize(wh, run_id: int, band_files: int | None = None) -> None:
     colliding slivers of the ledger and re-reading all of it.
     ``band_files`` overrides the bytes-derived file count (probes and
     tests); the dedup_index twin is :func:`dedup_index.optimize`."""
+    bands_tbl = wh.read(LAYER, T_BANDS)
+    if bands_tbl is None:
+        # mirror ingest's missing-index contract, and check BEFORE
+        # begin_run — failing after would leave an open run to recover
+        raise ValueError(
+            f"media band index not built: table {LAYER}.{T_BANDS} is "
+            f"missing in this warehouse — nothing to optimize; call "
+            f"build() first"
+        )
     wh.begin_run(run_id)
     for t in (T_HASHES, T_FRAMES, T_ADMITTED):
         wh.compact(LAYER, t)
@@ -189,7 +198,7 @@ def optimize(wh, run_id: int, band_files: int | None = None) -> None:
                    zorder_by=["modality", "band_idx", "band_val"])
     else:
         wh.overwrite(
-            LAYER, T_BANDS, wh.read(LAYER, T_BANDS),
+            LAYER, T_BANDS, bands_tbl,
             zorder_by=["modality", "band_idx", "band_val"],
             zorder_files=band_files,
         )
@@ -399,14 +408,21 @@ def ingest(
                 "left",
             )
             .groupBy("media_id", "dup_of")
-            # "best edge" = CLOSEST match, but score direction differs
-            # by modality: image/audio score is a Hamming distance
-            # (lower = closer) while video score is a shared-frame
-            # count (higher = closer). Order on a per-modality
-            # closeness key so mixed-modality edges compare sanely.
+            # "best edge" = CLOSEST match. Ranked by a DOCUMENTED
+            # modality priority first, then within-modality closeness:
+            # a video edge means actual shared decoded frames — exact
+            # duplication evidence — so it deliberately outranks the
+            # distance-band (Hamming) evidence of image/audio edges;
+            # image and audio then compare on the same 64-bit Hamming
+            # scale (lower = closer), with more shared frames = closer
+            # within video. (The raw scales are incomparable — a naive
+            # min over negated-count vs distance would let every video
+            # edge win only by sign accident.)
             .agg(
                 F.min(
                     F.struct(
+                        F.when(F.col("modality") == "video", F.lit(0))
+                        .otherwise(F.lit(1)).alias("strength"),
                         F.when(F.col("modality") == "video", -F.col("score"))
                         .otherwise(F.col("score"))
                         .alias("closeness"),

@@ -233,3 +233,23 @@ def test_nfd_twin_rejects_against_nfc_ledger(spark, wh):
         ).collect()
     }
     assert adm == {10: (False, 1)}
+
+
+def test_optimize_on_missing_index_fails_before_run_opens(spark, wh):
+    """optimize() on a warehouse with no band index must raise the
+    clear missing-index error WITHOUT opening a run — the old shape
+    crashed with an opaque AttributeError after begin_run, leaving an
+    uncommitted run behind for the next writer to recover."""
+    import pytest
+
+    from etl_fraud_detection_spark.operators import media_index
+
+    with pytest.raises(ValueError, match="not built"):
+        dedup_index.optimize(wh, run_id=99, band_files=2)
+    with pytest.raises(ValueError, match="not built"):
+        media_index.optimize(wh, run_id=99, band_files=2)
+    # no run was opened: a normal build + ingest works untouched
+    dedup_index.build(wh, _docs(spark, [(1, BASE), (2, OTHER)]), run_id=1)
+    assert dedup_index.ingest(
+        wh, _docs(spark, [(10, THIRD)]), run_id=2
+    ).count() == 1
