@@ -91,6 +91,25 @@ def _run_catalog(spark) -> dict[str, float]:
     return {name: _time_query(spark, name) for name in QUERIES}
 
 
+def _canary(spark) -> float:
+    """Fixed-cost host-load canary (round-10 protocol hardening): a
+    pure-codegen CPU-bound job with NO I/O, no shuffle and no Python —
+    identical work every invocation — so its wall time moves only when
+    the HOST moves (ambient load, thermal/GC pressure). Interleaved
+    once per sweep; a drifting canary marks the whole record as taken
+    on a polluted boot, machine-readably, instead of leaving ambient
+    drift to be argued from family subtotals after the fact (round 9
+    inflated 176 recorded medians ~+10% that way)."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    spark.range(0, 20_000_000_000, 1, 32).select(
+        # double sum: summing that many xxhash64 longs overflows under ANSI
+        F.sum(F.xxhash64("id").cast("double")).alias("s")
+    ).collect()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -111,10 +130,15 @@ def main() -> None:
         except Exception:
             pass
 
+    _canary(spark), _canary(spark)  # warm codegen + JIT, uncounted
+    canary_samples = [_canary(spark)]
     runs = []
     for i in range(N_RUNS):
         print(f"# --- run {i + 1}/{N_RUNS} ---", file=sys.stderr)
         runs.append(_run_catalog(spark))
+        canary_samples.append(_canary(spark))
+        print(f"# canary after run {i + 1}: {canary_samples[-1]:.3f}s",
+              file=sys.stderr)
 
     samples = {name: [r[name] for r in runs] for name in QUERIES}
 
@@ -147,6 +171,7 @@ def main() -> None:
         for _ in range(extra_rounds):
             for name in noisy:
                 samples[name].append(_time_query(spark, name))
+        canary_samples.append(_canary(spark))
 
     medians = {
         name: round(statistics.median(samples[name]), 4) for name in QUERIES
@@ -156,6 +181,23 @@ def main() -> None:
         for name in QUERIES
     }
     resampled = {name: len(samples[name]) for name in noisy}
+    canary_drift = round(
+        max(canary_samples) / min(canary_samples) - 1.0, 4
+    )
+    canary = {
+        "samples": [round(c, 4) for c in canary_samples],
+        "drift": canary_drift,
+        # >20% movement on identical CPU-only work = the HOST moved
+        # during this record; treat cross-round per-query comparisons
+        # from a flagged record as ambient until same-boot re-measured
+        "flagged": canary_drift > 0.20,
+    }
+    if canary["flagged"]:
+        print(
+            f"# CANARY FLAGGED: fixed-cost job drifted "
+            f"{canary_drift:.1%} across sweeps — ambient host load "
+            f"polluted this record", file=sys.stderr,
+        )
     families: dict[str, float] = {}
     fam_spread: dict[str, float] = {}
     for name in QUERIES:
@@ -176,6 +218,7 @@ def main() -> None:
                 "family_spread": fam_spread,
                 "runs": N_RUNS,
                 "resampled": resampled,
+                "canary": canary,
                 "sf": sf_val,
                 "protocol": (
                     "runs interleaved round-robin: full catalog swept "
@@ -186,7 +229,10 @@ def main() -> None:
                     "total sample count; their median is over ALL "
                     "samples, their spread keeps the full range as a "
                     "noise-floor annotation); families = sum of "
-                    "medians per plans.queries.family; testdata is "
+                    "medians per plans.queries.family; canary = a "
+                    "fixed-cost CPU-only job interleaved once per "
+                    "sweep whose drift >20% flags the record as "
+                    "ambient-polluted; testdata is "
                     "regenerated between rounds, so cross-round "
                     "comparisons require re-running old code on "
                     "current data (SCALE.md 'Bench comparability')"

@@ -40,7 +40,7 @@ bounded manifest scalars.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from . import dedup, export, extraction, sampling, text
 
@@ -103,12 +103,18 @@ def build_corpus(
         "doc_id", F.col("redacted").alias("text")
     )
     # exact dedup before the (more expensive) near-dup stage: first
-    # occurrence per redacted fingerprint survives
-    w_fp = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # occurrence per redacted fingerprint survives. Keep-first-drop-rest
+    # is a PURE AGGREGATION — min(struct(doc_id, text)) per fingerprint
+    # (doc_id leads the struct ordering; text rides along) — so partial
+    # aggregation collapses a mass-duplicated page (the most common dup
+    # mode of a crawl) map-side instead of piling every copy onto one
+    # row_number reducer; no join, no window, one shuffle of ~distinct
+    # rows (round-10 skew hardening, SCALE.md).
     uniq = (
-        red.withColumn("_rn", F.row_number().over(w_fp))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+        red.groupBy(F.md5("text").alias("_fp"))
+        .agg(F.min(F.struct("doc_id", "text")).alias("_f"))
+        .select(F.col("_f.doc_id").alias("doc_id"),
+                F.col("_f.text").alias("text"))
     )
     # post-redaction corpus feeds clusters, the survivor join, the
     # split and the export token — one materialization, many consumers
@@ -229,14 +235,26 @@ def _admission(
         F.col("redacted").alias("text"),
         F.md5("redacted").alias("fp"),
     )
-    w_fp = Window.partitionBy("fp")
-    red = red.withColumn("_first", F.min("doc_id").over(w_fp)).persist()
+    # batch exact dedup, skew-safe (round 10): the firsts are a
+    # map-side-combinable min-struct AGGREGATE per fingerprint — a
+    # batch of 10^6 identical pages collapses to one candidate per map
+    # task instead of one min-over-window reducer — and `cand` IS the
+    # aggregate's output (no second pass); only the dup rows join back
+    # (AQE splits a hot fp join partition). red stays persisted: the
+    # agg and the intra probe both read it, and the tier-1 probe job
+    # below materializes it for every later job.
+    red = red.persist()
     _PERSISTED_SHINGLES.append(red)
-    intra = red.where(F.col("doc_id") != F.col("_first")).select(
-        "doc_id", F.col("_first").alias("dup_of")
+    cand = (
+        red.groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "text")).alias("_f"))
+        .select(F.col("_f.doc_id").alias("doc_id"),
+                F.col("_f.text").alias("text"), "fp")
     )
-    cand = red.where(F.col("doc_id") == F.col("_first")).select(
-        "doc_id", "text", "fp"
+    intra = (
+        red.join(cand.select("fp", F.col("doc_id").alias("_first")), "fp")
+        .where(F.col("doc_id") != F.col("_first"))
+        .select("doc_id", F.col("_first").alias("dup_of"))
     )
     stored = (
         cand.join(

@@ -250,9 +250,15 @@ def _pairs_over_exact_text_groups(
         F.md5(F.col(text_col)).alias("fp"),
         F.col(text_col).alias("_txt"),
     )
-    mem = mem.withColumn(
-        "gid", F.min("did").over(Window.partitionBy("fp"))
-    ).persist()
+    # group representative via min-AGGREGATE + join, not a min-over-
+    # window: partial aggregation collapses a mass-duplicated text
+    # (10^6 identical pages = ONE hot fp) map-side and AQE skew-join
+    # splits the hot join partition, where the window piles every copy
+    # onto one reducer (round-10 skew hardening). The two branches
+    # re-derive the cheap projection; the joined frame is the one that
+    # persists for the four downstream subplans.
+    firsts = mem.groupBy("fp").agg(F.min("did").alias("gid"))
+    mem = mem.join(firsts, "fp").persist()
     _PERSISTED_SHINGLES.append(mem)
     reps = mem.where(F.col("did") == F.col("gid"))
     # Adaptive short-circuit (same as similarity._pairs_over_exact_groups):
@@ -557,8 +563,20 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS, id_col: str = "doc_id", t
         term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         code = term if code is None else (code + term)
     sig = bit_sums.select("doc_id", code.cast("long").alias("simhash"))
-    w = Window.partitionBy("simhash")
-    return sig.select("doc_id", "simhash", F.count("*").over(w).alias("bucket_size"))
+    # bucket size via count-AGGREGATE + join, not count-over-window: a
+    # mass-duplicated text is ONE hot simhash, and a window gathers
+    # every copy on one reducer while the aggregate combines map-side
+    # and AQE splits the hot join partition. sig is checkpointed —
+    # (doc_id, simhash) is 16 bytes/doc — so the expensive upstream
+    # (token explode + 64-column bit sums) runs once, not once per
+    # branch (round-10 skew hardening).
+    sig = sig.localCheckpoint()
+    sizes = sig.groupBy("simhash").agg(
+        F.count("*").alias("bucket_size")
+    )
+    return sig.join(sizes, "simhash").select(
+        "doc_id", "simhash", "bucket_size"
+    )
 
 
 SEG_TOKENS = 8

@@ -371,11 +371,16 @@ def hamming_near_dup_pairs(
     if collapse_exact:
         from .dedup import _PERSISTED_SHINGLES
 
-        # persist: `hashes` usually sits on a decode mapInPandas —
-        # recomputing it per branch would re-decode the corpus
-        mem = hs.withColumn(
-            "gid", F.min("mid").over(Window.partitionBy("h"))
-        ).persist()
+        # checkpoint the (mid, h) rows — 16 bytes/blob — so the decode
+        # mapInPandas `hashes` usually sits on runs ONCE; then mark
+        # group representatives via a min-AGGREGATE + join instead of
+        # a min-over-window: a mass-duplicated blob (one logo 10^6x) is
+        # ONE hot hash the aggregate collapses map-side and AQE
+        # skew-join splits, where the window piles every copy onto one
+        # reducer (round-10 skew hardening).
+        hs = hs.localCheckpoint()
+        firsts = hs.groupBy("h").agg(F.min("mid").alias("gid"))
+        mem = hs.join(firsts, "h").persist()
         _PERSISTED_SHINGLES.append(mem)
         reps = mem.where(F.col("mid") == F.col("gid")).select(
             F.col("gid").alias(id_col), F.col("h").alias(hash_col)

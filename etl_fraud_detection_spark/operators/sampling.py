@@ -356,9 +356,17 @@ def domain_mix_sample(
     builds).
 
     This is the "sample domain X down to N tokens" step of assembling a
-    training mix. One shuffle: a window partitioned by domain ordered by
-    the hash — per-domain sort, no global order. Skew = largest single
-    domain; at 100 TB, pre-split giant domains on a hash prefix."""
+    training mix. Skew-safe per-domain running total (round 10): one
+    domain can dominate a crawl, and a single window partitioned by
+    domain would put that whole domain's sort on one reducer. Instead
+    the md5 order is split on its OWN two-hex-digit prefix (256 salted
+    buckets — ordering by (prefix, key) IS ordering by key): the local
+    cumulative sum runs per (domain, prefix) bucket, per-bucket totals
+    aggregate to a domains×256 table (the bounded-collect class), the
+    per-domain exclusive prefix totals come from a window over THAT
+    tiny table, and a broadcast join stitches global = offset + local.
+    Max partition = largest domain / 256, and every stage over corpus
+    rows is map-side-combinable or bucket-local."""
     from pyspark.sql import Window
 
     budget = None
@@ -367,15 +375,38 @@ def domain_mix_sample(
         budget = branch if budget is None else budget.when(F.col(domain_col) == domain, F.lit(b))
     budget = F.lit(default_budget) if budget is None else budget.otherwise(F.lit(default_budget))
 
-    key = F.md5(F.col(key_col).cast("string"))
-    w = (
-        Window.partitionBy(domain_col)
-        .orderBy(key.asc())
+    tagged = df.withColumn(
+        "_key", F.md5(F.col(key_col).cast("string"))
+    ).withColumn("_salt", F.substring(F.col("_key"), 1, 2))
+    w_local = (
+        Window.partitionBy(domain_col, "_salt")
+        .orderBy(F.col("_key").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    start = (F.sum(F.col(size_col)).over(w) - F.col(size_col)).cast("long")
+    local_before = (
+        F.sum(F.col(size_col)).over(w_local) - F.col(size_col)
+    ).cast("long")
+    totals = tagged.groupBy(domain_col, "_salt").agg(
+        F.sum(size_col).cast("long").alias("_bt")
+    )
+    w_dom = (
+        Window.partitionBy(domain_col)
+        .orderBy(F.col("_salt").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        domain_col, "_salt",
+        F.coalesce(F.sum("_bt").over(w_dom), F.lit(0))
+        .cast("long").alias("_off"),
+    )
     return (
-        df.select("*", start.alias("tokens_before"), budget.cast("long").alias("budget"))
+        tagged.withColumn("_lb", local_before)
+        .join(F.broadcast(offsets), [domain_col, "_salt"])
+        .select(
+            *df.columns,
+            (F.col("_off") + F.col("_lb")).alias("tokens_before"),
+            budget.cast("long").alias("budget"),
+        )
         .where(F.col("tokens_before") < F.col("budget"))
     )
 

@@ -389,15 +389,22 @@ def _pairs_over_exact_groups(emb, tau, id_col, vec_col, rep_pairs_fn):
     scales with DISTINCT vectors and the only per-copy cost is the
     unavoidable output emission."""
     # the membership frame feeds four subplans (reps + both expansion
-    # sides + within-group) — persist so the vector-keyed window
-    # shuffle runs once; released by the dedup registry's sweep
-    # contract (release_shingles), same as the LSH intermediates
+    # sides + within-group) — persist it; released by the dedup
+    # registry's sweep contract (release_shingles), same as the LSH
+    # intermediates. Group representatives come from a min-AGGREGATE
+    # on the checkpointed (vid, v) rows joined back, not a
+    # min-over-window: a mass-duplicated embedding (one vector 10^6x)
+    # is ONE hot key the aggregate collapses map-side and AQE
+    # skew-join splits, where the window piles every copy onto one
+    # reducer (round-10 skew hardening); the checkpoint keeps the
+    # upstream embedding source single-pass under the two branches.
     from .dedup import _PERSISTED_SHINGLES
 
-    mem = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-    mem = mem.withColumn(
-        "gid", F.min("vid").over(Window.partitionBy("v"))
-    ).persist()
+    mem = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    ).localCheckpoint()
+    firsts = mem.groupBy("v").agg(F.min("vid").alias("gid"))
+    mem = mem.join(firsts, "v").persist()
     _PERSISTED_SHINGLES.append(mem)
     reps = mem.where(F.col("vid") == F.col("gid"))
     # Adaptive short-circuit: one bounded probe of the (persisted)

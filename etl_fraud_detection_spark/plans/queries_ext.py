@@ -2138,13 +2138,18 @@ def q_dedup_unicode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents").select("doc_id", "text")
         .unionByName(spark.createDataFrame(lits, "doc_id long, text string"))
     )
-    norm = docs.withColumn("nfp", F.md5(text_ops.nfc(F.col("text"))))
-    w = Window.partitionBy("nfp")
-    return norm.select(
+    # skew-safe first-occurrence (round 10): min-AGGREGATE + join on
+    # the checkpointed (doc_id, nfp) rows — 16 bytes/doc, normalized
+    # ONCE — instead of a min-over-window whose hot fingerprint (one
+    # page duplicated 10^6x) would pile every copy on one reducer.
+    norm = docs.select(
+        "doc_id", F.md5(text_ops.nfc(F.col("text"))).alias("nfp")
+    ).localCheckpoint()
+    firsts = norm.groupBy("nfp").agg(F.min("doc_id").alias("first_id"))
+    return norm.join(firsts, "nfp").select(
         "doc_id",
-        F.min("doc_id").over(w).alias("first_id"),
-        (F.col("doc_id") != F.min("doc_id").over(w)).cast("int")
-        .alias("is_dup"),
+        "first_id",
+        (F.col("doc_id") != F.col("first_id")).cast("int").alias("is_dup"),
     )
 
 
@@ -2206,15 +2211,16 @@ def q_dedup_unicode_casefold(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents").select("doc_id", "text")
         .unionByName(spark.createDataFrame(lits, "doc_id long, text string"))
     )
-    norm = docs.withColumn(
-        "nfp", F.md5(text_ops.nfc(F.col("text"), casefold=True))
-    )
-    w = Window.partitionBy("nfp")
-    return norm.select(
+    # same skew-safe agg+join shape as q_dedup_unicode_exact
+    norm = docs.select(
         "doc_id",
-        F.min("doc_id").over(w).alias("first_id"),
-        (F.col("doc_id") != F.min("doc_id").over(w)).cast("int")
-        .alias("is_dup"),
+        F.md5(text_ops.nfc(F.col("text"), casefold=True)).alias("nfp"),
+    ).localCheckpoint()
+    firsts = norm.groupBy("nfp").agg(F.min("doc_id").alias("first_id"))
+    return norm.join(firsts, "nfp").select(
+        "doc_id",
+        "first_id",
+        (F.col("doc_id") != F.col("first_id")).cast("int").alias("is_dup"),
     )
 
 

@@ -31,6 +31,21 @@ def main() -> int:
     args = ap.parse_args()
 
     t0 = time.time()
+    # PLANS.md coverage gate (round-9 verdict: q_bpe_train slipped in
+    # two commits after the last regen and nothing noticed): every
+    # non-streaming catalog query must have an audit row. Cheap static
+    # check, so it runs FIRST — regenerate with tools/plan_report.py.
+    sys.path.insert(0, REPO)
+    from etl_fraud_detection_spark.plans.queries import QUERIES
+    from tools.plan_report import SKIP as PLAN_SKIP
+
+    with open(os.path.join(REPO, "PLANS.md")) as fh:
+        plans = fh.read()
+    plan_rows = set(re.findall(r"^\| (q_\w+) \|", plans, re.MULTILINE))
+    plans_missing = sorted(set(QUERIES) - PLAN_SKIP - plan_rows)
+    print(f"plans: {len(plan_rows)} rows, {len(plans_missing)} missing"
+          + (f" ({' '.join(plans_missing)})" if plans_missing else ""))
+
     oracle = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "check_oracle.py"),
          "--sf", args.sf],
@@ -65,6 +80,8 @@ def main() -> int:
         "oracle_pass": o_pass,
         "oracle_fail": o_fail,
         "oracle_rows_only": o_skip,
+        "plans_rows": len(plan_rows),
+        "plans_missing": plans_missing,
         "pytest_passed": t_pass,
         "pytest_failed": t_fail,
         "pytest_failed_names": failed_names,
@@ -74,7 +91,8 @@ def main() -> int:
     with open(os.path.join(REPO, "PROGRESS.jsonl"), "a") as fh:
         fh.write(json.dumps(record) + "\n")
     print(json.dumps(record))
-    ok = o_fail == 0 and t_fail == 0 and pytest.returncode == 0
+    ok = (o_fail == 0 and t_fail == 0 and pytest.returncode == 0
+          and not plans_missing)
     return 0 if ok else 1
 
 
