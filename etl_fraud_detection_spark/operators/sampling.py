@@ -486,3 +486,104 @@ def holdout_split(
         F.lit(splits[-1][0]) if expr is None else expr.otherwise(splits[-1][0])
     )
     return df.withColumn("bucket", b).withColumn("split", expr)
+
+
+DSIR_BUCKETS = 4096
+MICRO = 1_000_000  # log quantization: micro-nats (the corpus.py discipline)
+
+
+def dsir_weights(
+    docs: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (public method: Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling") — score every document by how target-like it is under
+    two hashed bag-of-ngram models, the standard cheap pre-training
+    data-selection step: fit categorical distributions over
+    ``buckets`` hashed feature slots from the TARGET rows
+    (``is_target``) and the RAW rows (the rest), then weight each doc
+    by its summed log-likelihood ratio. Sampling ∝ weight then tilts
+    raw data toward the target domain.
+
+    Features: unigrams + bigrams of the whitespace tokens, hashed to a
+    slot via the engine-portable md5-prefix integer (the
+    q_doc_fingerprint idiom). Smoothing: add-one over the slot count.
+    Weights are EXACT integers: each slot's two log-probabilities are
+    floored to micro-nats independently (the corpus.bigram_lm_scores
+    discipline), so the per-doc sum is order-independent and the
+    DuckDB oracle matches bit-for-bit.
+
+    Returns (doc_id, n_feats, dsir_logw_micro); zero-feature docs
+    surface with n_feats = 0 and weight 0 — the empty log-ratio sum —
+    via explode_outer (no trailing doc-sized join).
+
+    Scale shape — two corpus passes, nothing else: (1) FIT: one
+    explode + groupBy(slot) with conditional partial-aggregated sums →
+    a ``buckets``-row model (bounded, broadcastable by construction);
+    (2) SCORE: the same explode, broadcast-join the model, one
+    doc-keyed aggregation. No content-keyed window, no corpus-sized
+    join side; a mass-duplicated page only fattens slot COUNTS
+    (map-side combined), never a single partition."""
+    arr = F.filter(
+        F.split(F.col(text_col), " "), lambda x: x != F.lit("")
+    )
+    n = F.size(arr)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(arr, i), F.element_at(arr, i + 1)
+            ),
+        ),
+    ).otherwise(F.slice(arr, 1, 0))
+    rows = docs.select(
+        F.col(id_col).alias("doc_id"),
+        is_target.alias("_t"),
+        F.explode_outer(F.concat(arr, bigrams)).alias("gram"),
+    ).withColumn(
+        "slot",
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+        % buckets,
+    )
+    model = (
+        rows.where(F.col("gram").isNotNull())
+        .groupBy("slot")
+        .agg(
+            F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("cp"),
+            F.sum(F.when(~F.col("_t"), 1).otherwise(0)).alias("cq"),
+        )
+    )
+    tot = model.agg(
+        F.sum("cp").alias("np"), F.sum("cq").alias("nq")
+    )
+
+    def lp_micro(cnt, total):
+        return F.floor(
+            F.log((cnt + 1).cast("double") / (total + F.lit(buckets)))
+            * MICRO
+            + 0.5
+        ).cast("long")
+
+    lw = (
+        model.join(F.broadcast(tot))
+        .select(
+            "slot",
+            (lp_micro(F.col("cp"), F.col("np"))
+             - lp_micro(F.col("cq"), F.col("nq"))).alias("lw_micro"),
+        )
+    )
+    return (
+        rows.join(F.broadcast(lw), ["slot"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("gram").alias("n_feats"),
+            F.coalesce(F.sum("lw_micro"), F.lit(0))
+            .cast("long")
+            .alias("dsir_logw_micro"),
+        )
+    )

@@ -3265,6 +3265,66 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT * FROM o WHERE tokens_before < budget
     """,
 )
+@query(
+    "q_dsir_weights",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), x -> x <> '') AS arr
+        FROM documents
+    ),
+    uni AS (
+        SELECT doc_id, source, u.g AS gram FROM base, unnest(arr) AS u(g)
+    ),
+    bi AS (
+        SELECT doc_id, source, arr[i] || ' ' || arr[i + 1] AS gram
+        FROM base, unnest(range(1, len(arr))) AS r(i)
+    ),
+    feats AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS slot
+        FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+    ),
+    model AS (
+        SELECT slot,
+               SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS cp,
+               SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cq
+        FROM feats GROUP BY slot
+    ),
+    tot AS (SELECT SUM(cp) AS np, SUM(cq) AS nq FROM model),
+    lw AS (
+        SELECT slot,
+               CAST(FLOOR(ln((cp + 1)::DOUBLE / (np + 4096)) * 1000000
+                          + 0.5) AS BIGINT)
+             - CAST(FLOOR(ln((cq + 1)::DOUBLE / (nq + 4096)) * 1000000
+                          + 0.5) AS BIGINT) AS lw_micro
+        FROM model, tot
+    )
+    SELECT d.doc_id,
+           COALESCE(f.n_feats, 0)::BIGINT AS n_feats,
+           COALESCE(f.w, 0)::BIGINT AS dsir_logw_micro
+    FROM documents d
+    LEFT JOIN (
+        SELECT feats.doc_id, COUNT(*) AS n_feats,
+               SUM(lw.lw_micro) AS w
+        FROM feats JOIN lw USING (slot) GROUP BY feats.doc_id
+    ) f USING (doc_id)
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, public): importance
+    weight per document = summed log-likelihood ratio of a hashed
+    bag-of-ngrams model fit on the TARGET domain (source = src0)
+    vs the rest of the corpus — the standard cheap pre-training
+    selection step ("tilt the crawl toward Wikipedia-like text").
+    Integer-exact micro-nat weights (per-slot floors, the
+    bigram_lm_scores discipline) so the DuckDB oracle matches
+    bit-for-bit; two corpus passes (fit -> 4096-row broadcast model ->
+    score), no content-keyed window, no corpus-sized join side."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return sampling.dsir_weights(docs, F.col("source") == "src0")
+
+
 def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain mixing to a per-source token budget: deterministic
     md5-ordered fill until each domain's budget boundary — the "sample

@@ -646,3 +646,37 @@ def test_nfc_casefold_variant(spark):
     assert got[0] == ("Café", "café")
     assert got[1] == ("CAFÉ", "café")
     assert got[2] == ("plain ASCII Mixed", "plain ascii mixed")
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """DSIR importance weighting: a raw doc sharing the target domain's
+    vocabulary must score a higher log-likelihood ratio than a
+    disjoint-vocabulary raw doc; zero-feature docs surface with
+    (n_feats=0, weight=0); n_feats counts unigrams + bigrams."""
+    from etl_fraud_detection_spark.operators import sampling
+
+    rows = [
+        # target domain: medical-ish vocabulary
+        (1, "patient dose trial dose patient outcome", 1),
+        (2, "trial outcome dose patient trial dose", 1),
+        # raw: one target-like, one disjoint, one empty
+        (10, "patient dose outcome trial", 0),
+        (11, "carburetor gasket torque flange", 0),
+        (12, "", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, is_t int"
+    )
+    got = {
+        r.doc_id: (r.n_feats, r.dsir_logw_micro)
+        for r in sampling.dsir_weights(
+            docs, F.col("is_t") == 1
+        ).collect()
+    }
+    assert set(got) == {1, 2, 10, 11, 12}
+    assert got[12] == (0, 0)
+    # 4 tokens -> 4 unigrams + 3 bigrams
+    assert got[10][0] == 7 and got[11][0] == 7
+    assert got[10][1] > got[11][1]
+    # target docs themselves score high (sanity: the model is not inverted)
+    assert got[1][1] > got[11][1]
