@@ -210,6 +210,60 @@ def hotkey(spark, n_docs: int) -> None:
         docs.unpersist()
 
 
+def hotkey_paragraph(spark, n_docs: int) -> None:
+    """Same hot-key fixture through paragraph_dedup (the 8-aligned
+    boilerplate blocks are hot SEGMENT fingerprints here — every doc
+    contributes 25 identical segments to one md5)."""
+    from pyspark.sql import Window
+
+    from etl_fraud_detection_spark.operators import dedup
+
+    def window_shape(docs):
+        # pre-round-10 paragraph first-occurrence (row_number window)
+        toks = F.split(F.col("text"), " ")
+        n_segs = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+        segs = docs.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(n_segs, F.lit(1))),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(toks, (i - 1) * 8 + 1, 8)
+                    ),
+                )
+            ).alias("pos", "seg"),
+        )
+        w = Window.partitionBy(F.md5(F.col("seg"))).orderBy("doc_id", "pos")
+        kept = segs.withColumn("kept", (F.row_number().over(w) == 1).cast("int"))
+        return kept.groupBy("doc_id").agg(F.sum("kept").alias("n_kept"))
+
+    print("\n## paragraph_dedup hot-segment A/B (same fixture: the "
+          "boilerplate block IS a hot 8-token segment)")
+    print("| docs | hot seg rows | shape | wall (s) | stage max tasks |")
+    print("|---|---|---|---|---|")
+    warm = _docs(spark, 200).persist()
+    warm.count()
+    window_shape(warm).count()
+    dedup.paragraph_dedup(warm).count()
+    warm.unpersist()
+    for n in (n_docs // 4, n_docs):
+        docs = _docs(spark, n).persist()
+        docs.count()
+        for name, frame in (
+            ("old window", window_shape(docs)),
+            ("new agg+join", dedup.paragraph_dedup(docs).select(
+                "doc_id", "n_kept")),
+        ):
+            wall, stages, cnt = _timed_run(spark, frame)
+            wall2, stages2, _ = _timed_run(spark, frame)
+            if wall2 < wall:
+                wall, stages = wall2, stages2
+            assert cnt == n, (cnt, n)
+            top = ", ".join(f"{mt:.2f}x{nt}" for mt, _, nt, _ in stages[:3])
+            print(f"| {n} | {25 * n} | {name} | {wall:.2f} | {top} |")
+        docs.unpersist()
+
+
 def decade(spark, base: int, factor: int) -> None:
     from etl_fraud_detection_spark.operators import dedup
 
@@ -239,7 +293,7 @@ def decade(spark, base: int, factor: int) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", nargs="?", default="all",
-                    choices=["hotkey", "decade", "all"])
+                    choices=["hotkey", "hotkey-paragraph", "decade", "all"])
     ap.add_argument("--docs", type=int, default=40_000)
     ap.add_argument("--base", type=int, default=2_000)
     ap.add_argument("--factor", type=int, default=25)
@@ -276,6 +330,8 @@ def main() -> None:
 
     if args.mode in ("hotkey", "all"):
         hotkey(spark, args.docs)
+    if args.mode in ("hotkey-paragraph", "all"):
+        hotkey_paragraph(spark, args.docs)
     if args.mode in ("decade", "all"):
         decade(spark, args.base, args.factor)
 
