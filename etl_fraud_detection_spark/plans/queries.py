@@ -39,6 +39,18 @@ QUERIES: dict[str, QuerySpec] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
+        # registration guard: every catalog function is named exactly
+        # like its query key, so a mismatch means a decorator landed on
+        # the WRONG def — e.g. a new @query block inserted into the gap
+        # between another query's decorator and its def stacks both
+        # decorators onto the new function (round-10 q_domain_mix bug:
+        # silently registered the dsir fn under the domain-mix oracle)
+        if fn.__name__.startswith("q_") and fn.__name__ != name:
+            raise ValueError(
+                f"@query({name!r}) decorates {fn.__name__} — decorator/"
+                f"def mismatch (stacked decorators from an insertion "
+                f"between a @query and its def?)"
+            )
         QUERIES[name] = QuerySpec(fn, oracle)
         return fn
 

@@ -3250,22 +3250,6 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_domain_mix",
-    oracle="""
-    WITH o AS (
-        SELECT doc_id, source, n_chars,
-               CAST(SUM(n_chars) OVER (PARTITION BY source
-                        ORDER BY md5(CAST(doc_id AS VARCHAR))
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    - n_chars AS BIGINT) AS tokens_before,
-               CAST(CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 3000
-                    ELSE 1500 END AS BIGINT) AS budget
-        FROM documents
-    )
-    SELECT * FROM o WHERE tokens_before < budget
-    """,
-)
-@query(
     "q_dsir_weights",
     oracle="""
     WITH base AS (
@@ -3325,6 +3309,22 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.dsir_weights(docs, F.col("source") == "src0")
 
 
+@query(
+    "q_domain_mix",
+    oracle="""
+    WITH o AS (
+        SELECT doc_id, source, n_chars,
+               CAST(SUM(n_chars) OVER (PARTITION BY source
+                        ORDER BY md5(CAST(doc_id AS VARCHAR))
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_chars AS BIGINT) AS tokens_before,
+               CAST(CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 3000
+                    ELSE 1500 END AS BIGINT) AS budget
+        FROM documents
+    )
+    SELECT * FROM o WHERE tokens_before < budget
+    """,
+)
 def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain mixing to a per-source token budget: deterministic
     md5-ordered fill until each domain's budget boundary — the "sample

@@ -55,7 +55,14 @@ def main() -> int:
         r"(\d+) pass, (\d+) fail, (\d+) skip", oracle.stdout + oracle.stderr
     )
     o_pass, o_fail, o_skip = (int(x) for x in m.groups()) if m else (0, -1, 0)
+    # record WHICH queries failed — the round-10 gate lost a failing
+    # name to the captured-subprocess summary and had to re-hunt it
+    o_failed_names = re.findall(
+        r"^FAIL (\S+?):", oracle.stdout + oracle.stderr, re.MULTILINE
+    )
     print(f"oracle: {o_pass} pass, {o_fail} fail, {o_skip} rows-only")
+    if o_failed_names:
+        print("oracle failed:", " ".join(o_failed_names))
 
     pytest = subprocess.run(
         [sys.executable, "-m", "pytest", "tests/", "-q"],
@@ -80,6 +87,7 @@ def main() -> int:
         "oracle_pass": o_pass,
         "oracle_fail": o_fail,
         "oracle_rows_only": o_skip,
+        "oracle_failed_names": o_failed_names,
         "plans_rows": len(plan_rows),
         "plans_missing": plans_missing,
         "pytest_passed": t_pass,
