@@ -113,3 +113,50 @@ def test_contamination_broadcasts_benchmark_side(spark):
     p = plan_of(QUERIES["q_contamination"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_domain_mix_two_level_cumsum_equals_single_window(spark):
+    """The round-10 salted two-level running total (local cumsum per
+    (domain, md5-prefix bucket) + broadcast per-domain offsets) must be
+    BIT-IDENTICAL to the naive single window partitioned by domain —
+    ordering by (prefix, key) IS ordering by key. Random sizes, both
+    skewed (one giant domain) and uniform."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(7)
+    rows = [(i, "big" if i % 5 else f"s{i % 3}", rng.randint(1, 500))
+            for i in range(400)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    )
+    budgets = {"big": 9000, "s0": 1500}
+    got = {
+        r.doc_id: (r.tokens_before, r.budget)
+        for r in sampling.domain_mix_sample(
+            docs, budgets, "source", "n_chars", "doc_id",
+            default_budget=700,
+        ).collect()
+    }
+    # naive reference: one window per domain over the full hash order
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = (
+        Window.partitionBy("source").orderBy(key.asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bud = (
+        F.when(F.col("source") == "big", F.lit(9000))
+        .when(F.col("source") == "s0", F.lit(1500))
+        .otherwise(F.lit(700)).cast("long")
+    )
+    want = {
+        r.doc_id: (r.tb, r.budget)
+        for r in docs.select(
+            "doc_id",
+            (F.sum("n_chars").over(w) - F.col("n_chars"))
+            .cast("long").alias("tb"),
+            bud.alias("budget"),
+        ).where(F.col("tb") < F.col("budget")).collect()
+    }
+    assert got == want
