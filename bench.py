@@ -131,15 +131,51 @@ def main() -> None:
             pass
 
     _canary(spark), _canary(spark)  # warm codegen + JIT, uncounted
-    canary_samples = [_canary(spark)]
-    runs = []
+    # Each sweep is bracketed by canary samples; a sweep whose bracket
+    # drifted is ambient-polluted and REPLACEABLE (round-11 protocol
+    # hardening: round 10 recorded two flagged boots because the only
+    # option was to keep whatever the host gave us).
+    c_prev = _canary(spark)
+    sweeps: list[dict] = []
     for i in range(N_RUNS):
         print(f"# --- run {i + 1}/{N_RUNS} ---", file=sys.stderr)
-        runs.append(_run_catalog(spark))
-        canary_samples.append(_canary(spark))
-        print(f"# canary after run {i + 1}: {canary_samples[-1]:.3f}s",
-              file=sys.stderr)
+        run = _run_catalog(spark)
+        c_post = _canary(spark)
+        print(f"# canary after run {i + 1}: {c_post:.3f}s", file=sys.stderr)
+        sweeps.append({"pre": c_prev, "post": c_post, "run": run})
+        c_prev = c_post
 
+    def _drift(sw: list[dict]) -> float:
+        cs = [s["pre"] for s in sw] + [s["post"] for s in sw]
+        return max(cs) / min(cs) - 1.0
+
+    # Bounded canary retries: while the kept sweeps' canary drift
+    # exceeds the 20% flag threshold, re-run ONE full catalog sweep
+    # (freshly bracketed) and swap out the worst-bracketed kept sweep.
+    # The recorded drift is over the KEPT sweeps' brackets only, so a
+    # passed host stall costs one retry instead of flagging the whole
+    # record; a persistent stall exhausts the retries and the record
+    # stays flagged (visible, never silently smoothed).
+    retries = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_CANARY_RETRIES",
+                                        "3")))
+    n_retried = 0
+    while _drift(sweeps) > 0.20 and n_retried < retries:
+        n_retried += 1
+        worst = max(range(len(sweeps)),
+                    key=lambda j: max(sweeps[j]["pre"], sweeps[j]["post"]))
+        print(f"# canary drift {_drift(sweeps):.1%} > 20%: retrying "
+              f"sweep {worst + 1} (retry {n_retried}/{retries})",
+              file=sys.stderr)
+        c0 = _canary(spark)
+        run = _run_catalog(spark)
+        c1 = _canary(spark)
+        sweeps[worst] = {"pre": c0, "post": c1, "run": run}
+
+    # every kept sweep's bracket (shared brackets appear once via dict)
+    canary_samples = sorted(
+        {s["pre"] for s in sweeps} | {s["post"] for s in sweeps}
+    )
+    runs = [s["run"] for s in sweeps]
     samples = {name: [r[name] for r in runs] for name in QUERIES}
 
     # Adaptive resampling (round-9 protocol hardening): a recorded
@@ -186,6 +222,7 @@ def main() -> None:
     )
     canary = {
         "samples": [round(c, 4) for c in canary_samples],
+        "retries": n_retried,
         "drift": canary_drift,
         # >20% movement on identical CPU-only work = the HOST moved
         # during this record; treat cross-round per-query comparisons
@@ -230,9 +267,14 @@ def main() -> None:
                     "samples, their spread keeps the full range as a "
                     "noise-floor annotation); families = sum of "
                     "medians per plans.queries.family; canary = a "
-                    "fixed-cost CPU-only job interleaved once per "
-                    "sweep whose drift >20% flags the record as "
-                    "ambient-polluted; testdata is "
+                    "fixed-cost CPU-only job bracketing every sweep "
+                    "whose drift >20% flags the record as "
+                    "ambient-polluted — a flagged sweep set is "
+                    "retried (worst-bracketed sweep replaced by a "
+                    "freshly-bracketed re-run, up to "
+                    "$SPARK_GRAFT_BENCH_CANARY_RETRIES=3 times, "
+                    "'retries' records how many) before the record "
+                    "is accepted; testdata is "
                     "regenerated between rounds, so cross-round "
                     "comparisons require re-running old code on "
                     "current data (SCALE.md 'Bench comparability')"

@@ -245,22 +245,27 @@ def _pairs_over_exact_text_groups(
     pairs, in the collapsed and uncollapsed plans alike). Grouping key
     is md5(text) — the repo-wide exact-duplicate fingerprint contract
     (exact_dedup, dedup_index)."""
-    mem = docs.select(
-        F.col(id_col).alias("did"),
-        F.md5(F.col(text_col)).alias("fp"),
-        F.col(text_col).alias("_txt"),
-    )
     # group representative via min-AGGREGATE + join, not a min-over-
     # window: partial aggregation collapses a mass-duplicated text
     # (10^6 identical pages = ONE hot fp) map-side and AQE skew-join
     # splits the hot join partition, where the window piles every copy
-    # onto one reducer (round-10 skew hardening). The two branches
-    # re-derive the cheap projection; the joined frame is the one that
-    # persists for the four downstream subplans.
-    firsts = mem.groupBy("fp").agg(F.min("did").alias("gid"))
-    mem = mem.join(firsts, "fp").persist()
+    # onto one reducer (round-10 skew hardening). The NARROW (did, fp)
+    # frame is checkpointed so the corpus text is hashed once, not once
+    # per branch (the firsts aggregate and the join probe are two
+    # consumers), and the persisted group frame carries ~16 bytes/doc
+    # instead of the text; text rejoins ONCE, for representatives only.
+    narrow = docs.select(
+        F.col(id_col).alias("did"), F.md5(F.col(text_col)).alias("fp")
+    ).localCheckpoint()
+    firsts = narrow.groupBy("fp").agg(F.min("did").alias("gid"))
+    mem = narrow.join(firsts, "fp").persist()
     _PERSISTED_SHINGLES.append(mem)
-    reps = mem.where(F.col("did") == F.col("gid"))
+    reps = mem.where(F.col("did") == F.col("gid")).join(
+        docs.select(
+            F.col(id_col).alias("did"), F.col(text_col).alias("_txt")
+        ),
+        "did",
+    )
     # Adaptive short-circuit (same as similarity._pairs_over_exact_groups):
     # no byte-identical copies -> singleton groups -> representative
     # pairs ARE the answer; skip the zero-row expansion joins.
@@ -541,11 +546,25 @@ def components_from_edges(
             )
 
 
-def simhash(docs: DataFrame, bits: int = SIMHASH_BITS, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash(
+    docs: DataFrame,
+    bits: int = SIMHASH_BITS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint: bool = True,
+) -> DataFrame:
     """SimHash over distinct tokens: token hash = first 8 md5 hex digits
     as int; bit j of the signature is set when Σ(±1 per token, sign of
     bit j) > 0. Near-dup buckets = equal signatures; the bucket size is
-    attached via a window."""
+    attached via a count-aggregate join.
+
+    ``checkpoint`` (default True) eagerly materializes the signature
+    frame so the expensive upstream (token explode + ``bits`` bit
+    sums) runs once for the two consumers (size aggregate + probe),
+    at the cost of laziness and of pinning to executor-local
+    (non-fault-tolerant) storage — callers that consume the frame once
+    or need lineage-based recovery pass False (the
+    :func:`_first_occurrence_flag` escape-hatch discipline)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
@@ -570,7 +589,8 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS, id_col: str = "doc_id", t
     # (doc_id, simhash) is 16 bytes/doc — so the expensive upstream
     # (token explode + 64-column bit sums) runs once, not once per
     # branch (round-10 skew hardening).
-    sig = sig.localCheckpoint()
+    if checkpoint:
+        sig = sig.localCheckpoint()
     sizes = sig.groupBy("simhash").agg(
         F.count("*").alias("bucket_size")
     )
@@ -805,10 +825,11 @@ def cluster_survivors(
     tie-break. Returns one row per cluster:
     (cluster_id, kept_id, kept_<size_col>, n_members).
 
-    Scale shape: one window shuffle partitioned by cluster_id on top of
-    the label frame. Real corpora are singleton-dominated, so cluster
-    partitions are tiny and uniform; both the rank and the member count
-    ride the SAME window partitioning (one exchange, two frames)."""
+    Scale shape: one min-struct AGGREGATE on cluster_id over the label
+    frame (see :func:`survivors_from_labels`) — partial aggregation
+    collapses even a mega near-dup cluster map-side, so the one
+    exchange ships one candidate per task per cluster, never the
+    members themselves."""
     labels = near_dup_clusters(docs, tau=tau, id_col=id_col)
     # labels come back with the caller's id column name
     return survivors_from_labels(
@@ -823,11 +844,57 @@ def survivors_from_labels(
     size_col: str,
 ) -> DataFrame:
     """Survivor selection over an explicit (``id_col``, cluster_id)
-    label frame — the window core of :func:`cluster_survivors`,
+    label frame — the aggregate core of :func:`cluster_survivors`,
     factored out so media clusters (image/audio/video pair families)
     pick their kept copy through the same policy: largest ``size_col``,
-    smallest id on ties. One window exchange; rank and member count
-    share the partitioning."""
+    smallest id on ties.
+
+    Why not ``row_number() over (partition by cluster_id)`` (the shape
+    this held through round 10): cluster_id is CONTENT-derived — a
+    boilerplate family of 10⁶ near-identical pages is ONE giant
+    cluster, and a window lands every member on one reducer's sort.
+    The policy is exactly an aggregate: the kept row is
+    ``min(struct(-size, id))`` (struct ordering == ORDER BY size DESC,
+    id ASC), the member count is ``count(*)`` — both partial-aggregate
+    map-side, so the mega-cluster collapses to one candidate per map
+    task before the single cluster_id exchange. Same shuffle key and
+    count as the window form, no single-task sort anywhere (the
+    :func:`_first_occurrence_flag` min-struct discipline; mega-cluster
+    A/B in SCALE.md round 11). ``-size`` keeps the column's own
+    integral type — every caller passes a length/byte count."""
+    joined = labels.join(sized, id_col)
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col(size_col)).alias("_neg"),
+                    F.col(id_col).alias("_id"),
+                    F.col(size_col).alias("_sz"),
+                )
+            ).alias("_k"),
+            F.count("*").alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            F.col("_k._id").alias("kept_id"),
+            F.col("_k._sz").cast("long").alias(f"kept_{size_col}"),
+            "n_members",
+        )
+    )
+
+
+def _survivors_from_labels_window(
+    labels: DataFrame,
+    sized: DataFrame,
+    id_col: str,
+    size_col: str,
+) -> DataFrame:
+    """The pre-round-11 window form of :func:`survivors_from_labels`,
+    retained (like bpe._train_naive) as the executable spec the
+    property test pins the aggregate form against bit-for-bit. NOT for
+    production use: partition-by-cluster_id serializes a mega
+    near-dup cluster onto one reducer."""
     sized = labels.join(sized, id_col)
     w = Window.partitionBy("cluster_id")
     w_rank = w.orderBy(F.col(size_col).desc(), F.col(id_col))

@@ -347,6 +347,7 @@ def domain_mix_sample(
     size_col: str,
     key_col: str,
     default_budget: int = 0,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Mix domains to a target token budget: within each domain, stream
     documents in deterministic md5(key) order and keep every document
@@ -366,7 +367,16 @@ def domain_mix_sample(
     per-domain exclusive prefix totals come from a window over THAT
     tiny table, and a broadcast join stitches global = offset + local.
     Max partition = largest domain / 256, and every stage over corpus
-    rows is map-side-combinable or bucket-local."""
+    rows is map-side-combinable or bucket-local.
+
+    The salted shape reads the input TWICE (the per-bucket totals
+    aggregate and the main cumsum are two consumers) where the old
+    single window scanned once — the accepted price of the skew
+    hardening when ``df`` is a parquet scan (a re-scan with pushdown
+    is cheap). Pass ``checkpoint=True`` when ``df`` is an expensive
+    derived frame, to materialize it once for both consumers
+    (eager, executor-local storage — the multi-consumer discipline of
+    dedup._first_occurrence_flag)."""
     from pyspark.sql import Window
 
     budget = None
@@ -378,6 +388,8 @@ def domain_mix_sample(
     tagged = df.withColumn(
         "_key", F.md5(F.col(key_col).cast("string"))
     ).withColumn("_salt", F.substring(F.col("_key"), 1, 2))
+    if checkpoint:
+        tagged = tagged.localCheckpoint()
     w_local = (
         Window.partitionBy(domain_col, "_salt")
         .orderBy(F.col("_key").asc())
@@ -498,6 +510,7 @@ def dsir_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = DSIR_BUCKETS,
+    keep_target: bool = False,
 ) -> DataFrame:
     """Data Selection via Importance Resampling (public method: Xie et
     al. 2023, "Data Selection for Language Models via Importance
@@ -577,13 +590,67 @@ def dsir_weights(
              - lp_micro(F.col("cq"), F.col("nq"))).alias("lw_micro"),
         )
     )
+    aggs = [
+        F.count("gram").alias("n_feats"),
+        F.coalesce(F.sum("lw_micro"), F.lit(0))
+        .cast("long")
+        .alias("dsir_logw_micro"),
+    ]
+    if keep_target:
+        # rides the same doc_id groupBy for free — lets dsir_select
+        # filter to raw rows without a corpus-sized join back
+        aggs.append(F.max("_t").alias("_is_target"))
+    return rows.join(F.broadcast(lw), ["slot"], "left").groupBy("doc_id").agg(*aggs)
+
+
+def dsir_select(
+    docs: DataFrame,
+    is_target: Column,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """The DSIR SELECTION step (Xie et al. 2023 §3): resample the RAW
+    corpus with probability ∝ exp(importance weight) — the pipeline
+    stage a user actually runs after :func:`dsir_weights` ("give me
+    the k most target-like raw documents, stochastically").
+
+    Sampling ∝ exp(logw) without replacement is the Gumbel-top-k
+    trick (public: Kool et al. 2019, "Stochastic Beams and Where To
+    Find Them"; equivalent to Efraimidis–Spirakis in log space): rank
+    by ``logw + Gumbel(u)`` where ``Gumbel(u) = -ln(-ln u)`` and u is
+    the deterministic md5-derived uniform of :func:`weighted_topk_
+    sample` — so the draw replays identically across engines, retries
+    and partitionings. The Gumbel term is micro-quantized (the one
+    non-IEEE-exact op chain) and added to the already-integer
+    ``dsir_logw_micro``, with the doc id as the total tie-break.
+
+    Returns the k selected raw rows: (doc_id, n_feats,
+    dsir_logw_micro, es_key_micro), highest key first by construction.
+
+    Scale shape: the two dsir_weights passes, then ONE key projection
+    + TakeOrderedAndProject (per-partition top-k, never a global
+    sort). No join — the weight frame carries the target flag through
+    its own doc_id groupBy (``keep_target``), so filtering to raw rows
+    is a plain predicate; callers wanting payload columns join the
+    k-row result back (broadcast by construction)."""
+    w = (
+        dsir_weights(docs, is_target, text_col, id_col, buckets,
+                     keep_target=True)
+        .where(~F.col("_is_target"))
+    )
+    u = (
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+         .cast("double") + 1.0)
+        / F.lit(float(1 << 52))
+    )
+    gumbel_micro = F.floor(-F.log(-F.log(u)) * MICRO + 0.5).cast("long")
     return (
-        rows.join(F.broadcast(lw), ["slot"], "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("gram").alias("n_feats"),
-            F.coalesce(F.sum("lw_micro"), F.lit(0))
-            .cast("long")
-            .alias("dsir_logw_micro"),
+        w.select(
+            "doc_id", "n_feats", "dsir_logw_micro",
+            (F.col("dsir_logw_micro") + gumbel_micro).alias("es_key_micro"),
         )
+        .orderBy(F.col("es_key_micro").desc(), F.col("doc_id").asc())
+        .limit(k)
     )

@@ -3310,6 +3310,77 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dsir_select",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), x -> x <> '') AS arr
+        FROM documents
+    ),
+    uni AS (
+        SELECT doc_id, source, u.g AS gram FROM base, unnest(arr) AS u(g)
+    ),
+    bi AS (
+        SELECT doc_id, source, arr[i] || ' ' || arr[i + 1] AS gram
+        FROM base, unnest(range(1, len(arr))) AS r(i)
+    ),
+    feats AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS slot
+        FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+    ),
+    model AS (
+        SELECT slot,
+               SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS cp,
+               SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cq
+        FROM feats GROUP BY slot
+    ),
+    tot AS (SELECT SUM(cp) AS np, SUM(cq) AS nq FROM model),
+    lw AS (
+        SELECT slot,
+               CAST(FLOOR(ln((cp + 1)::DOUBLE / (np + 4096)) * 1000000
+                          + 0.5) AS BIGINT)
+             - CAST(FLOOR(ln((cq + 1)::DOUBLE / (nq + 4096)) * 1000000
+                          + 0.5) AS BIGINT) AS lw_micro
+        FROM model, tot
+    ),
+    scored AS (
+        SELECT d.doc_id,
+               COALESCE(f.n_feats, 0)::BIGINT AS n_feats,
+               COALESCE(f.w, 0)::BIGINT AS dsir_logw_micro
+        FROM documents d
+        LEFT JOIN (
+            SELECT feats.doc_id, COUNT(*) AS n_feats,
+                   SUM(lw.lw_micro) AS w
+            FROM feats JOIN lw USING (slot) GROUP BY feats.doc_id
+        ) f USING (doc_id)
+        WHERE d.source <> 'src0'
+    )
+    SELECT doc_id, n_feats, dsir_logw_micro,
+           dsir_logw_micro
+           + CAST(FLOOR(-ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id
+                 AS VARCHAR)), 1, 13)) AS BIGINT) + 1.0)
+                 / 4503599627370496.0)) * 1000000 + 0.5) AS BIGINT)
+             AS es_key_micro
+    FROM scored
+    ORDER BY es_key_micro DESC, doc_id LIMIT 60
+    """,
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR loop CLOSED into selection (Xie et al. 2023 §3): after
+    q_dsir_weights scores every document, resample the RAW corpus
+    (source <> src0) with probability ∝ exp(weight) — Gumbel-top-k
+    (Kool et al. 2019), the log-space form of the Efraimidis–Spirakis
+    sampler q_sample_weighted already pins: key = integer micro-nat
+    weight + micro-quantized Gumbel(-ln(-ln u)) from the deterministic
+    md5 uniform, doc id tie-break, top-60 via TakeOrderedAndProject.
+    The target flag rides the score pass's own groupBy, so raw-row
+    filtering is a predicate, not a corpus-sized join."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return sampling.dsir_select(docs, F.col("source") == "src0", k=60)
+
+
+@query(
     "q_domain_mix",
     oracle="""
     WITH o AS (
@@ -5203,10 +5274,12 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivor selection — the stage AFTER near-dup clustering that
     actually deduplicates the corpus: keep the largest document of
     every cluster (smallest id on ties), emit
-    (cluster_id, kept_id, kept_n_chars, n_members). One window
-    exchange over the label frame; singleton-dominated partitions.
-    Downstream, q_split_holdout hashes THESE survivors so near-dup
-    copies can never straddle a train/test boundary."""
+    (cluster_id, kept_id, kept_n_chars, n_members). One min-struct
+    aggregate exchange over the label frame — map-side combinable, so
+    a mega near-dup cluster (the boilerplate family dedup exists to
+    catch) collapses before the shuffle. Downstream, q_split_holdout
+    hashes THESE survivors so near-dup copies can never straddle a
+    train/test boundary."""
     return dedup.cluster_survivors(_t(spark, sf_dir, "documents"), tau=0.8)
 
 

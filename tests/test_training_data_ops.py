@@ -680,3 +680,112 @@ def test_dsir_weights_rank_target_like_docs_higher(spark):
     assert got[10][1] > got[11][1]
     # target docs themselves score high (sanity: the model is not inverted)
     assert got[1][1] > got[11][1]
+
+
+def test_survivor_aggregate_matches_window_form(spark):
+    """Property pin for the round-11 skew hardening: the min-struct
+    aggregate form of survivors_from_labels must be BIT-IDENTICAL to
+    the retained row_number window form (largest size, min-id tie)
+    on random label frames — size ties included, long AND string ids,
+    plus a mega-cluster holding most of the corpus."""
+    import random
+
+    rng = random.Random(11)
+    # sizes drawn from a tiny range so ties are common; cluster 0 is
+    # the mega-cluster (the hot-key shape the rewrite exists for)
+    rows = [
+        (i, 0 if i % 4 else rng.randint(1, 12), rng.randint(1, 5))
+        for i in range(500)
+    ]
+    labels = spark.createDataFrame(
+        [(i, c) for i, c, _ in rows], "doc_id long, cluster_id long"
+    )
+    sized = spark.createDataFrame(
+        [(i, s) for i, _, s in rows], "doc_id long, n_chars long"
+    )
+    got = {
+        r.cluster_id: (r.kept_id, r.kept_n_chars, r.n_members)
+        for r in dedup.survivors_from_labels(
+            labels, sized, "doc_id", "n_chars"
+        ).collect()
+    }
+    want = {
+        r.cluster_id: (r.kept_id, r.kept_n_chars, r.n_members)
+        for r in dedup._survivors_from_labels_window(
+            labels, sized, "doc_id", "n_chars"
+        ).collect()
+    }
+    assert got == want and len(got) > 5
+
+    # string ids: tie-break must be LEXICOGRAPHIC min, same as the
+    # window's ORDER BY id ASC on a string column
+    labels_s = spark.createDataFrame(
+        [(f"m{i:02d}" if i % 3 else f"a{i}", i % 4)
+         for i in range(60)],
+        "media_id string, cluster_id long",
+    )
+    sized_s = spark.createDataFrame(
+        [(f"m{i:02d}" if i % 3 else f"a{i}", rng.randint(1, 3))
+         for i in range(60)],
+        "media_id string, n_bytes long",
+    )
+    got_s = {
+        r.cluster_id: (r.kept_id, r.kept_n_bytes, r.n_members)
+        for r in dedup.survivors_from_labels(
+            labels_s, sized_s, "media_id", "n_bytes"
+        ).collect()
+    }
+    want_s = {
+        r.cluster_id: (r.kept_id, r.kept_n_bytes, r.n_members)
+        for r in dedup._survivors_from_labels_window(
+            labels_s, sized_s, "media_id", "n_bytes"
+        ).collect()
+    }
+    assert got_s == want_s
+
+
+def test_survivor_aggregate_is_window_free(spark):
+    """The survivor plan must contain a partial (map-side combinable)
+    aggregate and NO Window operator — the mega-cluster guarantee."""
+    labels = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "doc_id long, cluster_id long"
+    )
+    sized = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_id long, n_chars long"
+    )
+    out = dedup.survivors_from_labels(labels, sized, "doc_id", "n_chars")
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p
+    assert "partial" in p.lower()
+
+
+def test_dsir_select_tilts_mix_toward_target(spark):
+    """Closing the DSIR loop (weights -> Gumbel-top-k selection): on a
+    corpus where half the raw docs share the target domain's
+    vocabulary and half are disjoint, the selected set's domain mix
+    must tilt decisively toward the target-like half (base rate 50%),
+    and only RAW docs may ever be selected."""
+    from etl_fraud_detection_spark.operators import sampling
+
+    med = ["patient", "dose", "trial", "outcome", "clinic", "assay"]
+    car = ["carburetor", "gasket", "torque", "flange", "piston", "valve"]
+
+    def text(vocab, i):
+        return " ".join(vocab[(i + j) % len(vocab)] for j in range(12))
+
+    rows = (
+        [(i, "src0", text(med, i)) for i in range(40)]
+        + [(100 + i, "srcA", text(med, i + 3)) for i in range(60)]
+        + [(200 + i, "srcB", text(car, i)) for i in range(60)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    sel = sampling.dsir_select(docs, F.col("source") == "src0", k=50).collect()
+    assert len(sel) == 50
+    ids = [r.doc_id for r in sel]
+    assert all(i >= 100 for i in ids)  # never selects target rows
+    n_target_like = sum(1 for i in ids if i < 200)
+    # base rate would put ~25 of 50 in srcA; the tilt must be decisive
+    assert n_target_like >= 40, n_target_like
+    # rows come back highest Gumbel-perturbed weight first
+    keys = [r.es_key_micro for r in sel]
+    assert keys == sorted(keys, reverse=True)

@@ -80,10 +80,30 @@ def main() -> int:
     if failed_names:
         print("failed:", " ".join(failed_names))
 
+    # Bench-canary visibility (round-10 verdict task 6): the gate used
+    # to exit green on a round whose only bench record was ambient-
+    # flagged; surface the flag (and the retry count that tried to
+    # clear it) in the gate line so a polluted record is visible in
+    # PROGRESS.jsonl without opening BENCH_DETAIL.json. Informational,
+    # not a gate condition — host noise is not a code regression.
+    bench_canary_flagged = None
+    bench_canary_retries = None
+    try:
+        with open(os.path.join(REPO, "BENCH_DETAIL.json")) as fh:
+            c = json.load(fh).get("canary", {})
+        bench_canary_flagged = c.get("flagged")
+        bench_canary_retries = c.get("retries")
+    except (OSError, ValueError):
+        pass
+    print(f"bench canary: flagged={bench_canary_flagged} "
+          f"retries={bench_canary_retries}")
+
     record = {
         "ts": time.time(),
         "gate": "round_exit",
         "sf": args.sf,
+        "bench_canary_flagged": bench_canary_flagged,
+        "bench_canary_retries": bench_canary_retries,
         "oracle_pass": o_pass,
         "oracle_fail": o_fail,
         "oracle_rows_only": o_skip,
