@@ -292,3 +292,48 @@ def bigram_lm_scores(
             ).alias("avg_logprob"),
         )
     )
+
+
+def vocab_coverage(
+    docs: DataFrame, k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-design question "how
+    much of the corpus do the top-k word types cover?" (the BPE vocab-
+    size / OOV-rate trade-off is read straight off this curve). Emits
+    one row per top-k token: (token, cnt, rank, cum_cnt, coverage_ppm)
+    where coverage_ppm = floor(cum_cnt · 10⁶ / total) — integer
+    division on exact BIGINT counts, so the oracle matches bit-for-bit
+    (exact up to 9.2·10¹² total tokens before the ·10⁶ product would
+    overflow a long; past that, consume cum_cnt/total directly).
+
+    Scale shape: one explode + groupBy(token) with map-side partial
+    counts (a hot word — "the" IS half the corpus — collapses per map
+    task), top-k via orderBy+limit (TakeOrderedAndProject, never a
+    global sort), total via one broadcast scalar, and the running sum's
+    window runs over the k-row frame — the bounded-collect class, never
+    corpus rows."""
+    counts = (
+        docs.select(F.explode(tokens(text_col)).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").cast("long").alias("_total"))
+    topk = counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(k)
+    w = (
+        Window.orderBy(F.col("cnt").desc(), F.col("token"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = topk.join(F.broadcast(total)).select(
+        "token",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("token"))
+        ).alias("rank"),
+        F.sum("cnt").over(w).cast("long").alias("cum_cnt"),
+        "_total",
+    )
+    return cum.select(
+        "token", "cnt", "rank", "cum_cnt",
+        F.expr("cum_cnt * 1000000 div _total").alias("coverage_ppm"),
+    )

@@ -184,6 +184,40 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+        SELECT u.t AS token
+        FROM documents, unnest(string_split(text, ' ')) AS u(t)
+        WHERE u.t <> ''
+    ),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    total AS (SELECT SUM(cnt) AS t FROM counts),
+    topk AS (SELECT token, cnt FROM counts
+             ORDER BY cnt DESC, token LIMIT 100)
+    SELECT token, CAST(cnt AS BIGINT) AS cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INTEGER)
+               AS rank,
+           CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_cnt,
+           CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                * 1000000 // total.t AS BIGINT) AS coverage_ppm
+    FROM topk, total
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: top-100 word types with rank,
+    cumulative count and coverage in ppm — the tokenizer-design
+    "vocab size vs OOV rate" readout. Exact-integer (BIGINT counts,
+    integer division), map-side-combined token counts, top-k via
+    TakeOrderedAndProject, and the running sum's window runs over the
+    100-row frame (bounded class), never corpus rows."""
+    return corpus.vocab_coverage(_t(spark, sf_dir, "documents"), k=100)
+
+
+@query(
     "q_rolling_hash",
     oracle="""
     SELECT doc_id,

@@ -227,3 +227,20 @@ def test_pack_ffd_waste_is_bounded(spark):
         F2.countDistinct("pack_id").alias("packs"),
     ).first()
     assert agg.tok / (agg.packs * 4096) >= 0.7
+
+
+def test_vocab_coverage_curve(spark):
+    """Top-k tokens with exact cumulative coverage: 'a' appears 6x,
+    'b' 3x, 'c' 1x -> ranks 1/2/3, cum 6/9/10, ppm 600000/900000/1000000."""
+    from etl_fraud_detection_spark.operators import corpus
+
+    d = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b c"), (3, "a a b")],
+        "doc_id long, text string",
+    )
+    rows = {r.token: r for r in corpus.vocab_coverage(d, k=2).collect()}
+    assert set(rows) == {"a", "b"}  # k=2 truncates the curve
+    assert (rows["a"].rank, rows["a"].cnt, rows["a"].cum_cnt,
+            rows["a"].coverage_ppm) == (1, 6, 6, 600000)
+    assert (rows["b"].rank, rows["b"].cnt, rows["b"].cum_cnt,
+            rows["b"].coverage_ppm) == (2, 3, 9, 900000)

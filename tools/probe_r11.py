@@ -147,16 +147,28 @@ def dsir(spark, base: int, factor: int) -> None:
     warm.count()
     sampling.dsir_weights(warm, F.col("source") == "src0").count()
     warm.unpersist()
+    # Interleaved min-of-3 (the bench.py round-robin discipline): the
+    # first recording of this probe ran the cases sequentially and a
+    # host stall landed entirely on the hot case, reading as a phantom
+    # 2.7x "hot-slot penalty" that an interleaved re-run showed to be
+    # ambient (hot == diverse within 15%).
     cases = [(base, False), (base * factor, False), (base * factor, True)]
+    frames = []
     for n, hot in cases:
         docs = _corpus(spark, n, hot=hot).persist()
         docs.count()
-        out = sampling.dsir_weights(docs, F.col("source") == "src0")
-        wall, stages, cnt = _timed_run(spark, out)
-        wall2, stages2, _ = _timed_run(spark, out)
-        if wall2 < wall:
-            wall, stages = wall2, stages2
-        assert cnt == n, (cnt, n)
+        frames.append(
+            (n, hot, docs,
+             sampling.dsir_weights(docs, F.col("source") == "src0"))
+        )
+    results = {i: [] for i in range(len(cases))}
+    for _ in range(3):
+        for i, (n, hot, _docs, out) in enumerate(frames):
+            wall, stages, cnt = _timed_run(spark, out)
+            assert cnt == n, (cnt, n)
+            results[i].append((wall, stages))
+    for i, (n, hot, docs, _out) in enumerate(frames):
+        wall, stages = min(results[i], key=lambda x: x[0])
         toks = 40 * n
         top = ", ".join(f"{mt:.2f}x{nt}" for mt, _, nt, _ in stages[:3])
         print(f"| {n} | {toks} | {'ONE HOT SLOT' if hot else 'diverse'} "
