@@ -632,6 +632,69 @@ def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negatives(_t(spark, sf_dir, "embeddings"), k=3)
 
 
+def _l2sq_sql(a: str, b: str) -> str:
+    # Left fold, same shape as similarity.l2sq (bit-exact contract).
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+@query(
+    "q_ann_pq_adc",
+    oracle=f"""
+    WITH sub AS (
+        SELECT vec_id, s.s AS sub,
+               embedding[s.s * (len(embedding) // 4) + 1
+                         : (s.s + 1) * (len(embedding) // 4)] AS xs
+        FROM embeddings, unnest([0, 1, 2, 3]) AS s(s)
+    ),
+    cen AS (SELECT vec_id AS cid, sub, xs AS cs FROM sub WHERE vec_id < 16),
+    codes AS (
+        SELECT vid, sub, cid AS code FROM (
+            SELECT r.vec_id AS vid, r.sub, c.cid,
+                   row_number() OVER (
+                       PARTITION BY r.vec_id, r.sub
+                       ORDER BY {_l2sq_sql('r.xs', 'c.cs')}, c.cid) AS rn
+            FROM sub r JOIN cen c USING (sub)
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT q.vec_id AS query_id, q.sub, c.cid,
+               {_dot_sql('q.xs', 'c.cs')} AS pd
+        FROM sub q JOIN cen c USING (sub)
+        WHERE q.vec_id < 10
+    ),
+    scored AS (
+        SELECT l.query_id, k.vid AS cand_id,
+               MAX(CASE WHEN k.sub = 0 THEN pd END)
+             + MAX(CASE WHEN k.sub = 1 THEN pd END)
+             + MAX(CASE WHEN k.sub = 2 THEN pd END)
+             + MAX(CASE WHEN k.sub = 3 THEN pd END) AS adc
+        FROM codes k JOIN lut l ON k.sub = l.sub AND k.code = l.cid
+        WHERE k.vid <> l.query_id
+        GROUP BY l.query_id, k.vid
+    )
+    SELECT query_id, cand_id, rnk, adc FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc DESC, cand_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (Jégou et al.
+    2011): vectors stored as 4 subspace codes against a 16-entry
+    deterministic codebook (lowest-id vectors), queries score
+    candidates by summing 4 lookup-table inner-product partials —
+    integer joins over codes, no float vectors on the big side, ~64×
+    smaller than fp32 at corpus scale. Partials pivot into fixed
+    columns so the double sum order matches the oracle exactly."""
+    return similarity.pq_adc_topk(_t(spark, sf_dir, "embeddings"), k=5)
+
+
 @query(
     "q_embed_quantize",
     oracle="""

@@ -789,3 +789,96 @@ def test_dsir_select_tilts_mix_toward_target(spark):
     # rows come back highest Gumbel-perturbed weight first
     keys = [r.es_key_micro for r in sel]
     assert keys == sorted(keys, reverse=True)
+
+
+def test_pq_adc_exact_when_vectors_are_codebook_entries(spark):
+    """PQ quantization error is zero when every candidate IS a codebook
+    combination — then ADC == the exact inner product and the top-1
+    neighbor of a codebook vector's own combination is itself-like.
+    dim 8, m=4 subspaces of 2 dims, ksub=4 (ids 0..3)."""
+    base = [
+        (0, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 1.0]),
+        (3, [0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 0.0]),
+        # candidates: exact combinations of the codebook subvectors
+        (10, [1.0, 0.0, 1.0, 0.0, 1.0, 0.0, 0.0, 0.0]),  # c0|c1|c2|c0-ish
+        (11, [0.0, 1.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in base],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.pq_adc_topk(
+        emb, k=6, m=4, ksub=4, query_pred="vec_id < 2"
+    ).collect()
+    exact = {
+        (q, c): sum(a * b for a, b in zip(dict(base)[q], dict(base)[c]))
+        for q in (0, 1) for c in (10, 11)
+    }
+    got = {(r.query_id, r.cand_id): r.adc for r in out
+           if r.cand_id >= 10}
+    for key, val in got.items():
+        assert val == pytest.approx(exact[key], abs=1e-12), key
+
+
+def test_pq_adc_recall_vs_brute_force(spark):
+    """On the real sf0.001 embeddings, default-parameter PQ-ADC top-5
+    must beat the random floor (k/(N-1) ≈ 1%) by an order of magnitude.
+    The absolute recall is modest BY DESIGN here: the embeddings are
+    near-random (PQ's distortion worst case) and the oracle-checkable
+    codebook is untrained — the exactness test above pins the math,
+    this pins that the ranking carries real signal; production recall
+    comes from passing trained `codebooks`."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    adc = similarity.pq_adc_topk(emb, k=5).collect()
+    brute = similarity.brute_force_topk(emb, k=5).collect()
+    top = {}
+    for r in adc:
+        top.setdefault(r.query_id, set()).add(r.cand_id)
+    hits = total = 0
+    for r in brute:
+        total += 1
+        hits += r.cand_id in top.get(r.query_id, set())
+    assert total == 50
+    assert hits / total >= 0.12, f"recall@5 {hits}/{total}"
+
+
+def test_pq_trained_codebooks_reduce_distortion(spark):
+    """The recall lever, pinned by the quantity it actually moves:
+    Lloyd-trained subspace codebooks must have lower mean quantization
+    error than the deterministic lowest-id codebook (on this fixture:
+    ~0.18 vs ~0.26 subspace L2²). Top-5 overlap is NOT the right pin
+    on near-random vectors — ranking noise swamps it."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    m = 4
+    dsub = (F.size(F.col("embedding")) / m).cast("int")
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.slice(F.col("embedding"), s * dsub + 1, dsub),
+    )
+    rows = emb.select(
+        F.col("vec_id").alias("vid"), F.posexplode(subs).alias("sub", "xs")
+    )
+
+    def mse(cen):
+        return (
+            rows.join(F.broadcast(cen), "sub")
+            .groupBy("vid", "sub")
+            .agg(
+                F.min(
+                    F.struct(
+                        similarity.l2sq(F.col("xs"), F.col("cs")).alias("d"),
+                        F.col("cid"),
+                    )
+                ).alias("_m")
+            )
+            .agg(F.avg("_m.d"))
+            .first()[0]
+        )
+
+    untrained = emb.where("vec_id < 16").select(
+        F.col("vec_id").alias("cid"), F.posexplode(subs).alias("sub", "cs")
+    )
+    trained = similarity.pq_codebooks_kmeans(emb, m=m, ksub=16)
+    assert mse(trained) < mse(untrained)
