@@ -269,3 +269,119 @@ def probe(
         .where(F.col("rnk") <= k)
         .select("query_id", "cand_id", "rnk", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted PQ index: the ADC twin of the IVF tables above. Same
+# build / ingest / read-only-probe lifecycle and the same atomic
+# multi-table commit; the stored artifacts are the per-subspace
+# codebook (tiny, always broadcast) and the code table — m small ints
+# per vector, the representation that actually fits in memory when the
+# fp32 corpus doesn't (Jégou et al. 2011).
+# ---------------------------------------------------------------------------
+
+T_PQ_CODEBOOK = "pq_codebook"
+T_PQ_CODES = "pq_codes"
+
+
+def pq_build(
+    wh,
+    emb: DataFrame,
+    run_id: int,
+    m: int = 4,
+    ksub: int = 16,
+    codebooks: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Initial (or re-)build: codebook + full-corpus codes, overwritten
+    atomically. ``codebooks`` accepts a trained (sub, cid, cs) frame —
+    e.g. ``similarity.pq_codebooks_kmeans`` — otherwise the subvectors
+    of the ``ksub`` lowest-id vectors act as the deterministic,
+    oracle-expressible codebook. The one corpus-sized job in the
+    lifecycle (O(N·m·ksub) flops); the stored codes never carry
+    floats."""
+    from .similarity import pq_default_codebook, pq_encode, pq_subrows
+
+    if codebooks is None:
+        codebooks = pq_default_codebook(emb, m, ksub, id_col, vec_col)
+    codebooks = codebooks.select(
+        F.col("sub").cast("int"),
+        F.col("cid").cast("int"),
+        F.col("cs").cast("array<double>"),
+    )
+    wh.begin_run(run_id)
+    wh.overwrite(LAYER, T_PQ_CODEBOOK, codebooks)
+    cen = wh.read(LAYER, T_PQ_CODEBOOK)  # codes derive from the STORED book
+    wh.overwrite(
+        LAYER, T_PQ_CODES, pq_encode(pq_subrows(emb, m, id_col, vec_col), cen)
+    )
+    wh.commit_run(run_id)
+
+
+def _pq_m(cen: DataFrame) -> int:
+    """Subspace count from the stored codebook — a 1-row metadata
+    aggregate (the bounded-collect class)."""
+    return cen.agg(F.max("sub")).first()[0] + 1
+
+
+def pq_ingest(
+    wh,
+    batch: DataFrame,
+    run_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    commit: bool = True,
+) -> DataFrame:
+    """Admit a vector batch: encode ONLY the batch against the stored
+    (frozen) codebook and append — existing codes are never recomputed,
+    so daily cost is O(batch·m·ksub) + the replay-guard scan.
+    IDEMPOTENT on replay (the ann/dedup ingest contract): vids already
+    coded are skipped, duplicate vids within the batch collapse.
+    Returns the (vid, sub, code) rows of the genuinely new vectors;
+    ``commit=False`` computes read-only."""
+    from .similarity import pq_encode, pq_subrows
+
+    cen = _require(wh.read(LAYER, T_PQ_CODEBOOK), T_PQ_CODEBOOK)
+    idx = _require(wh.read(LAYER, T_PQ_CODES), T_PQ_CODES)
+    batch = batch.dropDuplicates([id_col])
+    batch_ids = batch.select(F.col(id_col).alias("vid"))
+    already = idx.select("vid").join(
+        F.broadcast(batch_ids), ["vid"], "left_semi"
+    )
+    m = _pq_m(cen)
+    new_rows = pq_subrows(batch, m, id_col, vec_col).join(
+        F.broadcast(already), ["vid"], "left_anti"
+    )
+    coded = pq_encode(new_rows, cen)
+    if not commit:
+        return coded
+    if run_id is None:
+        raise ValueError("run_id is required when commit=True")
+    coded = coded.localCheckpoint()  # one eager pass feeds append + return
+    wh.begin_run(run_id)
+    wh.append(LAYER, T_PQ_CODES, coded)
+    wh.commit_run(run_id)
+    return coded
+
+
+def pq_probe(
+    wh,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC search against the stored index — READ-ONLY: build the
+    per-query lookup table from the bounded query set × the stored
+    codebook (broadcast), score the stored CODE rows (integer joins,
+    no float vectors), per-query top-k. Results identical to
+    similarity.pq_adc_topk given the same codebook (pinned by
+    test_ann_index.py)."""
+    from .similarity import pq_adc_rank, pq_lut, pq_subrows
+
+    cen = _require(wh.read(LAYER, T_PQ_CODEBOOK), T_PQ_CODEBOOK)
+    codes = _require(wh.read(LAYER, T_PQ_CODES), T_PQ_CODES)
+    m = _pq_m(cen)
+    lut = pq_lut(pq_subrows(queries, m, id_col, vec_col), cen)
+    return pq_adc_rank(codes, lut, m, k)

@@ -681,21 +681,64 @@ def pq_adc_topk(
     k-means centers — to use TRAINED codebooks (the recall lever: the
     deterministic lowest-id default is the oracle-checkable floor, a
     Lloyd-trained codebook is what production would ship); everything
-    downstream is unchanged."""
+    downstream is unchanged.
+
+    Factored into :func:`pq_subrows` / :func:`pq_default_codebook` /
+    :func:`pq_encode` / :func:`pq_lut` / :func:`pq_adc_rank` so the
+    persisted index (operators/ann_index) builds/probes through the
+    exact same plan pieces."""
+    rows = pq_subrows(emb, m, id_col, vec_col)
+    cen = (
+        codebooks
+        if codebooks is not None
+        else pq_default_codebook(emb, m, ksub, id_col, vec_col)
+    )
+    codes = pq_encode(rows, cen)
+    lut = pq_lut(rows.where(query_pred.replace(id_col, "vid")), cen)
+    return pq_adc_rank(codes, lut, m, k)
+
+
+def pq_subrows(
+    emb: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, sub, xs): each vector exploded into its m subvectors."""
     dsub = (F.size(F.col(vec_col)) / m).cast("int")
     subs = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda s: F.slice(F.col(vec_col), s * dsub + 1, dsub),
     )
-    rows = emb.select(
+    return emb.select(
         F.col(id_col).alias("vid"), F.posexplode(subs).alias("sub", "xs")
     )
-    cen = codebooks if codebooks is not None else emb.where(
-        f"{id_col} < {ksub}"
-    ).select(
+
+
+def pq_default_codebook(
+    emb: DataFrame,
+    m: int,
+    ksub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(sub, cid, cs): the deterministic oracle-expressible codebook —
+    subvectors of the ``ksub`` lowest-id vectors."""
+    dsub = (F.size(F.col(vec_col)) / m).cast("int")
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.slice(F.col(vec_col), s * dsub + 1, dsub),
+    )
+    return emb.where(f"{id_col} < {ksub}").select(
         F.col(id_col).alias("cid"), F.posexplode(subs).alias("sub", "cs")
     )
-    codes = (
+
+
+def pq_encode(rows: DataFrame, cen: DataFrame) -> DataFrame:
+    """(vid, sub, code): nearest codebook entry per subvector — argmin
+    squared-L2, min-cid tie — via broadcast join + min-struct aggregate
+    (map-side combinable; the floats are never touched again)."""
+    return (
         rows.join(F.broadcast(cen), "sub")
         .groupBy("vid", "sub")
         .agg(
@@ -707,15 +750,31 @@ def pq_adc_topk(
         )
         .select("vid", "sub", F.col("_m.cid").alias("code"))
     )
-    lut = (
-        rows.where(query_pred.replace(id_col, "vid"))
-        .select(F.col("vid").alias("query_id"), "sub", F.col("xs").alias("qs"))
+
+
+def pq_lut(q_rows: DataFrame, cen: DataFrame) -> DataFrame:
+    """(query_id, sub, cid, pd): per-query ADC lookup table — the
+    inner-product partial of every (query subvector, codebook entry)
+    pair. Q·m·ksub rows, broadcast by construction."""
+    return (
+        q_rows.select(
+            F.col("vid").alias("query_id"), "sub", F.col("xs").alias("qs")
+        )
         .join(F.broadcast(cen), "sub")
         .select(
             "query_id", "sub", "cid",
             dot(F.col("qs"), F.col("cs")).alias("pd"),
         )
     )
+
+
+def pq_adc_rank(
+    codes: DataFrame, lut: DataFrame, m: int, k: int
+) -> DataFrame:
+    """Score code rows against a broadcast LUT and rank: the m partials
+    pivot into FIXED columns summed left-to-right (engine-identical
+    double order), then per-query top-k via the brute_force_topk
+    window."""
     parts = (
         codes.join(
             F.broadcast(lut),

@@ -642,9 +642,8 @@ def _l2sq_sql(a: str, b: str) -> str:
     )
 
 
-@query(
-    "q_ann_pq_adc",
-    oracle=f"""
+def _pq_adc_oracle() -> str:
+    return f"""
     WITH sub AS (
         SELECT vec_id, s.s AS sub,
                embedding[s.s * (len(embedding) // 4) + 1
@@ -682,8 +681,10 @@ def _l2sq_sql(a: str, b: str) -> str:
                                      ORDER BY adc DESC, cand_id) AS rnk
         FROM scored
     ) WHERE rnk <= 5
-    """,
-)
+    """
+
+
+@query("q_ann_pq_adc", oracle=_pq_adc_oracle())
 def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with asymmetric distance (Jégou et al.
     2011): vectors stored as 4 subspace codes against a 16-entry
@@ -693,6 +694,52 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller than fp32 at corpus scale. Partials pivot into fixed
     columns so the double sum order matches the oracle exactly."""
     return similarity.pq_adc_topk(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+def _pq_warehouse(spark: SparkSession, sf_dir: str):
+    """Shared PQ index warehouse: built ONCE per source version (the
+    band/IVF-index marker discipline) with the deterministic lowest-id
+    codebook, then opened read-only."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators import ann_index
+    from ..pipeline import Warehouse
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:pq1".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_pqindex_{tag}")
+    _built_once(
+        root, "index/pq_codes/_CURRENT",
+        lambda: ann_index.pq_build(
+            Warehouse(spark, root), emb, run_id=1, m=4, ksub=16
+        ),
+    )
+    return Warehouse(spark, root)
+
+
+@query("q_ann_pq_index", oracle=_pq_adc_oracle())
+def q_ann_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED PQ index probe (operators/ann_index pq_* — the ADC
+    twin of q_ann_ivf_index): codebook + per-vector codes live in two
+    warehouse tables written under one atomic commit; the query set
+    searches READ-ONLY — lookup table from the broadcast stored
+    codebook, integer joins over the stored codes, no float vectors
+    and no re-encoding. Deliberately the SAME oracle as q_ann_pq_adc:
+    the stored-index path must return bit-identical neighbors while
+    doing none of the per-session corpus encoding — at 100 TB the
+    codes are the only corpus-sized artifact a probe touches, ~64×
+    smaller than the fp32 vectors."""
+    from ..operators import ann_index
+
+    wh = _pq_warehouse(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_index.pq_probe(wh, emb.where("vec_id < 10"), k=5)
 
 
 @query(

@@ -362,3 +362,74 @@ def test_rebuild_crash_rolls_back_to_consistent_pair(spark, wh, monkeypatch):
         map(tuple, ann_index.probe(wh2, queries, k=3, nprobe=2).collect())
     )
     assert after == before
+
+
+# ---------------------------------------------------------------------------
+# Persisted PQ index (pq_build / pq_ingest / pq_probe)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_probe_matches_pq_adc_topk(spark, wh):
+    """Stored-codes ADC probe == the session-scoped operator, bit for
+    bit (deterministic lowest-id codebook, m=2 over the 4-dim test
+    vectors)."""
+    emb = _emb(spark, range(60))
+    ann_index.pq_build(wh, emb, run_id=1, m=2, ksub=8)
+    got = {
+        tuple(r)
+        for r in ann_index.pq_probe(
+            wh, emb.where("vec_id < 10"), k=3
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in similarity.pq_adc_topk(
+            emb, k=3, m=2, ksub=8, query_pred="vec_id < 10"
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_pq_ingest_appends_codes_without_recoding_old_rows(spark, wh):
+    """Batch admission encodes only the batch against the FROZEN
+    stored codebook; pre-existing code rows stay byte-identical and
+    replay of the same batch appends nothing."""
+    ann_index.pq_build(wh, _emb(spark, range(40)), run_id=1, m=2, ksub=8)
+    before = {(r.vid, r.sub): r.code
+              for r in wh.read("index", "pq_codes").collect()}
+    book_before = sorted(
+        (r.sub, r.cid, tuple(r.cs))
+        for r in wh.read("index", "pq_codebook").collect()
+    )
+    out = ann_index.pq_ingest(wh, _emb(spark, range(38, 50)), run_id=2)
+    # overlap (38, 39) skipped; only genuinely new vids coded
+    assert {r.vid for r in out.collect()} == set(range(40, 50))
+    after = {(r.vid, r.sub): r.code
+             for r in wh.read("index", "pq_codes").collect()}
+    assert all(after[key] == val for key, val in before.items())
+    assert len(after) == 50 * 2  # 50 vids x m=2 subspaces
+    assert book_before == sorted(
+        (r.sub, r.cid, tuple(r.cs))
+        for r in wh.read("index", "pq_codebook").collect()
+    )
+    # replay: nothing new, nothing doubled
+    replay = ann_index.pq_ingest(wh, _emb(spark, range(38, 50)), run_id=3)
+    assert replay.count() == 0
+    assert wh.read("index", "pq_codes").count() == 100
+
+
+def test_pq_probe_is_readonly_and_floatfree_on_big_side(spark, wh):
+    """The probe plan scans the stored code table (integers only) —
+    no encode aggregate over the corpus, no vector column from the
+    big side; only the bounded query side touches floats."""
+    emb = _emb(spark, range(40))
+    ann_index.pq_build(wh, emb, run_id=1, m=2, ksub=8)
+    out = ann_index.pq_probe(wh, emb.where("vec_id < 5"), k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the big side is the stored code table: a file scan of integer
+    # (vid, sub, code) rows — and no re-encode anywhere (the encode's
+    # argmin min-struct aggregate never appears; the only corpus-sized
+    # aggregate is the ADC pivot's max(CASE...))
+    assert "ReadSchema: struct<vid:bigint,sub:int,code:int" in plan
+    assert "partial_min" not in plan
+    assert out.count() > 0
