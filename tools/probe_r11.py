@@ -179,7 +179,7 @@ def dsir(spark, base: int, factor: int) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", nargs="?", default="all",
-                    choices=["megacluster", "dsir", "all"])
+                    choices=["megacluster", "dsir", "vocab", "pq", "all"])
     ap.add_argument("--members", type=int, default=1_000_000)
     ap.add_argument("--base", type=int, default=2_000)
     ap.add_argument("--factor", type=int, default=25)
@@ -211,7 +211,124 @@ def main() -> None:
         megacluster(spark, args.members)
     if args.mode in ("dsir", "all"):
         dsir(spark, args.base, args.factor)
+    if args.mode in ("vocab", "all"):
+        vocab(spark, args.base, args.factor)
+    if args.mode in ("pq", "all"):
+        pq(spark, args.base * 10, args.factor)
     spark.stop()
+
+
+def vocab(spark, base: int, factor: int) -> None:
+    """q_vocab_coverage decade probe + hot-word fixture: corpus 1x ->
+    25x at fixed doc shape; hot mode makes every other token the SAME
+    word (one token type = half of all occurrences — the Zipf head at
+    its worst), which the groupBy(token) must absorb via partial
+    aggregation (token is the one content-derived key in the plan)."""
+    from etl_fraud_detection_spark.operators import corpus
+
+    print(f"\n## q_vocab_coverage decade probe: corpus 1x -> {factor}x "
+          f"+ hot-word fixture")
+    print("| docs | tokens | vocab | wall (s) | s per 1M tokens | "
+          "stage max tasks (worst 3) |")
+    print("|---|---|---|---|---|---|")
+    warm = _corpus(spark, 200).persist()
+    warm.count()
+    corpus.vocab_coverage(warm, k=100).count()
+    warm.unpersist()
+    cases = [(base, False), (base * factor, False), (base * factor, True)]
+    frames = []
+    for n, hot in cases:
+        docs = _corpus(spark, n, hot=hot).persist()
+        docs.count()
+        frames.append((n, hot, docs, corpus.vocab_coverage(docs, k=100)))
+    results = {i: [] for i in range(len(cases))}
+    for _ in range(3):
+        for i, (n, hot, _docs, out) in enumerate(frames):
+            wall, stages, cnt = _timed_run(spark, out)
+            assert cnt == 100, cnt
+            results[i].append((wall, stages))
+    for i, (n, hot, docs, _out) in enumerate(frames):
+        wall, stages = min(results[i], key=lambda x: x[0])
+        toks = 40 * n
+        top = ", ".join(f"{mt:.2f}x{nt}" for mt, _, nt, _ in stages[:3])
+        print(f"| {n} | {toks} | {'ONE HOT WORD' if hot else 'diverse'} "
+              f"| {wall:.2f} | {wall / (toks / 1e6):.2f} | {top} |")
+        docs.unpersist()
+
+
+def _vectors(spark, n: int, dup: bool = False):
+    """n 64-dim vectors; dup mode: 3/4 of the corpus is ONE repeated
+    vector (the boilerplate-image-embedding case) — all its copies
+    take identical PQ codes, the skew-shaped input for encode/probe."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda d: (
+                F.when(
+                    F.lit(dup) & (F.col("id") % 4 != F.lit(0)),
+                    # the mega-duplicate vector (constant per dim)
+                    (d * 37 % 23).cast("double") / 23.0,
+                ).otherwise(
+                    F.pmod(
+                        F.xxhash64(
+                            F.conv(
+                                F.concat(
+                                    F.col("id").cast("string"),
+                                    F.lit(":"), d.cast("string"),
+                                ), 10, 10,
+                            )
+                        ), F.lit(1000),
+                    ).cast("double") / 1000.0
+                )
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    return base.repartition(32)
+
+
+def pq(spark, base: int, factor: int) -> None:
+    """PQ decade probe: encode (the corpus-sized pass) at vectors
+    1x -> 25x must be linear; the mega-duplicate fixture (3/4 of the
+    corpus is one repeated vector) must not create a hot reducer —
+    encode groups on (vid, sub) and ADC scoring on (query_id, vid),
+    both uniform row-keyed, so PQ has NO content-derived shuffle key
+    anywhere (the structural reason the skew-audit class doesn't apply;
+    this probe certifies it empirically)."""
+    from etl_fraud_detection_spark.operators import similarity
+
+    print(f"\n## PQ-ADC decade probe: encode+search, vectors 1x -> "
+          f"{factor}x + mega-duplicate fixture")
+    print("| vectors | variant | wall (s) | s per 1M vectors | "
+          "stage max tasks (worst 3) |")
+    print("|---|---|---|---|---|")
+    warm = _vectors(spark, 500).persist()
+    warm.count()
+    similarity.pq_adc_topk(warm, k=5, query_pred="vec_id < 10").count()
+    warm.unpersist()
+    cases = [(base, False), (base * factor, False), (base * factor, True)]
+    frames = []
+    for n, dup in cases:
+        emb = _vectors(spark, n, dup=dup).persist()
+        emb.count()
+        frames.append(
+            (n, dup, emb,
+             similarity.pq_adc_topk(emb, k=5, query_pred="vec_id < 10"))
+        )
+    results = {i: [] for i in range(len(cases))}
+    for _ in range(3):
+        for i, (n, dup, _emb, out) in enumerate(frames):
+            wall, stages, cnt = _timed_run(spark, out)
+            assert cnt == 50, cnt
+            results[i].append((wall, stages))
+    for i, (n, dup, emb, _out) in enumerate(frames):
+        wall, stages = min(results[i], key=lambda x: x[0])
+        top = ", ".join(f"{mt:.2f}x{nt}" for mt, _, nt, _ in stages[:3])
+        print(f"| {n} | {'MEGA-DUP (3/4 one vector)' if dup else 'diverse'} "
+              f"| {wall:.2f} | {wall / (n / 1e6):.2f} | {top} |")
+        emb.unpersist()
 
 
 if __name__ == "__main__":
