@@ -79,3 +79,51 @@ def test_streaming_vector_admission_grows_frozen_index(spark, tmp_path):
         nprobe=4,
     )
     assert 22 in {r.cand_id for r in probe.collect()}
+
+
+def test_streaming_vector_admission_grows_frozen_pq_index(spark, tmp_path):
+    """The PQ twin of the IVF streaming admission: a vector file-stream
+    encoded batch-by-batch through foreachBatch + pq_ingest against the
+    FROZEN stored codebook. Codebook byte-stable across the run,
+    redelivered vids not re-coded, and a vector admitted mid-stream is
+    ADC-probe-visible afterwards."""
+    wh = Warehouse(spark, str(tmp_path / "pqwh"))
+    seed = spark.createDataFrame([(i, _vec(i)) for i in range(16)], SCHEMA)
+    ann_index.pq_build(wh, seed, run_id=1, m=2, ksub=8)
+    book_before = sorted(
+        (r.sub, r.cid, tuple(r.cs))
+        for r in wh.read("index", "pq_codebook").collect()
+    )
+
+    # batch 2 redelivers vec 20 (already admitted in batch 0)
+    src = _write_stream_files(
+        spark, tmp_path, [[20, 21], [22, 23], [20, 24]]
+    )
+
+    def admit(batch_df, batch_id):
+        ann_index.pq_ingest(wh, batch_df, run_id=100 + batch_id)
+
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(admit)
+        .option("checkpointLocation", str(tmp_path / "pqckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    codes = wh.read("index", "pq_codes")
+    vids = set(range(16)) | {20, 21, 22, 23, 24}
+    assert {r.vid for r in codes.select("vid").collect()} == vids
+    assert codes.count() == len(vids) * 2  # m=2 rows per vid, no dupes
+    assert book_before == sorted(
+        (r.sub, r.cid, tuple(r.cs))
+        for r in wh.read("index", "pq_codebook").collect()
+    )
+    # a vector admitted mid-stream is probe-visible via ADC
+    probe = ann_index.pq_probe(
+        wh, spark.createDataFrame([(99, _vec(22))], SCHEMA), k=len(vids)
+    )
+    assert 24 in {r.cand_id for r in probe.collect()}
