@@ -860,15 +860,34 @@ def survivors_from_labels(
     task before the single cluster_id exchange. Same shuffle key and
     count as the window form, no single-task sort anywhere (the
     :func:`_first_occurrence_flag` min-struct discipline; mega-cluster
-    A/B in SCALE.md round 11). ``-size`` keeps the column's own
-    integral type — every caller passes a length/byte count."""
+    A/B in SCALE.md round 11). NULL sizes sort LAST (matching the
+    window's desc-nulls-last) via a +Long.MAX sentinel in the sort key
+    — see the inline note; ``size_col`` is contractually a non-negative
+    length/byte count."""
     joined = labels.join(sized, id_col)
     return (
         joined.groupBy("cluster_id")
         .agg(
             F.min(
                 F.struct(
-                    (-F.col(size_col)).alias("_neg"),
+                    # NULL size -> +Long.MAX: struct ordering sorts a
+                    # NULL field FIRST under min — the opposite of the
+                    # window's ORDER BY size DESC (desc = nulls LAST) —
+                    # so a raw -size key would crown a null-size member
+                    # over every sized one (and ANSI negation of
+                    # Long.MIN_VALUE would error). The sentinel makes
+                    # null-size members lose to any sized member and
+                    # tie-break among themselves on id asc, matching
+                    # the window form bit-for-bit (null fixtures pinned
+                    # in test_training_data_ops). Contract: size_col is
+                    # a non-negative length/byte count, so the sentinel
+                    # can never collide with a real -size.
+                    F.when(
+                        F.col(size_col).isNull(),
+                        F.lit((1 << 63) - 1).cast("long"),
+                    )
+                    .otherwise(-F.col(size_col).cast("long"))
+                    .alias("_neg"),
                     F.col(id_col).alias("_id"),
                     F.col(size_col).alias("_sz"),
                 )

@@ -640,10 +640,18 @@ def dsir_select(
                      keep_target=True)
         .where(~F.col("_is_target"))
     )
+    # u in (0, 1) STRICTLY: conv of 13 hex digits is [0, 2^52-1], so
+    # (conv+1) / (2^52+1) never reaches either endpoint — at u = 1.0
+    # exactly (prefix fffffffffffff, ~2^-52 per doc, i.e. expected once
+    # per ~4.5e15 docs) Gumbel(-ln(-ln u)) is +inf, which floors to
+    # Long.MaxValue on Spark and ERRORS the DuckDB oracle's BIGINT cast
+    # — a rare determinism/crash divergence at real corpus scale. Both
+    # numerator and denominator are exactly representable doubles
+    # (< 2^53), so the IEEE quotient is bit-identical across engines.
     u = (
         (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
          .cast("double") + 1.0)
-        / F.lit(float(1 << 52))
+        / F.lit(float((1 << 52) + 1))
     )
     gumbel_micro = F.floor(-F.log(-F.log(u)) * MICRO + 0.5).cast("long")
     return (

@@ -694,7 +694,11 @@ def pq_adc_topk(
         else pq_default_codebook(emb, m, ksub, id_col, vec_col)
     )
     codes = pq_encode(rows, cen)
-    lut = pq_lut(rows.where(query_pred.replace(id_col, "vid")), cen)
+    # filter the ORIGINAL frame, then re-slice: rewriting the predicate
+    # string against the exploded rows (query_pred.replace(id_col,
+    # "vid")) silently corrupts any predicate whose OTHER column names
+    # contain id_col as a substring (e.g. other_vec_id)
+    lut = pq_lut(pq_subrows(emb.where(query_pred), m, id_col, vec_col), cen)
     return pq_adc_rank(codes, lut, m, k)
 
 

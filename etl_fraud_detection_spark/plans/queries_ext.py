@@ -3504,7 +3504,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
            dsir_logw_micro
            + CAST(FLOOR(-ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id
                  AS VARCHAR)), 1, 13)) AS BIGINT) + 1.0)
-                 / 4503599627370496.0)) * 1000000 + 0.5) AS BIGINT)
+                 / 4503599627370497.0)) * 1000000 + 0.5) AS BIGINT)
              AS es_key_micro
     FROM scored
     ORDER BY es_key_micro DESC, doc_id LIMIT 60

@@ -743,6 +743,36 @@ def test_survivor_aggregate_matches_window_form(spark):
     }
     assert got_s == want_s
 
+    # NULL sizes: the window's ORDER BY size DESC puts nulls LAST, so
+    # a null-size member may only win an all-null cluster (then by min
+    # id). The aggregate must agree — a raw min(struct(-size, id))
+    # would sort the null key FIRST and crown the null member instead
+    # (round-11 advice; fixed with a +Long.MAX sentinel). Cluster 0
+    # mixes null and sized members, cluster 1 is all-null, cluster 2
+    # has a null-size member with the smallest id.
+    labels_n = spark.createDataFrame(
+        [(i, i % 3) for i in range(12)], "doc_id long, cluster_id long"
+    )
+    sized_n = spark.createDataFrame(
+        [(i, None if (i in (0, 2, 6) or i % 3 == 1) else i + 1)
+         for i in range(12)],
+        "doc_id long, n_chars long",
+    )
+    got_n = {
+        r.cluster_id: (r.kept_id, r.kept_n_chars, r.n_members)
+        for r in dedup.survivors_from_labels(
+            labels_n, sized_n, "doc_id", "n_chars"
+        ).collect()
+    }
+    want_n = {
+        r.cluster_id: (r.kept_id, r.kept_n_chars, r.n_members)
+        for r in dedup._survivors_from_labels_window(
+            labels_n, sized_n, "doc_id", "n_chars"
+        ).collect()
+    }
+    assert got_n == want_n
+    assert got_n[1] == (1, None, 4)  # all-null cluster: min id, null size
+
 
 def test_survivor_aggregate_is_window_free(spark):
     """The survivor plan must contain a partial (map-side combinable)
