@@ -51,7 +51,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .similarity import dot, norm
+from .similarity import argmax_cell, dot, norm, topk_per_query
 
 LAYER = "index"
 T_CENTROIDS = "ivf_centroids"
@@ -69,19 +69,11 @@ def _require(df: DataFrame | None, table: str) -> DataFrame:
 
 def _assign(vectors: DataFrame, cen: DataFrame) -> DataFrame:
     """Nearest-centroid cell per vector (cosine argmax, ties by lowest
-    cid — bit-identical to similarity.ivf_topk's assignment): one
-    broadcast map pass over ``vectors``, cost O(rows · K)."""
-    w = Window.partitionBy("vid").orderBy(F.col("a_cos").desc(), F.col("cid"))
-    return (
-        vectors.crossJoin(F.broadcast(cen))
-        .select(
-            "vid", "vec", "vnorm", "cid",
-            (dot(F.col("vec"), F.col("cen_vec")) / (F.col("vnorm") * F.col("cen_norm"))).alias("a_cos"),
-        )
-        .withColumn("_arn", F.row_number().over(w))
-        .where(F.col("_arn") == 1)
-        .select("vid", "vec", "vnorm", "cid")
-    )
+    cid — bit-identical to similarity.ivf_topk's assignment): broadcast
+    O(rows · K) scoring collapsed map-side by similarity.argmax_cell's
+    min-struct aggregate (the round-12 shape — one exchange of reduced
+    structs, never K scored rows per vector)."""
+    return argmax_cell(vectors, cen).select("vid", "vec", "vnorm", "cid")
 
 
 def _vrows(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -263,12 +255,11 @@ def probe(
             (dot(F.col("q_vec"), F.col("vec")) / (F.col("q_norm") * F.col("vnorm"))).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("query_id", "cand_id", "rnk", "cos")
-    )
+    # two-level top-k: a mega-cell (content-skewed corpora cluster) must
+    # never land one query's whole candidate set on a single reducer
+    return topk_per_query(
+        scored, k, [F.col("cos").desc(), F.col("cand_id")]
+    ).select("query_id", "cand_id", "rnk", "cos")
 
 
 # ---------------------------------------------------------------------------

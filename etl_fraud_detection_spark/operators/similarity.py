@@ -40,6 +40,44 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def topk_per_query(
+    scored: DataFrame,
+    k: int,
+    order: list[Column],
+    part_col: str = "query_id",
+    rank_name: str = "rnk",
+) -> DataFrame:
+    """Two-level per-query top-k over an UNBOUNDED candidate frame —
+    the scale-safe replacement for ``row_number() over (partition by
+    query_id order by ...)``, which sorts every candidate of a query on
+    ONE reducer (at 10⁹ corpus vectors that is a 10⁹-row single-task
+    sort per query — the same single-reducer class round 11 eliminated
+    from survivor selection).
+
+    Level 1 ranks within (query, input-partition): the salt is
+    ``spark_partition_id()``, so each local sort is bounded by the
+    input partition's own rows and the surviving frame is ≤ k·P rows
+    per query. Level 2 re-ranks those survivors per query — a bounded
+    window. Correct for ANY row placement: a global top-k row is top-k
+    within every subset containing it, so level 1 can never drop one;
+    and because ``order`` must be a TOTAL order (callers always
+    tie-break on the candidate id), the merged ranks are bit-identical
+    to the single-window form (property-pinned in
+    tests/test_ann_index.py). Rank values are assigned at level 2 over
+    the same total order, so ``rank_name`` matches the window form
+    exactly."""
+    staged = scored.withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy(part_col, "_pid").orderBy(*order)
+    w_merge = Window.partitionBy(part_col).orderBy(*order)
+    return (
+        staged.withColumn("_lrk", F.row_number().over(w_local))
+        .where(F.col("_lrk") <= k)
+        .drop("_pid", "_lrk")
+        .withColumn(rank_name, F.row_number().over(w_merge))
+        .where(F.col(rank_name) <= k)
+    )
+
+
 def l2_normalize_features(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -83,12 +121,9 @@ def brute_force_topk(
             (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("query_id", "cand_id", "rnk", "cos")
-    )
+    return topk_per_query(
+        scored, k, [F.col("cos").desc(), F.col("cand_id")]
+    ).select("query_id", "cand_id", "rnk", "cos")
 
 
 def hard_negatives(
@@ -126,12 +161,9 @@ def hard_negatives(
             (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("query_id", "cand_id", "rnk", "cos")
-    )
+    return topk_per_query(
+        scored, k, [F.col("cos").desc(), F.col("cand_id")]
+    ).select("query_id", "cand_id", "rnk", "cos")
 
 
 def quantize_int8(
@@ -217,11 +249,48 @@ def lsh_ann_topk(
             (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return topk_per_query(
+        scored, k, [F.col("cos").desc(), F.col("cand_id")]
+    ).select("query_id", "cand_id", "rnk", "cos")
+
+
+def argmax_cell(vectors: DataFrame, cen: DataFrame) -> DataFrame:
+    """Nearest-centroid cell per (vid, vec, vnorm) row — cosine argmax,
+    ties by lowest cid — as ONE min-struct AGGREGATE over the broadcast
+    centroid crossJoin: ``min(struct(-cos, cid, vec, vnorm))`` (double
+    negation is an exact sign flip, so the ordering is the window's
+    ORDER BY cos DESC, cid ASC bit-for-bit; the winning row carries the
+    vector fields along, so no join-back). The pre-round-12 shape was
+    ``row_number() over (partition by vid)`` — correct, but its
+    exchange ships all N·K scored rows WITH their vectors and sorts
+    each vid group on the reducer; the aggregate partial-combines the
+    K candidate rows map-side (they are generated from one input row,
+    so they always share a task), so the one exchange ships N
+    already-reduced structs — K× less shuffled bytes at K centroids.
+    Contract: centroid norms are nonzero (a zero-norm centroid scores
+    NaN cosine against every vector, which no ordering can rank
+    meaningfully)."""
+    scored = vectors.crossJoin(F.broadcast(cen)).select(
+        "vid",
+        F.struct(
+            (
+                -(dot(F.col("vec"), F.col("cen_vec"))
+                  / (F.col("vnorm") * F.col("cen_norm")))
+            ).alias("_negcos"),
+            F.col("cid").alias("_cid"),
+            F.col("vec").alias("_vec"),
+            F.col("vnorm").alias("_vnorm"),
+        ).alias("_s"),
+    )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("query_id", "cand_id", "rnk", "cos")
+        scored.groupBy("vid")
+        .agg(F.min("_s").alias("_k"))
+        .select(
+            "vid",
+            F.col("_k._vec").alias("vec"),
+            F.col("_k._vnorm").alias("vnorm"),
+            F.col("_k._cid").alias("cid"),
+        )
     )
 
 
@@ -271,13 +340,16 @@ def ivf_topk(
     oracle-expressible; swapping in MLlib KMeans centroids changes one
     line (the ``cen`` frame) and nothing downstream.
 
-    Scale shape (100 TB): assignment is a broadcast O(N·K) map pass; the
+    Scale shape (100 TB): assignment is a broadcast O(N·K) scoring pass
+    collapsed by :func:`argmax_cell`'s min-struct aggregate (one
+    exchange of N reduced structs, never N·K scored rows); the search
     shuffle is on cell id, so each cell's candidates co-locate exactly
-    like a real IVF index; skewed cells split under AQE.
+    like a real IVF index; skewed cells split under AQE. The query side
+    filters ``query_pred`` on the ORIGINAL frame before any ranking —
+    the nprobe window only ever sees the bounded query set × K rows.
 
     Pass ``centroids`` (e.g. from kmeans_centroids) to use a trained
     coarse quantizer instead; everything downstream is unchanged."""
-    w_assign = Window.partitionBy("vid").orderBy(F.col("a_cos").desc(), F.col("cid"))
     cen = centroids if centroids is not None else emb.where(
         f"{id_col} < {n_centroids}"
     ).select(
@@ -288,18 +360,21 @@ def ivf_topk(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
         norm(F.col(vec_col)).alias("vnorm"),
     )
-    ranked = (
-        base.crossJoin(F.broadcast(cen))
+    assigned = argmax_cell(base, cen)
+    w_qrank = Window.partitionBy("vid").orderBy(F.col("a_cos").desc(), F.col("cid"))
+    q = (
+        emb.where(query_pred)
+        .select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+            norm(F.col(vec_col)).alias("vnorm"),
+        )
+        .crossJoin(F.broadcast(cen))
         .select(
             "vid", "vec", "vnorm", "cid",
             (dot(F.col("vec"), F.col("cen_vec")) / (F.col("vnorm") * F.col("cen_norm"))).alias("a_cos"),
         )
-        .withColumn("arn", F.row_number().over(w_assign))
-    )
-    assigned = ranked.where(F.col("arn") == 1).select("vid", "vec", "vnorm", "cid")
-    q = (
-        ranked.where(F.col("arn") <= nprobe)
-        .where(query_pred.replace(id_col, "vid"))
+        .withColumn("arn", F.row_number().over(w_qrank))
+        .where(F.col("arn") <= nprobe)
         .select(
             F.col("vid").alias("query_id"), F.col("vec").alias("q_vec"),
             F.col("vnorm").alias("q_norm"), "cid",
@@ -317,12 +392,9 @@ def ivf_topk(
             (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("query_id", "cand_id", "rnk", "cos")
-    )
+    return topk_per_query(
+        scored, k, [F.col("cos").desc(), F.col("cand_id")]
+    ).select("query_id", "cand_id", "rnk", "cos")
 
 
 def semantic_dedup_cells(
@@ -674,8 +746,11 @@ def pq_adc_topk(
     flops once, then the floats are never touched again); scoring =
     the code rows against a broadcast Q·m·ksub lookup table, one
     hash aggregate keyed (query, cand) — integer equi-joins only, no
-    float vectors on the big side; top-k per bounded query set via the
-    brute_force_topk window.
+    float vectors on the big side; top-k via the two-level
+    :func:`topk_per_query` (local top-k per partition, k·P-row merge —
+    never a corpus-sized per-query sort). The scale path composes this
+    with the IVF coarse quantizer (:func:`ivfpq_topk`), restricting the
+    ADC scan itself to the query's nprobe cells.
 
     Pass ``codebooks`` — a (sub, cid, cs) frame, e.g. per-subspace
     k-means centers — to use TRAINED codebooks (the recall lever: the
@@ -777,8 +852,9 @@ def pq_adc_rank(
 ) -> DataFrame:
     """Score code rows against a broadcast LUT and rank: the m partials
     pivot into FIXED columns summed left-to-right (engine-identical
-    double order), then per-query top-k via the brute_force_topk
-    window."""
+    double order), then per-query top-k via the two-level
+    :func:`topk_per_query` — no reducer ever sorts a corpus-sized
+    candidate partition."""
     parts = (
         codes.join(
             F.broadcast(lut),
@@ -800,14 +876,9 @@ def pq_adc_rank(
     scored = pivoted.select(
         "query_id", F.col("vid").alias("cand_id"), adc.alias("adc")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc").desc(), F.col("cand_id")
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("query_id", "cand_id", "rnk", "adc")
-    )
+    return topk_per_query(
+        scored, k, [F.col("adc").desc(), F.col("cand_id")]
+    ).select("query_id", "cand_id", "rnk", "adc")
 
 
 def pq_codebooks_kmeans(

@@ -214,6 +214,69 @@ def test_ingest_same_batch_duplicates_collapse(spark, wh):
     assert idx.where("vid = 26").count() == 1
 
 
+def test_topk_per_query_matches_single_window_form(spark):
+    """The two-level topk_per_query must be BIT-IDENTICAL (ranks
+    included) to row_number() over (partition by query_id) on random
+    scored frames — duplicate scores, k larger than some groups, and a
+    hot query holding most of the candidates (the skew shape the
+    two-level form exists for)."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(12)
+    rows = [
+        # query 0 is the hot query: ~3/4 of all candidate rows
+        (0 if i % 4 else rng.randint(1, 5), i, float(rng.randint(1, 9)))
+        for i in range(800)
+    ]
+    scored = spark.createDataFrame(
+        rows, "query_id long, cand_id long, cos double"
+    ).repartition(8)
+    for k in (1, 3, 50, 1000):
+        order = [F.col("cos").desc(), F.col("cand_id")]
+        got = sorted(
+            map(tuple, similarity.topk_per_query(scored, k, order).collect())
+        )
+        w = Window.partitionBy("query_id").orderBy(*order)
+        want = sorted(
+            map(
+                tuple,
+                scored.withColumn("rnk", F.row_number().over(w))
+                .where(F.col("rnk") <= k)
+                .collect(),
+            )
+        )
+        # column order differs (rnk appended vs inline); compare as sets
+        # of (query, cand, cos, rnk)
+        got_n = {(q, c, s, r) for q, c, s, r in got}
+        want_n = {(q, c, s, r) for q, c, s, r in want}
+        assert got_n == want_n and got_n
+
+
+def test_rank_paths_have_no_full_partition_window(spark):
+    """No ANN rank path may sort a query's WHOLE candidate set on one
+    reducer: every Window in the physical plan that orders candidates
+    must be salted with the level-1 partition id (_pid) or sit above
+    the k·P-bounded merge. Concretely: the plan's first (bottom-most)
+    candidate Window must partition by (query_id, _pid)."""
+    emb = _emb(spark, range(60))
+    for df in (
+        similarity.brute_force_topk(emb, k=3),
+        similarity.pq_adc_topk(emb, k=3, m=2, ksub=8),
+        similarity.ivf_topk(emb, k=3, n_centroids=8, nprobe=2),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        windows = [
+            ln for ln in plan.splitlines() if "Window" in ln and "row_number" in ln
+        ]
+        assert windows, plan
+        # bottom-most candidate window (listed last in the tree dump up
+        # from the scan) is the salted local top-k
+        cand_windows = [ln for ln in windows if "query_id" in ln]
+        assert any("_pid" in ln for ln in cand_windows), plan
+
+
 # -- rebuild lifecycle ------------------------------------------------------
 
 
