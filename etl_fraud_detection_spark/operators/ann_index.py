@@ -356,6 +356,181 @@ def pq_ingest(
     return coded
 
 
+# ---------------------------------------------------------------------------
+# Persisted IVFADC index: the IVF × PQ COMPOSITION (Jégou et al. 2011
+# §IV) — coarse quantizer + per-subspace codebook + a code table that
+# carries each vector's coarse cell and is PARTITIONED BY it. A probe
+# ranks its bounded query set against the broadcast centroids, then
+# ADC-scores ONLY the nprobe probed cells' code rows: the cid equi-join
+# reaches the scan as dynamic partition pruning, so at 10⁹ vectors a
+# query touches N·nprobe/K code rows — never the corpus. Same atomic
+# three-table commit and frozen-quantizer ingest contract as the IVF
+# and PQ indexes it composes.
+# ---------------------------------------------------------------------------
+
+T_IVFPQ_CODES = "ivfpq_codes"
+
+
+def ivfpq_build(
+    wh,
+    emb: DataFrame,
+    run_id: int,
+    m: int = 4,
+    ksub: int = 16,
+    n_centroids: int = 16,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Initial (or re-)build: coarse quantizer + PQ codebook + the
+    cell-carrying code table, all under ONE atomic commit (an IVFADC
+    index can never hold codes without both quantizers that produced
+    them). The one corpus-sized job in the lifecycle: O(N·K) coarse
+    assignment (map-side argmax_cell aggregate) + O(N·m·ksub) encode;
+    the stored codes are m small ints + a cell id per vector — the
+    floats are never stored on the big side."""
+    from .similarity import pq_default_codebook, pq_encode, pq_subrows
+
+    if centroids is None:
+        centroids = emb.where(F.col(id_col) < n_centroids).select(
+            F.col(id_col).cast("int").alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cen_vec"),
+            norm(F.col(vec_col)).alias("cen_norm"),
+        )
+    else:
+        centroids = centroids.select(
+            F.col("cid").cast("int"),
+            F.col("cen_vec").cast("array<double>"),
+            "cen_norm",
+        )
+    if codebooks is None:
+        codebooks = pq_default_codebook(emb, m, ksub, id_col, vec_col)
+    codebooks = codebooks.select(
+        F.col("sub").cast("int"),
+        F.col("cid").cast("int"),
+        F.col("cs").cast("array<double>"),
+    )
+    wh.begin_run(run_id)
+    wh.overwrite(LAYER, T_CENTROIDS, centroids)
+    wh.overwrite(LAYER, T_PQ_CODEBOOK, codebooks)
+    # codes derive from the STORED quantizers
+    cen = wh.read(LAYER, T_CENTROIDS)
+    book = wh.read(LAYER, T_PQ_CODEBOOK)
+    cells = argmax_cell(_vrows(emb, id_col, vec_col), cen).select(
+        "vid", F.col("cid").alias("cell")
+    )
+    codes = (
+        pq_encode(pq_subrows(emb, m, id_col, vec_col), book)
+        .join(cells, "vid")
+        .select("vid", "sub", "code", F.col("cell").alias("cid"))
+    )
+    # partitioned by coarse cell: a probe's cid-key join prunes the
+    # scan to its nprobe cells' files — the IVF access pattern as disk
+    # layout, exactly the ivf_assign discipline
+    wh.overwrite(LAYER, T_IVFPQ_CODES, codes, partition_by=["cid"])
+    wh.commit_run(run_id)
+
+
+def ivfpq_ingest(
+    wh,
+    batch: DataFrame,
+    run_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    commit: bool = True,
+) -> DataFrame:
+    """Admit a vector batch: assign + encode ONLY the batch against the
+    stored (frozen) quantizers and append — O(batch·(K + m·ksub)) +
+    the replay-guard scan, independent of corpus size. IDEMPOTENT on
+    replay (the ann/dedup ingest contract): vids already coded are
+    skipped, duplicate vids within the batch collapse. Returns the
+    (vid, sub, code, cid) rows of the genuinely new vectors;
+    ``commit=False`` computes read-only."""
+    from .similarity import pq_encode, pq_subrows
+
+    cen = _require(wh.read(LAYER, T_CENTROIDS), T_CENTROIDS)
+    book = _require(wh.read(LAYER, T_PQ_CODEBOOK), T_PQ_CODEBOOK)
+    idx = _require(wh.read(LAYER, T_IVFPQ_CODES), T_IVFPQ_CODES)
+    batch = batch.dropDuplicates([id_col])
+    batch_ids = batch.select(F.col(id_col).alias("vid"))
+    already = idx.select("vid").join(
+        F.broadcast(batch_ids), ["vid"], "left_semi"
+    )
+    new_vecs = batch.join(
+        F.broadcast(already),
+        batch[id_col] == already["vid"],
+        "left_anti",
+    )
+    m = _pq_m(book)
+    cells = argmax_cell(_vrows(new_vecs, id_col, vec_col), cen).select(
+        "vid", F.col("cid").alias("cell")
+    )
+    coded = (
+        pq_encode(pq_subrows(new_vecs, m, id_col, vec_col), book)
+        .join(cells, "vid")
+        .select("vid", "sub", "code", F.col("cell").alias("cid"))
+    )
+    if not commit:
+        return coded
+    if run_id is None:
+        raise ValueError("run_id is required when commit=True")
+    coded = coded.localCheckpoint()  # one eager pass feeds append + return
+    wh.begin_run(run_id)
+    wh.append(LAYER, T_IVFPQ_CODES, coded, partition_by=["cid"])
+    wh.commit_run(run_id)
+    return coded
+
+
+def ivfpq_probe(
+    wh,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC search against the stored index — READ-ONLY: rank the
+    bounded query set against the broadcast stored centroids, build the
+    ADC lookup table from the broadcast stored codebook, then score
+    ONLY the nprobe probed cells' code rows (the cid join is dynamic
+    partition pruning over the cid-partitioned code table — plan-pinned
+    in test_ann_index.py) and two-level top-k over cell-local
+    candidates. Results identical to similarity.ivfpq_topk given the
+    same quantizers. This is the plan flat pq_probe cannot have: no
+    per-query corpus-sized scan, no corpus-sized rank partition."""
+    from .similarity import pq_adc_rank_cells, pq_lut, pq_subrows
+
+    cen = _require(wh.read(LAYER, T_CENTROIDS), T_CENTROIDS)
+    book = _require(wh.read(LAYER, T_PQ_CODEBOOK), T_PQ_CODEBOOK)
+    codes = _require(wh.read(LAYER, T_IVFPQ_CODES), T_IVFPQ_CODES)
+    m = _pq_m(book)
+    w_cells = Window.partitionBy("query_id").orderBy(
+        F.col("qa_cos").desc(), F.col("cid")
+    )
+    q_cells = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("q_norm"),
+        )
+        .crossJoin(F.broadcast(cen))
+        .select(
+            "query_id", "cid",
+            (dot(F.col("q_vec"), F.col("cen_vec"))
+             / (F.col("q_norm") * F.col("cen_norm"))).alias("qa_cos"),
+        )
+        .withColumn("_qrn", F.row_number().over(w_cells))
+        .where(F.col("_qrn") <= nprobe)
+        .select("query_id", "cid")
+    )
+    lut = pq_lut(pq_subrows(queries, m, id_col, vec_col), book)
+    cand = codes.join(F.broadcast(q_cells), "cid").select(
+        "query_id", "vid", "sub", "code"
+    )
+    return pq_adc_rank_cells(cand, lut, m, k)
+
+
 def pq_probe(
     wh,
     queries: DataFrame,

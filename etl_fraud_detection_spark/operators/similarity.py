@@ -847,22 +847,12 @@ def pq_lut(q_rows: DataFrame, cen: DataFrame) -> DataFrame:
     )
 
 
-def pq_adc_rank(
-    codes: DataFrame, lut: DataFrame, m: int, k: int
-) -> DataFrame:
-    """Score code rows against a broadcast LUT and rank: the m partials
-    pivot into FIXED columns summed left-to-right (engine-identical
-    double order), then per-query top-k via the two-level
-    :func:`topk_per_query` — no reducer ever sorts a corpus-sized
-    candidate partition."""
-    parts = (
-        codes.join(
-            F.broadcast(lut),
-            (codes["sub"] == lut["sub"]) & (codes["code"] == lut["cid"]),
-        )
-        .where(F.col("vid") != F.col("query_id"))
-        .select("query_id", "vid", codes["sub"].alias("s"), "pd")
-    )
+def _adc_pivot_topk(parts: DataFrame, m: int, k: int) -> DataFrame:
+    """(query_id, vid, s, pd) partials → per-query ADC top-k: the m
+    partials pivot into FIXED columns summed left-to-right (engine-
+    identical double order; a relational SUM over the m rows would be
+    order-nondeterministic), then two-level :func:`topk_per_query` —
+    no reducer ever sorts a corpus-sized candidate partition."""
     pivoted = parts.groupBy("query_id", "vid").agg(
         *[
             F.max(F.when(F.col("s") == s, F.col("pd"))).alias(f"_p{s}")
@@ -879,6 +869,138 @@ def pq_adc_rank(
     return topk_per_query(
         scored, k, [F.col("adc").desc(), F.col("cand_id")]
     ).select("query_id", "cand_id", "rnk", "adc")
+
+
+def pq_adc_rank(
+    codes: DataFrame, lut: DataFrame, m: int, k: int
+) -> DataFrame:
+    """FLAT ADC: score every code row against a broadcast LUT and rank
+    via :func:`_adc_pivot_topk`. Every query touches all N code rows —
+    the exact-over-codes baseline; the scale path is
+    :func:`ivfpq_topk`/ann_index.ivfpq_probe, which restricts this join
+    to the query's nprobe coarse cells (Jégou et al. 2011 §IV)."""
+    parts = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["sub"] == lut["sub"]) & (codes["code"] == lut["cid"]),
+        )
+        .where(F.col("vid") != F.col("query_id"))
+        .select("query_id", "vid", codes["sub"].alias("s"), "pd")
+    )
+    return _adc_pivot_topk(parts, m, k)
+
+
+def pq_adc_rank_cells(
+    cand_codes: DataFrame, lut: DataFrame, m: int, k: int
+) -> DataFrame:
+    """Cell-pruned ADC: ``cand_codes`` is (query_id, vid, sub, code) —
+    code rows already restricted to each query's probed coarse cells —
+    so the LUT join and the rank only ever see cell-local candidates.
+    The LUT join adds query_id to the equi-key (a candidate row exists
+    PER query here, unlike the flat path where one code row fans out
+    to every query)."""
+    lut2 = lut.select(
+        F.col("query_id").alias("_lq"), F.col("sub").alias("_ls"),
+        F.col("cid").alias("_lc"), "pd",
+    )
+    parts = (
+        cand_codes.join(
+            F.broadcast(lut2),
+            (F.col("query_id") == F.col("_lq"))
+            & (F.col("sub") == F.col("_ls"))
+            & (F.col("code") == F.col("_lc")),
+        )
+        .where(F.col("vid") != F.col("query_id"))
+        .select("query_id", "vid", F.col("sub").alias("s"), "pd")
+    )
+    return _adc_pivot_topk(parts, m, k)
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 16,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    query_pred: str = "vec_id < 10",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """IVFADC — the IVF × PQ composition (Jégou et al. 2011 §IV, the
+    production form of PQ search): a coarse quantizer restricts each
+    query to its ``nprobe`` nearest cells, and ONLY those cells' PQ
+    codes are ADC-scored. This closes flat ADC's scale hole: per query,
+    the scan and the rank touch N·nprobe/K candidates instead of the
+    whole code table (at 10⁹ vectors with K=4096 cells and nprobe=8,
+    ~500× fewer rows per query).
+
+    Deterministic, oracle-expressible construction throughout: the
+    coarse quantizer is the ``n_centroids`` lowest-id vectors (cosine
+    argmax assignment, min-cid ties — exactly :func:`ivf_topk`), the PQ
+    codebook is the ``ksub`` lowest-id vectors' subvectors (exactly
+    :func:`pq_adc_topk`), and the ADC partials pivot to fixed columns
+    for engine-identical double addition. Codes are RAW-vector PQ (the
+    same codes either flat ADC or this path can serve — what lets the
+    persisted IVF and PQ indexes compose without re-encoding); the
+    paper's §IV residual refinement (encode x − centroid, re-center
+    the LUT per cell) trades that reuse for tighter quantization and
+    slots into the same plan by swapping the encode/LUT inputs.
+
+    Scale shape: assignment is the map-side :func:`argmax_cell`
+    aggregate; codes ⋈ cells is an N-row equi-join on vid; the search
+    side is (codes ⋈ broadcast query-cells on cid) — in the persisted
+    form the cid equi-join becomes dynamic partition pruning on the
+    cid-partitioned code table — then a broadcast LUT join and the
+    two-level top-k. No per-query corpus-sized scan or sort anywhere.
+
+    ``centroids`` (cid, cen_vec, cen_norm) and ``codebooks``
+    (sub, cid, cs) accept trained quantizers (kmeans_centroids /
+    pq_codebooks_kmeans); everything downstream is unchanged."""
+    cen = centroids if centroids is not None else emb.where(
+        f"{id_col} < {n_centroids}"
+    ).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cen_vec"),
+        norm(F.col(vec_col)).alias("cen_norm"),
+    )
+    base = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("vnorm"),
+    )
+    cells = argmax_cell(base, cen).select("vid", "cid")
+    rows = pq_subrows(emb, m, id_col, vec_col)
+    book = (
+        codebooks
+        if codebooks is not None
+        else pq_default_codebook(emb, m, ksub, id_col, vec_col)
+    )
+    codes = pq_encode(rows, book).join(cells, "vid")
+    queries = emb.where(query_pred)
+    w_qrank = Window.partitionBy("query_id").orderBy(
+        F.col("qa_cos").desc(), F.col("cid")
+    )
+    q_cells = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("q_norm"),
+        )
+        .crossJoin(F.broadcast(cen))
+        .select(
+            "query_id", "cid",
+            (dot(F.col("q_vec"), F.col("cen_vec"))
+             / (F.col("q_norm") * F.col("cen_norm"))).alias("qa_cos"),
+        )
+        .withColumn("_qrn", F.row_number().over(w_qrank))
+        .where(F.col("_qrn") <= nprobe)
+        .select("query_id", "cid")
+    )
+    lut = pq_lut(pq_subrows(queries, m, id_col, vec_col), book)
+    cand = codes.join(F.broadcast(q_cells), "cid").select(
+        "query_id", "vid", "sub", "code"
+    )
+    return pq_adc_rank_cells(cand, lut, m, k)
 
 
 def pq_codebooks_kmeans(

@@ -791,6 +791,129 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_oracle() -> str:
+    """IVFADC: the _ivf_nprobe_oracle coarse-cell CTEs composed with
+    the _pq_adc_oracle code/LUT CTEs — candidates restricted to the
+    query's nprobe=2 nearest coarse cells before ADC scoring."""
+    return f"""
+    WITH sub AS (
+        SELECT vec_id, s.s AS sub,
+               embedding[s.s * (len(embedding) // 4) + 1
+                         : (s.s + 1) * (len(embedding) // 4)] AS xs
+        FROM embeddings, unnest([0, 1, 2, 3]) AS s(s)
+    ),
+    cen AS (SELECT vec_id AS cid, sub, xs AS cs FROM sub WHERE vec_id < 16),
+    codes AS (
+        SELECT vid, sub, cid AS code FROM (
+            SELECT r.vec_id AS vid, r.sub, c.cid,
+                   row_number() OVER (
+                       PARTITION BY r.vec_id, r.sub
+                       ORDER BY {_l2sq_sql('r.xs', 'c.cs')}, c.cid) AS rn
+            FROM sub r JOIN cen c USING (sub)
+        ) WHERE rn = 1
+    ),
+    coarse AS (SELECT vec_id AS ccid, embedding AS cen_vec
+               FROM embeddings WHERE vec_id < 16),
+    assign AS (
+        SELECT e.vec_id AS vid, ccid,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_cos_sql('e.embedding', 'cen_vec')} DESC,
+                            ccid) AS arn
+        FROM embeddings e CROSS JOIN coarse
+    ),
+    cells AS (SELECT vid, ccid FROM assign WHERE arn = 1),
+    qcells AS (SELECT vid AS query_id, ccid
+               FROM assign WHERE arn <= 2 AND vid < 10),
+    lut AS (
+        SELECT q.vec_id AS query_id, q.sub, c.cid,
+               {_dot_sql('q.xs', 'c.cs')} AS pd
+        FROM sub q JOIN cen c USING (sub)
+        WHERE q.vec_id < 10
+    ),
+    scored AS (
+        SELECT qc.query_id, k.vid AS cand_id,
+               MAX(CASE WHEN k.sub = 0 THEN pd END)
+             + MAX(CASE WHEN k.sub = 1 THEN pd END)
+             + MAX(CASE WHEN k.sub = 2 THEN pd END)
+             + MAX(CASE WHEN k.sub = 3 THEN pd END) AS adc
+        FROM codes k
+        JOIN cells c ON k.vid = c.vid
+        JOIN qcells qc ON qc.ccid = c.ccid
+        JOIN lut l ON k.sub = l.sub AND k.code = l.cid
+                  AND l.query_id = qc.query_id
+        WHERE k.vid <> qc.query_id
+        GROUP BY qc.query_id, k.vid
+    )
+    SELECT query_id, cand_id, rnk, adc FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc DESC, cand_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    """
+
+
+@query("q_ann_ivfpq", oracle=_ivfpq_oracle())
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the IVF × PQ composition (Jégou et al. 2011 §IV, the
+    production ANN at corpus scale): a 16-cell coarse quantizer
+    restricts each query to its nprobe=2 nearest cells, and only those
+    cells' PQ codes are ADC-scored — per query the scan and the rank
+    touch N·nprobe/K candidates, never the code table (flat ADC's
+    scale hole, closed). Deterministic lowest-id quantizers keep the
+    whole composition oracle-expressible; candidates live in exactly
+    one cell so no pair scores twice; two-level top-k bounds every
+    rank partition."""
+    return similarity.ivfpq_topk(
+        _t(spark, sf_dir, "embeddings"), k=5, nprobe=2
+    )
+
+
+def _ivfpq_warehouse(spark: SparkSession, sf_dir: str):
+    """Shared IVFADC index warehouse: built ONCE per source version
+    (the band/IVF/PQ-index marker discipline), then opened read-only."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators import ann_index
+    from ..pipeline import Warehouse
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:ivfpq1".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_ivfpq_{tag}")
+    _built_once(
+        root, "index/ivfpq_codes/_CURRENT",
+        lambda: ann_index.ivfpq_build(
+            Warehouse(spark, root), emb, run_id=1, m=4, ksub=16,
+            n_centroids=16,
+        ),
+    )
+    return Warehouse(spark, root)
+
+
+@query("q_ann_ivfpq_index", oracle=_ivfpq_oracle())
+def q_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED IVFADC probe (operators/ann_index ivfpq_*): coarse
+    quantizer + PQ codebook + a cell-carrying code table PARTITIONED BY
+    cid live in three warehouse tables under one atomic commit; the
+    query set searches READ-ONLY and its cid join reaches the code scan
+    as dynamic partition pruning (plan-pinned), so a probe reads ONLY
+    its nprobe cells' files. Deliberately the SAME oracle as
+    q_ann_ivfpq: the stored-index path must return bit-identical
+    neighbors while re-encoding and re-assigning nothing — the daily
+    cost at 100 TB is O(batch) admission + O(probed cells) search over
+    codes ~64× smaller than the fp32 vectors."""
+    from ..operators import ann_index
+
+    wh = _ivfpq_warehouse(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_index.ivfpq_probe(wh, emb.where("vec_id < 10"), k=5, nprobe=2)
+
+
 def _lsh_ann_oracle() -> str:
     bucket = " + ".join(
         f"(CASE WHEN embedding[{d + 1}] >= 0 THEN {1 << d} ELSE 0 END)" for d in range(8)

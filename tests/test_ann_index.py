@@ -202,6 +202,62 @@ def test_int8_quantization_preserves_ann_recall(spark):
     assert len(want & got) / len(want) >= 0.9
 
 
+def test_pq_trained_codebook_beats_degenerate_floor_on_recall(spark):
+    """The RECALL side of pq_codebooks_kmeans (distortion was already
+    pinned): when the lowest-id prefix is unrepresentative — here ids
+    0-7 are one tight blob, so the deterministic floor codebook has 8
+    near-identical codewords per subspace and ADC can barely
+    discriminate — a Lloyd-trained codebook over the full corpus must
+    recover a decisively higher recall@5 against brute-force cosine
+    ground truth. Deterministic end to end (seeded fixture, seeded
+    k-means|| init).
+
+    Honest scope note: trained ≥ floor is NOT unconditional — on the
+    naturally clustered sf0.001 embeddings with ksub=16, Lloyd centers
+    sit at cluster means and collapse cluster-mates to identical codes,
+    measuring BELOW the lowest-id floor (0.08 vs 0.20 recall@5) because
+    spread data-point codewords preserve more within-cluster rank
+    discrimination. The production lever the codebook buys is
+    robustness to a bad deterministic prefix, which is what this pins."""
+    import random
+
+    rng = random.Random(12)
+    rows = []
+    for i in range(8):  # the degenerate floor codebook: one blob
+        rows.append(
+            (i, [10.0] + [rng.uniform(-0.05, 0.05) for _ in range(7)])
+        )
+    for i in range(8, 200):  # 8 well-separated direction families
+        fam = i % 8
+        v = [rng.uniform(-0.3, 0.3) for _ in range(8)]
+        v[fam] += 6.0 * (1 if fam % 2 == 0 else -1)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    truth = {}
+    for r in similarity.brute_force_topk(
+        emb, k=5, query_pred="vec_id >= 180"
+    ).collect():
+        truth.setdefault(r.query_id, set()).add(r.cand_id)
+
+    def recall(codebooks):
+        got = {}
+        for r in similarity.pq_adc_topk(
+            emb, k=5, m=2, ksub=8, query_pred="vec_id >= 180",
+            codebooks=codebooks,
+        ).collect():
+            got.setdefault(r.query_id, set()).add(r.cand_id)
+        return sum(
+            len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
+        ) / len(truth)
+
+    floor = recall(None)
+    trained = recall(
+        similarity.pq_codebooks_kmeans(emb, m=2, ksub=8, seed=42, max_iter=10)
+    )
+    assert trained >= floor + 0.05, (floor, trained)
+
+
 def test_ingest_same_batch_duplicates_collapse(spark, wh):
     """A vid doubled WITHIN one batch must land as one assignment row —
     otherwise the duplicate scores itself in every later probe (same
@@ -479,6 +535,117 @@ def test_pq_ingest_appends_codes_without_recoding_old_rows(spark, wh):
     replay = ann_index.pq_ingest(wh, _emb(spark, range(38, 50)), run_id=3)
     assert replay.count() == 0
     assert wh.read("index", "pq_codes").count() == 100
+
+
+def test_ivfpq_recall_monotone_in_nprobe_and_exact_at_full_probe(spark):
+    """The IVFADC recall/cost dial (the q_ann_ivf_nprobe discipline),
+    measured against FLAT ADC as ground truth — the composition must
+    approximate its own un-pruned form, not exact cosine: recall@k is
+    monotone non-decreasing in nprobe, and at nprobe = K (every cell
+    probed) the result is BIT-IDENTICAL to flat pq_adc_topk given the
+    same codebook — the pruning is the only difference."""
+    emb = _emb(spark, range(80))
+    flat = similarity.pq_adc_topk(emb, k=3, m=2, ksub=8)
+    truth = {}
+    for r in flat.collect():
+        truth.setdefault(r.query_id, set()).add(r.cand_id)
+
+    def recall(nprobe):
+        got = {}
+        for r in similarity.ivfpq_topk(
+            emb, k=3, m=2, ksub=8, n_centroids=8, nprobe=nprobe
+        ).collect():
+            got.setdefault(r.query_id, set()).add(r.cand_id)
+        return sum(
+            len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
+        ) / len(truth)
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 <= r2 <= r4 <= 1.0
+    assert r2 > 0.4  # probing 2/8 cells finds a real fraction
+    full = {
+        tuple(r)
+        for r in similarity.ivfpq_topk(
+            emb, k=3, m=2, ksub=8, n_centroids=8, nprobe=8
+        ).collect()
+    }
+    assert full == {tuple(r) for r in flat.collect()}
+
+
+def test_ivfpq_probe_matches_session_operator(spark, wh):
+    """Stored-index IVFADC probe == similarity.ivfpq_topk bit for bit
+    (same deterministic quantizers), for nprobe 1 and 2."""
+    emb = _emb(spark, range(60))
+    ann_index.ivfpq_build(wh, emb, run_id=1, m=2, ksub=8, n_centroids=8)
+    for nprobe in (1, 2):
+        got = {
+            tuple(r)
+            for r in ann_index.ivfpq_probe(
+                wh, emb.where("vec_id < 10"), k=3, nprobe=nprobe
+            ).collect()
+        }
+        want = {
+            tuple(r)
+            for r in similarity.ivfpq_topk(
+                emb, k=3, m=2, ksub=8, n_centroids=8, nprobe=nprobe,
+                query_pred="vec_id < 10",
+            ).collect()
+        }
+        assert got == want and got
+
+
+def test_ivfpq_probe_plan_prunes_code_partitions(spark, wh):
+    """The probe's cid join must reach the cid-partitioned code table
+    as dynamic partition pruning — a probe reads ONLY its nprobe
+    cells' files (the flat-ADC scale fix this index exists for) — and
+    the big side stays integer code rows: no re-encode (the encode's
+    min-struct argmin never appears), no float vectors, no Python."""
+    emb = _emb(spark, range(40))
+    ann_index.ivfpq_build(wh, emb, run_id=1, m=2, ksub=8, n_centroids=8)
+    out = ann_index.ivfpq_probe(wh, emb.where("vec_id < 5"), k=3, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan
+    assert "ReadSchema: struct<vid:bigint,sub:int,code:int" in plan
+    for bad in ("Python", "mapInPandas", "KMeans"):
+        assert bad not in plan
+    # rank windows are the two-level form: salted local, bounded merge
+    assert "_pid" in plan
+    assert out.count() > 0
+
+
+def test_ivfpq_build_is_atomic_and_ingest_idempotent(spark, wh):
+    """All THREE tables commit under one run (an IVFADC index can never
+    hold codes without both quantizers); batch admission appends only
+    genuinely new vids, replays append nothing, and old code rows stay
+    byte-identical (frozen-quantizer contract)."""
+    ann_index.ivfpq_build(wh, _emb(spark, range(30)), run_id=7, m=2, ksub=8,
+                          n_centroids=8)
+    m = wh._manifest(7)
+    tables = {t.split("/")[-1] for t in m["tables"]}
+    assert {"ivf_centroids", "pq_codebook", "ivfpq_codes"} <= tables
+
+    before = {(r.vid, r.sub): (r.code, r.cid)
+              for r in wh.read("index", "ivfpq_codes").collect()}
+    out = ann_index.ivfpq_ingest(wh, _emb(spark, range(28, 40)), run_id=8)
+    assert {r.vid for r in out.collect()} == set(range(30, 40))
+    after = {(r.vid, r.sub): (r.code, r.cid)
+             for r in wh.read("index", "ivfpq_codes").collect()}
+    assert all(after[key] == val for key, val in before.items())
+    assert len(after) == 40 * 2
+    replay = ann_index.ivfpq_ingest(wh, _emb(spark, range(28, 40)), run_id=9)
+    assert replay.count() == 0
+    assert wh.read("index", "ivfpq_codes").count() == 80
+    # admitted vectors are probe-visible with cells consistent with the
+    # stored quantizer: a fresh assign of the batch agrees
+    cen = wh.read("index", "ivf_centroids")
+    fresh = {
+        (r.vid, r.cid)
+        for r in ann_index._assign(
+            ann_index._vrows(_emb(spark, range(30, 40)), "vec_id", "embedding"),
+            cen,
+        ).select("vid", "cid").collect()
+    }
+    assert {(vid, after[(vid, 0)][1]) for vid in range(30, 40)} == fresh
 
 
 def test_pq_probe_is_readonly_and_floatfree_on_big_side(spark, wh):
