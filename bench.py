@@ -262,11 +262,23 @@ def main() -> None:
     bracket_drift = round(
         max(max(b) / min(b) - 1.0 for b in canary_brackets), 4
     )
+    # Canary plateau (round-12, verdict task 4): the MEDIAN of all
+    # post-warmup canary samples — the boot's ambient speed on
+    # identical CPU-only work. Totals divided by it ("normalized_total"
+    # below) are comparable ACROSS rounds/boots in a way raw seconds
+    # are not: r10 vs r11 raw totals moved 165→185s while the canary
+    # plateau moved 2.0→2.9s on the same code — i.e. the delta was
+    # weather. Units: catalog-seconds per canary-second (lower =
+    # faster engine relative to the host's measured speed that day).
+    plateau = round(
+        statistics.median(c for b in canary_brackets for c in b), 4
+    )
     canary = {
         # temporal (pre, post) canary pair per kept sweep (+ one pair
         # bracketing the resample pass, if it ran)
         "sweep_brackets": canary_brackets,
         "retries": n_retried,
+        "plateau": plateau,
         # the FLAG: worst within-bracket spread — a stall spike at a
         # sweep boundary on identical CPU-only work
         "drift": bracket_drift,
@@ -301,6 +313,7 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(
             {
+                "normalized_total": round(sum(medians.values()) / plateau, 3),
                 "queries": medians,
                 "spread": spread,
                 "families": families,

@@ -212,12 +212,16 @@ def chi2_discriminative_terms(
             (F.col("n_docs").cast("double") * diff * diff / denom).alias("chi2"),
         )
     )
-    w = Window.partitionBy("label").orderBy(F.desc("chi2"), F.asc("term"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .drop("rn")
-    )
+    # two-level top-k: the candidate set per label is the (min_df-
+    # filtered) VOCABULARY — content-derived and corpus-sized at scale,
+    # exactly the single-reducer window class the similarity paths shed
+    # in round 12
+    from .similarity import topk_per_query
+
+    return topk_per_query(
+        scored, k, [F.desc("chi2"), F.asc("term")],
+        part_col="label", rank_name="_rn",
+    ).drop("_rn")
 
 
 def bigram_lm_scores(

@@ -279,9 +279,12 @@ def query_many(
     score_micro, bm25). The (query_id, term) set broadcasts (bounded
     by the query batch), postings are read once pruned to the UNION
     of all terms, and scoring shuffles once on (query_id, doc_id).
-    With ``k``, top-k per query rides a window over the SAME
-    partitioning key prefix — never a global sort. Per-query scores
-    are bit-identical to :func:`query` (pinned in
+    With ``k``, top-k per query is the two-level similarity.
+    topk_per_query (round 12): local top-k salted by partition id,
+    then a k·P-row per-query merge — never a global sort, and never a
+    single reducer sorting one query's whole candidate set (a
+    stopword-ish term matches a corpus-sized posting slice). Per-query
+    scores are bit-identical to :func:`query` (pinned in
     tests/test_text_index.py)."""
     spark = wh.spark
     pairs = [
@@ -307,14 +310,15 @@ def query_many(
         )
     )
     if k is not None:
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("score_micro").desc(), F.col("doc_id")
-        )
-        scored = (
-            scored.withColumn("_rk", F.row_number().over(w))
-            .where(F.col("_rk") <= k)
-            .drop("_rk")
-        )
+        # two-level top-k (round 12): a stopword-ish query term matches
+        # a corpus-sized posting slice, and a plain per-query window
+        # would sort all of it on one reducer
+        from .similarity import topk_per_query
+
+        scored = topk_per_query(
+            scored, k, [F.col("score_micro").desc(), F.col("doc_id")],
+            rank_name="_rk",
+        ).drop("_rk")
     return scored
 
 
