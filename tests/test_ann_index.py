@@ -572,6 +572,64 @@ def test_ivfpq_recall_monotone_in_nprobe_and_exact_at_full_probe(spark):
     assert full == {tuple(r) for r in flat.collect()}
 
 
+def test_residual_encoding_beats_raw_under_trained_quantizer(spark):
+    """The Jégou §IV claim, pinned in its OWN premise: residual PQ
+    (codes quantize x − c(x)) reconstructs with lower MSE than
+    raw-vector PQ — when the coarse quantizer is TRAINED, so residuals
+    are genuinely small. Under the deterministic lowest-id quantizer
+    the premise fails and residual measures WORSE (0.35 vs 0.26 raw on
+    this corpus — residuals of arbitrary data-point centroids aren't
+    compact; recorded in SCALE.md r12), which is why
+    q_ann_ivfpq_residual's docstring positions the deterministic
+    variant as the decomposition's oracle floor, not a recall claim."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    m, ksub, K = 4, 16, 16
+
+    def recon_mse(codes, book, rows_key):
+        joined = rows_key.join(codes, ["vid", "sub"]).join(
+            book.withColumnRenamed("cid", "code"), ["sub", "code"]
+        )
+        err = F.aggregate(
+            F.zip_with("xs", "cs", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0), lambda a, x: a + x,
+        )
+        return joined.agg(F.avg(err)).first()[0]
+
+    rows = similarity.pq_subrows(emb, m).withColumn(
+        "xs", F.transform("xs", lambda x: x.cast("double"))
+    )
+    book_raw = similarity.pq_codebooks_kmeans(emb, m, ksub, seed=42,
+                                              max_iter=5)
+    raw_mse = recon_mse(similarity.pq_encode(rows, book_raw), book_raw, rows)
+
+    cen = similarity.kmeans_centroids(emb, n_centroids=K, seed=7, max_iter=5)
+    base = emb.select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("vec"),
+        similarity.norm(F.col("embedding")).alias("vnorm"),
+    )
+    cells = similarity.argmax_cell(base, cen)
+    rvec = F.zip_with(
+        "vec", "cen_vec", lambda x, c: x.cast("double") - c.cast("double")
+    )
+    res = cells.join(F.broadcast(cen), "cid").select(
+        "vid", rvec.alias("rvec")
+    )
+    dsub = (F.size("rvec") / m).cast("int")
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.slice(F.col("rvec"), s * dsub + 1, dsub),
+    )
+    rrows = res.select("vid", F.posexplode(subs).alias("sub", "xs"))
+    book_res = similarity.pq_codebooks_kmeans(
+        res.select(F.col("vid").alias("vec_id"),
+                   F.col("rvec").alias("embedding")),
+        m, ksub, seed=42, max_iter=5,
+    )
+    res_mse = recon_mse(similarity.pq_encode(rrows, book_res), book_res,
+                        rrows)
+    assert res_mse < raw_mse, (res_mse, raw_mse)
+
+
 def test_ivfpq_probe_matches_session_operator(spark, wh):
     """Stored-index IVFADC probe == similarity.ivfpq_topk bit for bit
     (same deterministic quantizers), for nprobe 1 and 2."""

@@ -63,7 +63,9 @@ def main() -> int:
     sys.stderr.write(proc.stderr[-2000:])
     results = {}
     for line in out.splitlines():
-        m = re.match(r"(PASS|FAIL|SKIP)[^ ]* (q_[a-z0-9_]+):", line)
+        m = re.match(
+            r"(PASS|FAIL|SKIP)(?:\s*\(no oracle\))? (q_[a-z0-9_]+):", line
+        )
         if m:
             results[m.group(2)] = m.group(1)
     record = {
