@@ -369,6 +369,17 @@ def pq_ingest(
 # ---------------------------------------------------------------------------
 
 T_IVFPQ_CODES = "ivfpq_codes"
+T_IVFPQ_META = "ivfpq_meta"
+
+
+def _ivfpq_is_residual(wh) -> bool:
+    """Stored encoding mode — a 1-row metadata read (bounded-collect
+    class). Indexes built before the meta table existed are raw-code
+    (the only mode that existed then)."""
+    meta = wh.read(LAYER, T_IVFPQ_META)
+    if meta is None:
+        return False
+    return bool(meta.first()["residual"])
 
 
 def ivfpq_build(
@@ -382,15 +393,31 @@ def ivfpq_build(
     codebooks: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> None:
     """Initial (or re-)build: coarse quantizer + PQ codebook + the
-    cell-carrying code table, all under ONE atomic commit (an IVFADC
-    index can never hold codes without both quantizers that produced
-    them). The one corpus-sized job in the lifecycle: O(N·K) coarse
-    assignment (map-side argmax_cell aggregate) + O(N·m·ksub) encode;
-    the stored codes are m small ints + a cell id per vector — the
-    floats are never stored on the big side."""
-    from .similarity import pq_default_codebook, pq_encode, pq_subrows
+    cell-carrying code table + a 1-row meta record of the encoding
+    mode, all under ONE atomic commit (an IVFADC index can never hold
+    codes without both quantizers that produced them, nor codes whose
+    encoding mode readers can't know). The one corpus-sized job in the
+    lifecycle: O(N·K) coarse assignment (map-side argmax_cell
+    aggregate) + O(N·m·ksub) encode; the stored codes are m small ints
+    + a cell id per vector — the floats are never stored on the big
+    side.
+
+    ``residual=True`` stores Jégou §IV residual codes (quantize
+    x − c(x); probes score ⟨q, c⟩ + Σ LUT partials): tighter
+    quantization under a TRAINED coarse quantizer (measured, SCALE.md
+    r12), at the price that codes are COUPLED to the coarse quantizer
+    — a quantizer swap demands a full re-build, which this function
+    is; there is deliberately no rebuild-in-place. The default
+    residual codebook is the residuals of the ksub lowest ids ≥
+    ``n_centroids`` (ids below it are the centroids themselves under
+    the lowest-id quantizer — their residuals are identically zero)."""
+    from .similarity import (
+        pq_default_codebook, pq_encode, pq_subrows, residual_default_book,
+        residual_subrows,
+    )
 
     if centroids is None:
         centroids = emb.where(F.col(id_col) < n_centroids).select(
@@ -404,31 +431,42 @@ def ivfpq_build(
             F.col("cen_vec").cast("array<double>"),
             "cen_norm",
         )
-    if codebooks is None:
+    wh.begin_run(run_id)
+    wh.overwrite(LAYER, T_CENTROIDS, centroids)
+    # everything downstream derives from the STORED quantizers
+    cen = wh.read(LAYER, T_CENTROIDS)
+    cells = argmax_cell(_vrows(emb, id_col, vec_col), cen)
+    if residual:
+        rrows = residual_subrows(cells, cen, m)
+        if codebooks is None:
+            codebooks = residual_default_book(rrows, n_centroids, ksub)
+    elif codebooks is None:
         codebooks = pq_default_codebook(emb, m, ksub, id_col, vec_col)
     codebooks = codebooks.select(
         F.col("sub").cast("int"),
         F.col("cid").cast("int"),
         F.col("cs").cast("array<double>"),
     )
-    wh.begin_run(run_id)
-    wh.overwrite(LAYER, T_CENTROIDS, centroids)
     wh.overwrite(LAYER, T_PQ_CODEBOOK, codebooks)
-    # codes derive from the STORED quantizers
-    cen = wh.read(LAYER, T_CENTROIDS)
     book = wh.read(LAYER, T_PQ_CODEBOOK)
-    cells = argmax_cell(_vrows(emb, id_col, vec_col), cen).select(
-        "vid", F.col("cid").alias("cell")
+    enc_rows = (
+        rrows.select("vid", "sub", "xs")
+        if residual
+        else pq_subrows(emb, m, id_col, vec_col)
     )
     codes = (
-        pq_encode(pq_subrows(emb, m, id_col, vec_col), book)
-        .join(cells, "vid")
+        pq_encode(enc_rows, book)
+        .join(cells.select("vid", F.col("cid").alias("cell")), "vid")
         .select("vid", "sub", "code", F.col("cell").alias("cid"))
     )
     # partitioned by coarse cell: a probe's cid-key join prunes the
     # scan to its nprobe cells' files — the IVF access pattern as disk
     # layout, exactly the ivf_assign discipline
     wh.overwrite(LAYER, T_IVFPQ_CODES, codes, partition_by=["cid"])
+    wh.overwrite(
+        LAYER, T_IVFPQ_META,
+        wh.spark.createDataFrame([(residual,)], "residual boolean"),
+    )
     wh.commit_run(run_id)
 
 
@@ -444,10 +482,12 @@ def ivfpq_ingest(
     stored (frozen) quantizers and append — O(batch·(K + m·ksub)) +
     the replay-guard scan, independent of corpus size. IDEMPOTENT on
     replay (the ann/dedup ingest contract): vids already coded are
-    skipped, duplicate vids within the batch collapse. Returns the
-    (vid, sub, code, cid) rows of the genuinely new vectors;
-    ``commit=False`` computes read-only."""
-    from .similarity import pq_encode, pq_subrows
+    skipped, duplicate vids within the batch collapse. Encoding mode
+    (raw vs residual) follows the STORED meta record, so a batch
+    admitted into a residual index is residual-encoded against the
+    same frozen quantizers. Returns the (vid, sub, code, cid) rows of
+    the genuinely new vectors; ``commit=False`` computes read-only."""
+    from .similarity import pq_encode, pq_subrows, residual_subrows
 
     cen = _require(wh.read(LAYER, T_CENTROIDS), T_CENTROIDS)
     book = _require(wh.read(LAYER, T_PQ_CODEBOOK), T_PQ_CODEBOOK)
@@ -463,12 +503,15 @@ def ivfpq_ingest(
         "left_anti",
     )
     m = _pq_m(book)
-    cells = argmax_cell(_vrows(new_vecs, id_col, vec_col), cen).select(
-        "vid", F.col("cid").alias("cell")
+    cells = argmax_cell(_vrows(new_vecs, id_col, vec_col), cen)
+    enc_rows = (
+        residual_subrows(cells, cen, m).select("vid", "sub", "xs")
+        if _ivfpq_is_residual(wh)
+        else pq_subrows(new_vecs, m, id_col, vec_col)
     )
     coded = (
-        pq_encode(pq_subrows(new_vecs, m, id_col, vec_col), book)
-        .join(cells, "vid")
+        pq_encode(enc_rows, book)
+        .join(cells.select("vid", F.col("cid").alias("cell")), "vid")
         .select("vid", "sub", "code", F.col("cell").alias("cid"))
     )
     if not commit:
@@ -497,14 +540,28 @@ def ivfpq_probe(
     partition pruning over the cid-partitioned code table — plan-pinned
     in test_ann_index.py) and two-level top-k over cell-local
     candidates. Results identical to similarity.ivfpq_topk given the
-    same quantizers. This is the plan flat pq_probe cannot have: no
-    per-query corpus-sized scan, no corpus-sized rank partition."""
-    from .similarity import pq_adc_rank_cells, pq_lut, pq_subrows
+    same quantizers (residual indexes: to ivfpq_residual_topk — the
+    stored meta record selects the scoring decomposition, so callers
+    never pass an encoding flag that could silently mismatch the
+    codes). This is the plan flat pq_probe cannot have: no per-query
+    corpus-sized scan, no corpus-sized rank partition."""
+    from .similarity import (
+        pq_adc_rank_cells, pq_lut, pq_subrows, residual_query_cells,
+    )
 
     cen = _require(wh.read(LAYER, T_CENTROIDS), T_CENTROIDS)
     book = _require(wh.read(LAYER, T_PQ_CODEBOOK), T_PQ_CODEBOOK)
     codes = _require(wh.read(LAYER, T_IVFPQ_CODES), T_IVFPQ_CODES)
     m = _pq_m(book)
+    if _ivfpq_is_residual(wh):
+        q_cells = residual_query_cells(
+            queries, cen, nprobe, id_col, vec_col
+        ).withColumnRenamed("cell", "cid")
+        lut = pq_lut(pq_subrows(queries, m, id_col, vec_col), book)
+        cand = codes.join(F.broadcast(q_cells), "cid").select(
+            "query_id", "vid", "sub", "code", "qc"
+        )
+        return pq_adc_rank_cells(cand, lut, m, k, qc_col="qc")
     w_cells = Window.partitionBy("query_id").orderBy(
         F.col("qa_cos").desc(), F.col("cid")
     )

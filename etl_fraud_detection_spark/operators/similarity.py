@@ -847,19 +847,25 @@ def pq_lut(q_rows: DataFrame, cen: DataFrame) -> DataFrame:
     )
 
 
-def _adc_pivot_topk(parts: DataFrame, m: int, k: int) -> DataFrame:
+def _adc_pivot_topk(
+    parts: DataFrame, m: int, k: int, base_col: str | None = None
+) -> DataFrame:
     """(query_id, vid, s, pd) partials → per-query ADC top-k: the m
     partials pivot into FIXED columns summed left-to-right (engine-
     identical double order; a relational SUM over the m rows would be
     order-nondeterministic), then two-level :func:`topk_per_query` —
-    no reducer ever sorts a corpus-sized candidate partition."""
-    pivoted = parts.groupBy("query_id", "vid").agg(
-        *[
-            F.max(F.when(F.col("s") == s, F.col("pd"))).alias(f"_p{s}")
-            for s in range(m)
-        ]
-    )
-    adc = None
+    no reducer ever sorts a corpus-sized candidate partition.
+    ``base_col`` optionally names a per-(query, cand)-constant column
+    in ``parts`` added FIRST (residual ADC's ⟨q, c(x)⟩ term — the
+    oracle writes MAX(qc) + partials in the same order)."""
+    aggs = [
+        F.max(F.when(F.col("s") == s, F.col("pd"))).alias(f"_p{s}")
+        for s in range(m)
+    ]
+    if base_col is not None:
+        aggs = [F.max(base_col).alias("_base")] + aggs
+    pivoted = parts.groupBy("query_id", "vid").agg(*aggs)
+    adc = F.col("_base") if base_col is not None else None
     for s in range(m):
         term = F.col(f"_p{s}")
         adc = term if adc is None else (adc + term)
@@ -891,18 +897,27 @@ def pq_adc_rank(
 
 
 def pq_adc_rank_cells(
-    cand_codes: DataFrame, lut: DataFrame, m: int, k: int
+    cand_codes: DataFrame,
+    lut: DataFrame,
+    m: int,
+    k: int,
+    qc_col: str | None = None,
 ) -> DataFrame:
     """Cell-pruned ADC: ``cand_codes`` is (query_id, vid, sub, code) —
     code rows already restricted to each query's probed coarse cells —
     so the LUT join and the rank only ever see cell-local candidates.
     The LUT join adds query_id to the equi-key (a candidate row exists
     PER query here, unlike the flat path where one code row fans out
-    to every query)."""
+    to every query). ``qc_col`` optionally names a carried
+    per-(query, cell) column added first into the score (residual
+    ADC's ⟨q, c(x)⟩ term)."""
     lut2 = lut.select(
         F.col("query_id").alias("_lq"), F.col("sub").alias("_ls"),
         F.col("cid").alias("_lc"), "pd",
     )
+    keep = ["query_id", "vid", F.col("sub").alias("s"), "pd"]
+    if qc_col is not None:
+        keep.append(qc_col)
     parts = (
         cand_codes.join(
             F.broadcast(lut2),
@@ -911,9 +926,9 @@ def pq_adc_rank_cells(
             & (F.col("code") == F.col("_lc")),
         )
         .where(F.col("vid") != F.col("query_id"))
-        .select("query_id", "vid", F.col("sub").alias("s"), "pd")
+        .select(*keep)
     )
-    return _adc_pivot_topk(parts, m, k)
+    return _adc_pivot_topk(parts, m, k, base_col=qc_col)
 
 
 def ivfpq_topk(
@@ -1044,6 +1059,25 @@ def ivfpq_residual_topk(
         norm(F.col(vec_col)).alias("vnorm"),
     )
     cells = argmax_cell(base, cen)
+    rrows = residual_subrows(cells, cen, m)
+    book = residual_default_book(rrows, n_centroids, ksub)
+    codes = pq_encode(rrows.select("vid", "sub", "xs"), book).join(
+        cells.select("vid", F.col("cid").alias("cell")), "vid"
+    )
+    queries = emb.where(query_pred)
+    q_cells = residual_query_cells(queries, cen, nprobe, id_col, vec_col)
+    lut = pq_lut(pq_subrows(queries, m, id_col, vec_col), book)
+    cand = codes.join(F.broadcast(q_cells), "cell").select(
+        "query_id", "vid", "sub", "code", "qc"
+    )
+    return pq_adc_rank_cells(cand, lut, m, k, qc_col="qc")
+
+
+def residual_subrows(cells: DataFrame, cen: DataFrame, m: int) -> DataFrame:
+    """(vid, cell, sub, xs): each assigned vector's residual
+    r = x − c(x) (exact IEEE double subtraction per element), sliced
+    into m subvectors. ``cells`` is argmax_cell output
+    (vid, vec, vnorm, cid); ``cen`` broadcasts."""
     rvec = F.zip_with(
         F.col("vec"), F.col("cen_vec"),
         lambda x, c: x.cast("double") - c.cast("double"),
@@ -1056,26 +1090,40 @@ def ivfpq_residual_topk(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda s: F.slice(F.col("rvec"), s * dsub + 1, dsub),
     )
-    rrows = res.select("vid", "cell", F.posexplode(subs).alias("sub", "xs"))
-    # residual codebook = residuals of the ksub lowest NON-CENTROID ids:
-    # ids < n_centroids ARE the coarse centroids under the lowest-id
-    # quantizer, so their residuals are exactly zero — an all-zero
-    # codebook quantizes every residual to 0 and the score degenerates
-    # to cell affinity alone (measured: recall@5 0.14 vs 0.32 raw)
-    book = rrows.where(
+    return res.select("vid", "cell", F.posexplode(subs).alias("sub", "xs"))
+
+
+def residual_default_book(
+    rrows: DataFrame, n_centroids: int, ksub: int
+) -> DataFrame:
+    """Deterministic residual codebook: residuals of the ksub lowest
+    NON-CENTROID ids. Ids < n_centroids ARE the coarse centroids under
+    the lowest-id quantizer, so their residuals are exactly zero — an
+    all-zero codebook quantizes every residual to 0 and the score
+    degenerates to cell affinity alone (measured: recall@5 0.14 vs
+    0.32 raw)."""
+    return rrows.where(
         f"vid >= {n_centroids} and vid < {n_centroids + ksub}"
     ).select(
         (F.col("vid") - n_centroids).alias("cid"), "sub",
         F.col("xs").alias("cs"),
     )
-    codes = pq_encode(rrows.select("vid", "sub", "xs"), book).join(
-        res.select("vid", "cell"), "vid"
-    )
-    queries = emb.where(query_pred)
+
+
+def residual_query_cells(
+    queries: DataFrame,
+    cen: DataFrame,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, cell, qc): each query's nprobe nearest coarse cells
+    (cosine rank, min-cid ties — the ivf_topk discipline) carrying the
+    residual-ADC base term qc = ⟨q, c⟩. Bounded Q·K frame."""
     w_qrank = Window.partitionBy("query_id").orderBy(
         F.col("qa_cos").desc(), F.col("cell")
     )
-    q_cells = (
+    return (
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
             norm(F.col(vec_col)).alias("q_norm"),
@@ -1092,36 +1140,6 @@ def ivfpq_residual_topk(
         .where(F.col("_qrn") <= nprobe)
         .select("query_id", "cell", "qc")
     )
-    lut = pq_lut(pq_subrows(queries, m, id_col, vec_col), book)
-    lut2 = lut.select(
-        F.col("query_id").alias("_lq"), F.col("sub").alias("_ls"),
-        F.col("cid").alias("_lc"), "pd",
-    )
-    cand = codes.join(F.broadcast(q_cells), "cell").where(
-        F.col("vid") != F.col("query_id")
-    )
-    parts = cand.join(
-        F.broadcast(lut2),
-        (F.col("query_id") == F.col("_lq"))
-        & (F.col("sub") == F.col("_ls"))
-        & (F.col("code") == F.col("_lc")),
-    ).select("query_id", "vid", F.col("sub").alias("s"), "pd", "qc")
-    pivoted = parts.groupBy("query_id", "vid").agg(
-        F.max("qc").alias("_qc"),  # constant per (query, cand) — its cell
-        *[
-            F.max(F.when(F.col("s") == s, F.col("pd"))).alias(f"_p{s}")
-            for s in range(m)
-        ],
-    )
-    adc = F.col("_qc")
-    for s in range(m):
-        adc = adc + F.col(f"_p{s}")
-    scored = pivoted.select(
-        "query_id", F.col("vid").alias("cand_id"), adc.alias("adc")
-    )
-    return topk_per_query(
-        scored, k, [F.col("adc").desc(), F.col("cand_id")]
-    ).select("query_id", "cand_id", "rnk", "adc")
 
 
 def pq_codebooks_kmeans(

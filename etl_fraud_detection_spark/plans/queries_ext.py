@@ -971,6 +971,40 @@ def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_ann_ivfpq_residual_index", oracle=_ivfpq_residual_oracle())
+def q_ann_ivfpq_residual_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED residual IVFADC probe: ivfpq_build(residual=True)
+    stores residual codes plus a 1-row meta record of the encoding
+    mode under the same atomic commit, and the probe READS the mode —
+    callers never pass an encoding flag that could silently mismatch
+    the stored codes. Same oracle as q_ann_ivfpq_residual: the stored
+    path must reproduce the session operator bit-for-bit while
+    re-encoding nothing."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators import ann_index
+    from ..pipeline import Warehouse
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:ivfpqres1".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_ivfpqres_{tag}")
+    _built_once(
+        root, "index/ivfpq_codes/_CURRENT",
+        lambda: ann_index.ivfpq_build(
+            Warehouse(spark, root), emb, run_id=1, m=4, ksub=16,
+            n_centroids=16, residual=True,
+        ),
+    )
+    wh = Warehouse(spark, root)
+    return ann_index.ivfpq_probe(wh, emb.where("vec_id < 10"), k=5, nprobe=2)
+
+
 def _ivfpq_warehouse(spark: SparkSession, sf_dir: str):
     """Shared IVFADC index warehouse: built ONCE per source version
     (the band/IVF/PQ-index marker discipline), then opened read-only."""

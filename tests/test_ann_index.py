@@ -652,6 +652,62 @@ def test_ivfpq_probe_matches_session_operator(spark, wh):
         assert got == want and got
 
 
+def test_ivfpq_residual_index_probe_matches_session_operator(spark, wh):
+    """ivfpq_build(residual=True) stores residual codes + the meta
+    record; the probe reads the meta and scores ⟨q,c⟩ + LUT partials —
+    bit-identical to similarity.ivfpq_residual_topk, with no encoding
+    flag passed at probe time (a flag could silently mismatch the
+    stored codes)."""
+    emb = _emb(spark, range(60))
+    ann_index.ivfpq_build(wh, emb, run_id=1, m=2, ksub=8, n_centroids=8,
+                          residual=True)
+    m = wh._manifest(1)
+    assert {"ivf_centroids", "pq_codebook", "ivfpq_codes", "ivfpq_meta"} <= {
+        t.split("/")[-1] for t in m["tables"]
+    }
+    for nprobe in (1, 2):
+        got = {
+            tuple(r)
+            for r in ann_index.ivfpq_probe(
+                wh, emb.where("vec_id < 10"), k=3, nprobe=nprobe
+            ).collect()
+        }
+        want = {
+            tuple(r)
+            for r in similarity.ivfpq_residual_topk(
+                emb, k=3, m=2, ksub=8, n_centroids=8, nprobe=nprobe,
+                query_pred="vec_id < 10",
+            ).collect()
+        }
+        assert got == want and got
+
+
+def test_ivfpq_residual_ingest_encodes_residually(spark, wh):
+    """A batch admitted into a residual index must get the SAME codes a
+    from-scratch residual build over the union corpus would give it
+    (same frozen quantizers — both derive the codebook from ids 8-15
+    of the original corpus), and replay appends nothing."""
+    ann_index.ivfpq_build(wh, _emb(spark, range(40)), run_id=1, m=2,
+                          ksub=8, n_centroids=8, residual=True)
+    out = ann_index.ivfpq_ingest(wh, _emb(spark, range(40, 50)), run_id=2)
+    assert {r.vid for r in out.collect()} == set(range(40, 50))
+    replay = ann_index.ivfpq_ingest(wh, _emb(spark, range(40, 50)), run_id=3)
+    assert replay.count() == 0
+
+    import tempfile
+
+    from etl_fraud_detection_spark.pipeline import Warehouse
+
+    wh2 = Warehouse(spark, tempfile.mkdtemp(prefix="ivfpq_res_ref_"))
+    ann_index.ivfpq_build(wh2, _emb(spark, range(50)), run_id=1, m=2,
+                          ksub=8, n_centroids=8, residual=True)
+    got = {(r.vid, r.sub): (r.code, r.cid)
+           for r in wh.read("index", "ivfpq_codes").collect()}
+    want = {(r.vid, r.sub): (r.code, r.cid)
+            for r in wh2.read("index", "ivfpq_codes").collect()}
+    assert got == want
+
+
 def test_ivfpq_probe_plan_prunes_code_partitions(spark, wh):
     """The probe's cid join must reach the cid-partitioned code table
     as dynamic partition pruning — a probe reads ONLY its nprobe
