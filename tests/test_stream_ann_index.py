@@ -127,3 +127,62 @@ def test_streaming_vector_admission_grows_frozen_pq_index(spark, tmp_path):
         wh, spark.createDataFrame([(99, _vec(22))], SCHEMA), k=len(vids)
     )
     assert 24 in {r.cand_id for r in probe.collect()}
+
+
+def test_streaming_vector_admission_grows_frozen_ivfpq_index(spark, tmp_path):
+    """The IVFADC twin: a vector file-stream admitted batch-by-batch
+    through foreachBatch + ivfpq_ingest against BOTH frozen quantizers
+    (coarse centroids AND PQ codebook byte-stable across the run, meta
+    record intact), redelivered vids not re-coded, and a vector
+    admitted mid-stream is probe-visible through the cell-pruned ADC
+    search afterwards."""
+    wh = Warehouse(spark, str(tmp_path / "ivfpqwh"))
+    seed = spark.createDataFrame([(i, _vec(i)) for i in range(16)], SCHEMA)
+    ann_index.ivfpq_build(wh, seed, run_id=1, m=2, ksub=8, n_centroids=4)
+    cen_before = sorted(
+        map(tuple, wh.read("index", "ivf_centroids").collect())
+    )
+    book_before = sorted(
+        (r.sub, r.cid, tuple(r.cs))
+        for r in wh.read("index", "pq_codebook").collect()
+    )
+
+    # batch 2 redelivers vec 20 (already admitted in batch 0)
+    src = _write_stream_files(
+        spark, tmp_path, [[20, 21], [22, 23], [20, 24]]
+    )
+
+    def admit(batch_df, batch_id):
+        ann_index.ivfpq_ingest(wh, batch_df, run_id=100 + batch_id)
+
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(admit)
+        .option("checkpointLocation", str(tmp_path / "ivfpqckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    codes = wh.read("index", "ivfpq_codes")
+    vids = set(range(16)) | {20, 21, 22, 23, 24}
+    assert {r.vid for r in codes.select("vid").collect()} == vids
+    assert codes.count() == len(vids) * 2  # m=2 rows per vid, no dupes
+    # BOTH quantizers frozen across every streamed batch
+    assert cen_before == sorted(
+        map(tuple, wh.read("index", "ivf_centroids").collect())
+    )
+    assert book_before == sorted(
+        (r.sub, r.cid, tuple(r.cs))
+        for r in wh.read("index", "pq_codebook").collect()
+    )
+    assert not wh.read("index", "ivfpq_meta").first()["residual"]
+    # a vector admitted mid-stream is probe-visible through the
+    # cell-pruned search (probe every cell so recall can't hide it)
+    probe = ann_index.ivfpq_probe(
+        wh, spark.createDataFrame([(99, _vec(22))], SCHEMA),
+        k=len(vids), nprobe=4,
+    )
+    assert 24 in {r.cand_id for r in probe.collect()}
