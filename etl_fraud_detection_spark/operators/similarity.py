@@ -1142,6 +1142,58 @@ def residual_query_cells(
     )
 
 
+def ann_rerank(
+    emb: DataFrame,
+    shortlist: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT cosine re-rank of an ANN shortlist — the standard
+    production pairing (Jégou et al. 2011 §V evaluate exactly this:
+    a quantized index proposes, exact distances on the shortlist
+    dispose). ``shortlist`` is any (query_id, cand_id) frame from an
+    approximate stage (ivfpq/pq/ivf/lsh top-k'); output is the exact
+    cosine top-k of each query's shortlist — (query_id, cand_id, rnk,
+    cos), the brute_force_topk contract, so downstream consumers can't
+    tell re-ranked results from exact ones.
+
+    Guarantee worth stating: recall@k of the re-ranked output equals
+    |true-top-k ∩ shortlist| / k — every true top-k member the
+    shortlist contains WILL surface (no other shortlist member can
+    out-cosine it), so re-ranking dominates the approximate head at
+    equal k (pinned in test_ann_index.py).
+
+    Scale shape: the shortlist is k'·Q rows — broadcast it into the
+    corpus scan (semi-shaped equi-join on the candidate id, so only
+    shortlist vectors' floats are ever read out of the scan), then a
+    broadcast join brings the bounded query vectors, one cosine per
+    shortlist row, two-level top-k. The expensive exact math runs on
+    k'·Q rows, never the corpus — the whole point of the
+    propose/dispose split. The shortlist frame feeds THREE subplans
+    (candidate join, query-id set, broadcast): if producing it is
+    expensive (it usually is — it's the ANN search), materialize it
+    first (``.localCheckpoint()`` — k'·Q rows, bounded), as
+    q_ann_ivfpq_rerank does."""
+    cand_vecs = emb.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    ).join(F.broadcast(shortlist.select("query_id", "cand_id")), "cand_id")
+    q_ids = shortlist.select("query_id").distinct()
+    q_vecs = emb.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    ).join(F.broadcast(q_ids), "query_id")
+    scored = cand_vecs.join(F.broadcast(q_vecs), "query_id").select(
+        "query_id", "cand_id",
+        (dot(F.col("q_vec"), F.col("c_vec"))
+         / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+    )
+    return topk_per_query(
+        scored, k, [F.col("cos").desc(), F.col("cand_id")]
+    ).select("query_id", "cand_id", "rnk", "cos")
+
+
 def pq_codebooks_kmeans(
     emb: DataFrame,
     m: int = 4,

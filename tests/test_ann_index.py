@@ -572,6 +572,68 @@ def test_ivfpq_recall_monotone_in_nprobe_and_exact_at_full_probe(spark):
     assert full == {tuple(r) for r in flat.collect()}
 
 
+def test_ivfpq_trained_quantizers_match_flat_at_full_probe(spark):
+    """Trained-quantizer IVFADC (q_ann_ivfpq_kmeans's configuration)
+    keeps the composition law: at nprobe = K (every cell probed) the
+    result is BIT-IDENTICAL to flat ADC over the SAME trained codebook
+    — the pruning is still the only difference when both quantizers
+    are k-means (the q_ann_ivfpq discipline, trained edition)."""
+    emb = _emb(spark, range(80))
+    cen = similarity.kmeans_centroids(emb, n_centroids=8, seed=7, max_iter=3)
+    books = similarity.pq_codebooks_kmeans(emb, m=2, ksub=8, seed=42,
+                                           max_iter=3)
+    full = {
+        tuple(r)
+        for r in similarity.ivfpq_topk(
+            emb, k=3, m=2, ksub=8, nprobe=8, centroids=cen, codebooks=books
+        ).collect()
+    }
+    flat = {
+        tuple(r)
+        for r in similarity.pq_adc_topk(
+            emb, k=3, m=2, ksub=8, codebooks=books
+        ).collect()
+    }
+    assert full == flat and full
+
+
+def test_rerank_dominates_approximate_head_and_is_exact_on_shortlist(spark):
+    """ann_rerank's guarantee, pinned on real-ish data: (a) recall@5 of
+    the re-ranked IVFADC top-20 equals |true-top-5 ∩ shortlist| / 5
+    PER QUERY (every true member present must surface — no shortlist
+    member can out-cosine it), and therefore (b) it is ≥ the raw
+    IVFADC head's recall@5 overall."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    truth = {}
+    for r in similarity.brute_force_topk(emb, k=5).collect():
+        truth.setdefault(r.query_id, set()).add(r.cand_id)
+    short_df = similarity.ivfpq_topk(emb, k=20, nprobe=2).select(
+        "query_id", "cand_id"
+    )
+    short = {}
+    for r in short_df.collect():
+        short.setdefault(r.query_id, set()).add(r.cand_id)
+    rer = {}
+    for r in similarity.ann_rerank(emb, short_df, k=5).collect():
+        rer.setdefault(r.query_id, set()).add(r.cand_id)
+    head = {}
+    for r in similarity.ivfpq_topk(emb, k=5, nprobe=2).collect():
+        head.setdefault(r.query_id, set()).add(r.cand_id)
+
+    for q, t in truth.items():
+        # exactness per query: the re-ranked set contains EVERY true
+        # top-5 member the shortlist proposed
+        assert t & short.get(q, set()) <= rer.get(q, set()), q
+
+    def recall(got):
+        return sum(
+            len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
+        ) / len(truth)
+
+    assert recall(rer) >= recall(head)
+    assert recall(rer) > 0  # non-degenerate fixture
+
+
 def test_residual_encoding_beats_raw_under_trained_quantizer(spark):
     """The Jégou §IV claim, pinned in its OWN premise: residual PQ
     (codes quantize x − c(x)) reconstructs with lower MSE than
