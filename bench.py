@@ -262,9 +262,10 @@ def main() -> None:
     bracket_drift = round(
         max(max(b) / min(b) - 1.0 for b in canary_brackets), 4
     )
-    # Canary plateau (round-12, verdict task 4): the MEDIAN of all
-    # post-warmup canary samples — the boot's ambient speed on
-    # identical CPU-only work. Totals divided by it ("normalized_total"
+    # Canary plateau (round-12, verdict task 4): the MEDIAN of ALL
+    # kept-sweep bracket canary samples (pre- and post-sweep pairs,
+    # plus the resample bracket if it ran) — the boot's ambient speed
+    # on identical CPU-only work. Totals divided by it ("normalized_total"
     # below) are comparable ACROSS rounds/boots in a way raw seconds
     # are not: r10 vs r11 raw totals moved 165→185s while the canary
     # plateau moved 2.0→2.9s on the same code — i.e. the delta was
@@ -313,7 +314,13 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(
             {
-                "normalized_total": round(sum(medians.values()) / plateau, 3),
+                # plateau guard: a rounded-to-0 canary median (sub-0.1ms
+                # samples, or a unit change) must degrade to null, not
+                # ZeroDivisionError the whole record
+                "normalized_total": (
+                    round(sum(medians.values()) / plateau, 3)
+                    if plateau > 0 else None
+                ),
                 "queries": medians,
                 "spread": spread,
                 "families": families,

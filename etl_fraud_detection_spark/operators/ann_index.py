@@ -296,6 +296,8 @@ def pq_build(
 
     if codebooks is None:
         codebooks = pq_default_codebook(emb, m, ksub, id_col, vec_col)
+    else:
+        _check_book_m(codebooks, m)
     codebooks = codebooks.select(
         F.col("sub").cast("int"),
         F.col("cid").cast("int"),
@@ -314,6 +316,21 @@ def _pq_m(cen: DataFrame) -> int:
     """Subspace count from the stored codebook — a 1-row metadata
     aggregate (the bounded-collect class)."""
     return cen.agg(F.max("sub")).first()[0] + 1
+
+
+def _check_book_m(codebooks: DataFrame, m: int) -> None:
+    """Supplied trained codebooks must cover exactly the ``m``
+    subspaces the vectors are sliced into — a mismatch would store
+    codes sliced inconsistently with what every later probe derives
+    from the stored book (silent wrong distances, the worst failure).
+    1-row aggregate, build-time only."""
+    got = _pq_m(codebooks)
+    if got != m:
+        raise ValueError(
+            f"codebooks cover {got} subspaces but m={m}: vectors would "
+            f"be sliced into {m} subvectors while probes derive m={got} "
+            f"from the stored book — pass matching m/codebooks"
+        )
 
 
 def pq_ingest(
@@ -372,14 +389,34 @@ T_IVFPQ_CODES = "ivfpq_codes"
 T_IVFPQ_META = "ivfpq_meta"
 
 
-def _ivfpq_is_residual(wh) -> bool:
-    """Stored encoding mode — a 1-row metadata read (bounded-collect
-    class). Indexes built before the meta table existed are raw-code
-    (the only mode that existed then)."""
+def _ivfpq_meta(wh) -> dict:
+    """Stored index metadata — ONE 1-row read per ingest/probe call
+    (bounded-collect class): ``residual`` (encoding mode) and ``qver``
+    (the quantizer VERSION the stored codes were encoded under —
+    bumped by every build/rebuild, stamped on every code row, checked
+    by every probe, so a code encoded under quantizer A can never be
+    ADC-scored against quantizer B's LUT). Indexes built before the
+    meta table existed are raw-code version 0 (the only mode that
+    existed then); an existing-but-EMPTY meta table is corrupt
+    warehouse state and raises a descriptive error instead of the bare
+    TypeError ``first()[...]`` would."""
     meta = wh.read(LAYER, T_IVFPQ_META)
     if meta is None:
-        return False
-    return bool(meta.first()["residual"])
+        return {"residual": False, "qver": 0}
+    row = meta.first()
+    if row is None:
+        raise ValueError(
+            f"IVFADC index metadata corrupt: {LAYER}.{T_IVFPQ_META} exists "
+            f"but holds no row — the atomic commit should make this "
+            f"impossible; rebuild the index (ann_index.ivfpq_build)"
+        )
+    d = row.asDict()
+    return {"residual": bool(d["residual"]), "qver": int(d.get("qver") or 0)}
+
+
+def _ivfpq_is_residual(wh) -> bool:
+    """Stored encoding mode (see :func:`_ivfpq_meta`)."""
+    return _ivfpq_meta(wh)["residual"]
 
 
 def ivfpq_build(
@@ -431,6 +468,14 @@ def ivfpq_build(
             F.col("cen_vec").cast("array<double>"),
             "cen_norm",
         )
+    # quantizer VERSION: bumped by every (re)build, stamped on every
+    # code row, filtered by every probe — a stale code (encoded under a
+    # previous quantizer pair) is structurally unscoreable, not just
+    # unlikely-by-convention. Read the old version BEFORE the run opens.
+    try:
+        qver = _ivfpq_meta(wh)["qver"] + 1
+    except ValueError:  # corrupt empty meta — this build replaces it
+        qver = 1
     wh.begin_run(run_id)
     wh.overwrite(LAYER, T_CENTROIDS, centroids)
     # everything downstream derives from the STORED quantizers
@@ -440,8 +485,12 @@ def ivfpq_build(
         rrows = residual_subrows(cells, cen, m)
         if codebooks is None:
             codebooks = residual_default_book(rrows, n_centroids, ksub)
+        else:
+            _check_book_m(codebooks, m)
     elif codebooks is None:
         codebooks = pq_default_codebook(emb, m, ksub, id_col, vec_col)
+    else:
+        _check_book_m(codebooks, m)
     codebooks = codebooks.select(
         F.col("sub").cast("int"),
         F.col("cid").cast("int"),
@@ -457,7 +506,11 @@ def ivfpq_build(
     codes = (
         pq_encode(enc_rows, book)
         .join(cells.select("vid", F.col("cid").alias("cell")), "vid")
-        .select("vid", "sub", "code", F.col("cell").alias("cid"))
+        .select(
+            "vid", "sub", "code",
+            F.lit(qver).cast("long").alias("qver"),
+            F.col("cell").alias("cid"),
+        )
     )
     # partitioned by coarse cell: a probe's cid-key join prunes the
     # scan to its nprobe cells' files — the IVF access pattern as disk
@@ -465,7 +518,9 @@ def ivfpq_build(
     wh.overwrite(LAYER, T_IVFPQ_CODES, codes, partition_by=["cid"])
     wh.overwrite(
         LAYER, T_IVFPQ_META,
-        wh.spark.createDataFrame([(residual,)], "residual boolean"),
+        wh.spark.createDataFrame(
+            [(residual, qver)], "residual boolean, qver long"
+        ),
     )
     wh.commit_run(run_id)
 
@@ -503,16 +558,21 @@ def ivfpq_ingest(
         "left_anti",
     )
     m = _pq_m(book)
+    meta = _ivfpq_meta(wh)  # one 1-row read: mode + quantizer version
     cells = argmax_cell(_vrows(new_vecs, id_col, vec_col), cen)
     enc_rows = (
         residual_subrows(cells, cen, m).select("vid", "sub", "xs")
-        if _ivfpq_is_residual(wh)
+        if meta["residual"]
         else pq_subrows(new_vecs, m, id_col, vec_col)
     )
     coded = (
         pq_encode(enc_rows, book)
         .join(cells.select("vid", F.col("cid").alias("cell")), "vid")
-        .select("vid", "sub", "code", F.col("cell").alias("cid"))
+        .select(
+            "vid", "sub", "code",
+            F.lit(meta["qver"]).cast("long").alias("qver"),
+            F.col("cell").alias("cid"),
+        )
     )
     if not commit:
         return coded
@@ -523,6 +583,55 @@ def ivfpq_ingest(
     wh.append(LAYER, T_IVFPQ_CODES, coded, partition_by=["cid"])
     wh.commit_run(run_id)
     return coded
+
+
+def ivfpq_rebuild(
+    wh,
+    emb: DataFrame,
+    run_id: int,
+    m: int = 4,
+    ksub: int = 16,
+    n_centroids: int = 16,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Quantizer REBUILD-BY-REPLACEMENT for the IVFADC index — the
+    lifecycle step the frozen-quantizer ingest contract defers drift
+    correction to (the ivf ``rebuild`` discipline). Unlike the IVF
+    index, the code table cannot reconstruct its vectors (that IS the
+    compression), so rebuild takes the corpus frame ``emb`` — at 100 TB
+    that is the warehouse vector table, read once.
+
+    - retrains the coarse quantizer (MLlib KMeans via
+      ``similarity.kmeans_centroids``) unless an explicit ``centroids``
+      frame is supplied,
+    - keeps the STORED encoding mode (a residual index rebuilds as
+      residual — the codes are coupled to the coarse quantizer, which
+      is exactly why rebuild must re-encode them),
+    - delegates to :func:`ivfpq_build`: every code row is re-encoded
+      under the new quantizers and stamped with the BUMPED quantizer
+      version, and all four tables swap under one atomic commit —
+      readers observe either (old quantizers, old codes) or (new, new).
+
+    Belt and braces: even if a stale code row somehow survived (an
+    append racing the rebuild), probes filter codes to the current
+    stored ``qver``, so scoring batch-A codes against a batch-B LUT is
+    structurally impossible (pinned in test_ann_index.py)."""
+    residual = _ivfpq_meta(wh)["residual"]
+    if centroids is None:
+        from .similarity import kmeans_centroids
+
+        centroids = kmeans_centroids(
+            emb.select(F.col(vec_col).alias("embedding")),
+            n_centroids=n_centroids,
+        )
+    ivfpq_build(
+        wh, emb, run_id, m=m, ksub=ksub, n_centroids=n_centroids,
+        centroids=centroids, codebooks=codebooks,
+        id_col=id_col, vec_col=vec_col, residual=residual,
+    )
 
 
 def ivfpq_probe(
@@ -553,7 +662,16 @@ def ivfpq_probe(
     book = _require(wh.read(LAYER, T_PQ_CODEBOOK), T_PQ_CODEBOOK)
     codes = _require(wh.read(LAYER, T_IVFPQ_CODES), T_IVFPQ_CODES)
     m = _pq_m(book)
-    if _ivfpq_is_residual(wh):
+    meta = _ivfpq_meta(wh)  # one 1-row read: mode + quantizer version
+    if "qver" in codes.columns:
+        # score ONLY codes encoded under the CURRENT quantizer version:
+        # a stale row (e.g. an append that raced a rebuild) is filtered
+        # at the parquet scan (pushed predicate + row-group stats), not
+        # silently ADC-scored against the wrong LUT — wrong-distance
+        # answers are the failure mode this makes structural.
+        # (pre-qver indexes have no column; their single build is v0)
+        codes = codes.where(F.col("qver") == F.lit(meta["qver"]))
+    if meta["residual"]:
         q_cells = residual_query_cells(
             queries, cen, nprobe, id_col, vec_col
         ).withColumnRenamed("cell", "cid")

@@ -46,6 +46,7 @@ def topk_per_query(
     order: list[Column],
     part_col: str = "query_id",
     rank_name: str = "rnk",
+    merge_fanout: int | None = None,
 ) -> DataFrame:
     """Two-level per-query top-k over an UNBOUNDED candidate frame —
     the scale-safe replacement for ``row_number() over (partition by
@@ -63,16 +64,41 @@ def topk_per_query(
     and because ``order`` must be a TOTAL order (callers always
     tie-break on the candidate id), the merged ranks are bit-identical
     to the single-window form (property-pinned in
-    tests/test_ann_index.py). Rank values are assigned at level 2 over
-    the same total order, so ``rank_name`` matches the window form
-    exactly."""
+    tests/test_ann_index.py). Rank values are assigned at the final
+    level over the same total order, so ``rank_name`` matches the
+    window form exactly.
+
+    ``merge_fanout`` bounds the FINAL merge itself: by default the
+    level-2 window sees ≤ k·P rows per query (P = input partition
+    count) — skew-proof, but the bound grows with the scan (at P ~ 10⁵
+    and k = 10³ that is up to 10⁸ rows on one reducer). With
+    ``merge_fanout=B`` a MIDDLE merge level groups survivors by
+    ``pid % B`` first (each middle partition ≤ k·⌈P/B⌉ rows), so the
+    final merge sees ≤ k·B rows per query — a FIXED ceiling independent
+    of P. Same containment argument at every level (a global top-k row
+    is top-k within any subset containing it), same total order, so
+    still bit-identical to the window form (property-pinned); the cost
+    is one extra bounded exchange of the survivor frame, which is why
+    it is opt-in for scans wide enough to need it (P ≳ B²)."""
     staged = scored.withColumn("_pid", F.spark_partition_id())
     w_local = Window.partitionBy(part_col, "_pid").orderBy(*order)
-    w_merge = Window.partitionBy(part_col).orderBy(*order)
-    return (
+    out = (
         staged.withColumn("_lrk", F.row_number().over(w_local))
         .where(F.col("_lrk") <= k)
-        .drop("_pid", "_lrk")
+        .drop("_lrk")
+    )
+    if merge_fanout is not None and merge_fanout > 1:
+        w_mid = Window.partitionBy(
+            part_col, F.pmod(F.col("_pid"), F.lit(merge_fanout))
+        ).orderBy(*order)
+        out = (
+            out.withColumn("_mrk", F.row_number().over(w_mid))
+            .where(F.col("_mrk") <= k)
+            .drop("_mrk")
+        )
+    w_merge = Window.partitionBy(part_col).orderBy(*order)
+    return (
+        out.drop("_pid")
         .withColumn(rank_name, F.row_number().over(w_merge))
         .where(F.col(rank_name) <= k)
     )
@@ -267,16 +293,25 @@ def argmax_cell(vectors: DataFrame, cen: DataFrame) -> DataFrame:
     K candidate rows map-side (they are generated from one input row,
     so they always share a task), so the one exchange ships N
     already-reduced structs — K× less shuffled bytes at K centroids.
-    Contract: centroid norms are nonzero (a zero-norm centroid scores
-    NaN cosine against every vector, which no ordering can rank
-    meaningfully)."""
+    Degenerate-centroid guard: a zero/null-norm centroid (possible
+    from trained k-means on pathological data) would either crash the
+    whole pass (ANSI division-by-zero) or, with a plain NULL cosine,
+    sort FIRST under min() — the opposite of the window form's DESC
+    nulls-last — and silently capture every vector. try_divide makes
+    the degenerate cosine NULL, and the sort key maps NULL to +inf
+    (the survivors_from_labels sentinel discipline), so a degenerate
+    centroid can only win when every centroid is degenerate (then
+    min-cid decides, still deterministic)."""
+    cos = F.try_divide(
+        dot(F.col("vec"), F.col("cen_vec")),
+        F.col("vnorm") * F.col("cen_norm"),
+    )
     scored = vectors.crossJoin(F.broadcast(cen)).select(
         "vid",
         F.struct(
-            (
-                -(dot(F.col("vec"), F.col("cen_vec"))
-                  / (F.col("vnorm") * F.col("cen_norm")))
-            ).alias("_negcos"),
+            F.when(cos.isNull(), F.lit(float("inf")))
+            .otherwise(-cos)
+            .alias("_negcos"),
             F.col("cid").alias("_cid"),
             F.col("vec").alias("_vec"),
             F.col("vnorm").alias("_vnorm"),

@@ -839,3 +839,209 @@ def test_pq_probe_is_readonly_and_floatfree_on_big_side(spark, wh):
     assert "ReadSchema: struct<vid:bigint,sub:int,code:int" in plan
     assert "partial_min" not in plan
     assert out.count() > 0
+
+
+# -- round 13: quantizer version stamp, rebuild lifecycle, bounded merge ----
+
+
+def test_argmax_cell_ignores_degenerate_zero_norm_centroid(spark):
+    """A zero-norm centroid (possible from trained k-means on
+    pathological data) makes the cosine NULL, and a NULL first struct
+    field sorts FIRST under min() — without the +inf sentinel it would
+    silently capture EVERY vector. Pinned: the degenerate centroid wins
+    nothing, and assignments match the clean-quantizer run exactly."""
+    cen = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0], 1.0),
+            (1, [0.0, 1.0, 0.0, 0.0], 1.0),
+            (9, [0.0, 0.0, 0.0, 0.0], 0.0),  # degenerate
+        ],
+        "cid int, cen_vec array<double>, cen_norm double",
+    )
+    vecs = ann_index._vrows(_emb(spark, range(20)), "vec_id", "embedding")
+    out = similarity.argmax_cell(vecs, cen)
+    assert out.where("cid = 9").count() == 0
+    clean = similarity.argmax_cell(vecs, cen.where("cid <> 9"))
+    assert sorted((r.vid, r.cid) for r in out.collect()) == sorted(
+        (r.vid, r.cid) for r in clean.collect()
+    )
+
+
+def test_ivfpq_build_rejects_codebooks_with_mismatched_m(spark, wh):
+    """Trained codebooks whose subspace count disagrees with the m the
+    vectors are sliced into would store codes inconsistent with what
+    every later probe derives from the stored book — build must refuse
+    loudly, not encode silently."""
+    emb = _emb(spark, range(30))
+    bad_book = similarity.pq_default_codebook(emb, m=4, ksub=8)
+    with pytest.raises(ValueError, match="subspaces but m="):
+        ann_index.ivfpq_build(
+            wh, emb, run_id=1, m=2, ksub=8, n_centroids=8,
+            codebooks=bad_book,
+        )
+    with pytest.raises(ValueError, match="subspaces but m="):
+        ann_index.pq_build(wh, emb, run_id=1, m=2, ksub=8,
+                           codebooks=bad_book)
+
+
+def test_ivfpq_empty_meta_raises_descriptive_error(spark, wh):
+    """An existing-but-EMPTY ivfpq_meta table (partial/corrupt
+    warehouse state) must raise a descriptive error from probe/ingest,
+    not the bare TypeError ``first()["residual"]`` would."""
+    emb = _emb(spark, range(30))
+    ann_index.ivfpq_build(wh, emb, run_id=1, m=2, ksub=8, n_centroids=8)
+    wh.begin_run(2)
+    wh.overwrite(
+        "index", "ivfpq_meta",
+        spark.createDataFrame([], "residual boolean, qver long"),
+    )
+    wh.commit_run(2)
+    with pytest.raises(ValueError, match="corrupt"):
+        ann_index.ivfpq_probe(wh, emb.where("vec_id < 3"), k=3)
+
+
+def test_ivfpq_stale_quantizer_codes_are_never_scored(spark, wh):
+    """Probes filter the code scan to the CURRENT stored quantizer
+    version: a code row encoded under any other quantizer (an append
+    that raced a rebuild, a partial restore) is excluded at the parquet
+    scan — never ADC-scored against the wrong LUT. Silent
+    wrong-distance answers are the failure mode the version stamp makes
+    structural instead of conventional."""
+    emb = _emb(spark, range(40))
+    ann_index.ivfpq_build(wh, emb, run_id=1, m=2, ksub=8, n_centroids=8)
+    queries = emb.where("vec_id < 5")
+    before = sorted(
+        map(tuple, ann_index.ivfpq_probe(wh, queries, k=3, nprobe=2).collect())
+    )
+    # forge stale rows: clone two real candidates' codes under fresh
+    # vids with WRONG versions (one older, one newer than stored) — if
+    # a probe ever scored them they would tie their originals and
+    # surface at k=1000
+    codes = wh.read("index", "ivfpq_codes")
+    stale = codes.where("vid in (20, 25)").select(
+        (F.col("vid") + 1000).alias("vid"), "sub", "code",
+        F.when(F.col("vid") == 20, F.lit(0)).otherwise(F.lit(99))
+        .cast("long").alias("qver"),
+        "cid",
+    )
+    wh.begin_run(2)
+    wh.append("index", "ivfpq_codes", stale, partition_by=["cid"])
+    wh.commit_run(2)
+    assert wh.read("index", "ivfpq_codes").where("vid >= 1000").count() == 4
+
+    everything = ann_index.ivfpq_probe(wh, queries, k=1000, nprobe=2)
+    assert everything.where("cand_id >= 1000").count() == 0
+    after = sorted(
+        map(tuple, ann_index.ivfpq_probe(wh, queries, k=3, nprobe=2).collect())
+    )
+    assert after == before
+
+
+def test_ivfpq_rebuild_reencodes_residual_codes_under_new_quantizer(spark, wh):
+    """Residual codes are COUPLED to the coarse quantizer
+    (similarity.py's own warning): rebuild must re-encode EVERY code
+    row under the new quantizer pair in the SAME atomic commit, bump
+    the stored version, preserve the residual mode without being told,
+    and leave nothing encoded under v1. Re-encoding is verified
+    byte-for-byte against a from-scratch residual build with the same
+    v2 quantizer over the same corpus."""
+    import math
+    import tempfile
+
+    ann_index.ivfpq_build(wh, _axes(spark, range(40)), run_id=1, m=2,
+                          ksub=8, n_centroids=8, residual=True)
+    for b, lo in enumerate((100, 110, 120)):  # three drifting batches
+        ann_index.ivfpq_ingest(
+            wh, _drifted(spark, range(lo, lo + 10)), run_id=2 + b
+        )
+    assert ann_index._ivfpq_meta(wh) == {"residual": True, "qver": 1}
+    codes_v1 = wh.read("index", "ivfpq_codes")
+    assert codes_v1.where("qver <> 1").count() == 0
+    n_rows = codes_v1.count()
+    assert n_rows == 70 * 2  # 40 built + 30 ingested vids, m=2
+
+    # v2 quantizer: the four axes plus the drift direction — explicit
+    # and deterministic (the trained-kmeans default is pinned by the
+    # IVF rebuild test; this pins the residual re-encode lifecycle)
+    cen2 = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0], 1.0),
+            (1, [0.0, 1.0, 0.0, 0.0], 1.0),
+            (2, [0.0, 0.0, 1.0, 0.0], 1.0),
+            (3, [0.0, 0.0, 0.0, 1.0], 1.0),
+            (4, [1.0, 1.0, 0.0, 0.0], math.sqrt(2.0)),
+        ],
+        "cid int, cen_vec array<double>, cen_norm double",
+    )
+    union = _axes(spark, range(40)).union(_drifted(spark, range(100, 130)))
+    ann_index.ivfpq_rebuild(wh, union, run_id=9, m=2, ksub=8,
+                            n_centroids=8, centroids=cen2)
+
+    assert ann_index._ivfpq_meta(wh) == {"residual": True, "qver": 2}
+    codes_v2 = wh.read("index", "ivfpq_codes")
+    assert codes_v2.count() == n_rows
+    assert codes_v2.where("qver <> 2").count() == 0  # nothing stale
+    # one atomic commit: the run-9 manifest swaps all four tables
+    tables = {t.split("/")[-1] for t in wh._manifest(9)["tables"]}
+    assert {"ivf_centroids", "pq_codebook", "ivfpq_codes",
+            "ivfpq_meta"} <= tables
+    # re-encoded under the NEW quantizer, byte-for-byte
+    wh2 = Warehouse(spark, tempfile.mkdtemp(prefix="ivfpq_rebuild_ref_"))
+    ann_index.ivfpq_build(wh2, union, run_id=1, m=2, ksub=8,
+                          n_centroids=8, centroids=cen2, residual=True)
+    got = {(r.vid, r.sub): (r.code, r.cid) for r in codes_v2.collect()}
+    want = {(r.vid, r.sub): (r.code, r.cid)
+            for r in wh2.read("index", "ivfpq_codes").collect()}
+    assert got == want and got
+
+
+def test_topk_per_query_merge_fanout_matches_window_form(spark):
+    """merge_fanout adds a MIDDLE merge level (final merge <= k*B rows
+    per query — a FIXED ceiling independent of partition count) and
+    must stay BIT-IDENTICAL to the single-window form: same property
+    as the two-level pin, on a 64-partition frame with a hot query
+    owning ~9/10 of the rows, for fanouts below, at, and above the
+    partition count."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(7)
+    rows = [
+        # query 0 is the hot query: ~9/10 of all candidate rows
+        (0 if i % 10 else rng.randint(1, 5), i, float(rng.randint(1, 9)))
+        for i in range(3000)
+    ]
+    scored = spark.createDataFrame(
+        rows, "query_id long, cand_id long, cos double"
+    ).repartition(64)
+    order = [F.col("cos").desc(), F.col("cand_id")]
+    w = Window.partitionBy("query_id").orderBy(*order)
+    for k in (1, 3, 50):
+        want = {
+            (r.query_id, r.cand_id, r.cos, r.rnk)
+            for r in scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .collect()
+        }
+        for fanout in (2, 8, 64, 1000):
+            got = {
+                tuple(r)
+                for r in similarity.topk_per_query(
+                    scored, k, order, merge_fanout=fanout
+                )
+                .select("query_id", "cand_id", "cos", "rnk")
+                .collect()
+            }
+            assert got == want and got, (k, fanout)
+    # and the plan really carries three merge levels: local (_pid),
+    # middle (pmod), final (query_id alone)
+    plan = (
+        similarity.topk_per_query(scored, 3, order, merge_fanout=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "pmod" in plan, plan
+    windows = [
+        ln for ln in plan.splitlines() if "windowspecdefinition" in ln
+    ]
+    assert len(windows) == 3, plan
