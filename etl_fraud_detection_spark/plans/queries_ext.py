@@ -1055,7 +1055,7 @@ def q_ann_ivfpq_residual_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     tag = hashlib.md5(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:ivfpqres1".encode()
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:ivfpqres2".encode()
     ).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"spark_graft_ivfpqres_{tag}")
     _built_once(
@@ -1083,7 +1083,7 @@ def _ivfpq_warehouse(spark: SparkSession, sf_dir: str):
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     tag = hashlib.md5(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:ivfpq1".encode()
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:ivfpq2".encode()
     ).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"spark_graft_ivfpq_{tag}")
     _built_once(
@@ -1113,6 +1113,51 @@ def q_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = _ivfpq_warehouse(spark, sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
     return ann_index.ivfpq_probe(wh, emb.where("vec_id < 10"), k=5, nprobe=2)
+
+
+@query(
+    "q_ann_ivfpq_index_rerank",
+    oracle=f"""
+    WITH short AS (
+        SELECT query_id, cand_id FROM ({_ivfpq_oracle(k=20)})
+    ),
+    ex AS (
+        SELECT s.query_id, s.cand_id,
+               {_cos_sql('q.embedding', 'c.embedding')} AS cos
+        FROM short s
+        JOIN embeddings q ON q.vec_id = s.query_id
+        JOIN embeddings c ON c.vec_id = s.cand_id
+    )
+    SELECT query_id, cand_id, rnk, cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, cand_id) AS rnk
+        FROM ex
+    ) WHERE rnk <= 5
+    """,
+)
+def q_ann_ivfpq_index_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED propose/dispose — the production ANN call end to end:
+    ivfpq_probe over the STORED index proposes a top-20 shortlist
+    (code scan pruned to each query's nprobe cells via dynamic
+    partition pruning; no floats on the big side), then ann_rerank
+    scores exact cosines against the warehouse vector table for ONLY
+    the 20·Q shortlist rows — the corpus floats enter solely through
+    the broadcast-shortlist join (plan-pinned in test_ann_index.py:
+    no full-corpus float scan anywhere in the composition). Same
+    oracle as q_ann_ivfpq_rerank: the stored-index propose stage must
+    shortlist bit-identically to the session operator, and the dispose
+    stage is exact. The shortlist is materialized once
+    (localCheckpoint) because rerank consumes it in three subplans."""
+    from ..operators import ann_index
+
+    wh = _ivfpq_warehouse(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    short = (
+        ann_index.ivfpq_probe(wh, emb.where("vec_id < 10"), k=20, nprobe=2)
+        .select("query_id", "cand_id")
+        .localCheckpoint()
+    )
+    return similarity.ann_rerank(emb, short, k=5)
 
 
 def _lsh_ann_oracle() -> str:

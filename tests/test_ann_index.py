@@ -1045,3 +1045,33 @@ def test_topk_per_query_merge_fanout_matches_window_form(spark):
         ln for ln in plan.splitlines() if "windowspecdefinition" in ln
     ]
     assert len(windows) == 3, plan
+
+
+def test_persisted_rerank_touches_floats_only_via_shortlist_join(spark, wh):
+    """The persisted propose/dispose composition (q_ann_ivfpq_index_
+    rerank): in the dispose stage the corpus float vectors may enter
+    ONLY through broadcast equi-joins keyed on the shortlist — never a
+    full-corpus cross/nested-loop join, so the exact math runs on k'·Q
+    rows regardless of corpus size. Pinned on the real parquet table
+    so the scan shape is the production one."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ann_index.ivfpq_build(wh, emb, run_id=1, m=4, ksub=16, n_centroids=16)
+    short = (
+        ann_index.ivfpq_probe(wh, emb.where("vec_id < 5"), k=10, nprobe=2)
+        .select("query_id", "cand_id")
+        .localCheckpoint()
+    )
+    out = similarity.ann_rerank(emb, short, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # both float reads are broadcast HASH joins on the shortlist keys:
+    # candidate floats keyed by cand_id, query floats by query_id
+    assert "BroadcastHashJoin [cand_id" in plan, plan
+    assert "BroadcastHashJoin [query_id" in plan, plan
+    # exactly the two float scans (candidate side + query side), both
+    # column-pruned to (vec_id, embedding) — label never read
+    n_float_scans = plan.count("ReadSchema: struct<vec_id:bigint,embedding:array<float>>")
+    assert n_float_scans == 2, plan
+    assert "label" not in plan, plan
+    assert out.count() > 0
