@@ -1229,6 +1229,131 @@ def ann_rerank(
     ).select("query_id", "cand_id", "rnk", "cos")
 
 
+def opq_rotation(
+    emb: DataFrame,
+    m: int = 4,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """OPQ-lite orthogonal rotation — the parametric variant of
+    Optimized Product Quantization (Ge et al. 2013, CVPR: rotate the
+    space so variance BALANCES across PQ subspaces, then quantize as
+    usual): full-rank PCA over the corpus, then the paper's
+    eigenvalue-allocation — principal directions are dealt to the m
+    subspaces in ROUNDS (every subspace receives its r-th direction
+    before any receives its (r+1)-th), within a round to the subspace
+    with the smallest running log-eigenvalue sum, so each subspace's
+    eigenvalue PRODUCT stays balanced. The round constraint is what
+    keeps the greedy correct when eigenvalues are < 1: the paper's
+    bare min-product rule reads an EMPTY bucket's product as 1, which
+    then looks larger than any filled bucket's, and one subspace
+    hoovers every high-variance direction — the exact imbalance the
+    allocation exists to prevent (measured before pinning: the bare
+    rule left variance split 0.582/0.418/0/0 across a 2×2 block
+    structure, i.e. both signal directions in one block). Plain PQ wastes codebook bits when one subspace
+    holds most of the variance (its ksub codewords must cover a wide
+    spread while another subspace's codewords collapse onto near-
+    identical points); the rotation is free at query time — it folds
+    into the stored codes and the LUT, and being orthogonal it
+    preserves every inner product and norm exactly.
+
+    Training is one distributed PCA fit (covariance + d×d driver-side
+    eigendecomposition — d is small, the corpus is not); the returned
+    rotation is a plain d×d list-of-lists, broadcast by construction
+    when applied. Deterministic given the corpus (no sampling)."""
+    import math
+
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    d = len(emb.select(vec_col).first()[0])
+    train = emb.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = PCA(k=d, inputCol="features", outputCol="pca").fit(train)
+    pc = model.pc.toArray()  # d×d; column j = j-th principal direction
+    ev = [float(x) for x in model.explainedVariance]
+    dsub = d // m
+    # round-constrained greedy: next-largest eigenvalue goes to the
+    # subspace with the FEWEST directions so far, ties by smallest
+    # log-eigenvalue sum, then by subspace index — deterministic
+    order = sorted(range(d), key=lambda i: (-ev[i], i))
+    load = [0.0] * m
+    slots: list[list[int]] = [[] for _ in range(m)]
+    for i in order:
+        open_slots = [s for s in range(m) if len(slots[s]) < dsub]
+        s = min(open_slots, key=lambda s_: (len(slots[s_]), load[s_], s_))
+        slots[s].append(i)
+        load[s] += math.log(max(ev[i], 1e-300))
+    perm = [i for s in range(m) for i in slots[s]]
+    # row j of R is principal direction perm[j] — R @ x permutes the
+    # PCA coordinates into balanced subspace blocks
+    return [[float(pc[r][j]) for r in range(d)] for j in perm]
+
+
+def rotate_vecs(
+    emb: DataFrame,
+    rotation: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Apply an orthogonal rotation (d×d list-of-lists, e.g. from
+    :func:`opq_rotation`) to a vector column: each output coordinate
+    is one codegen fold ⟨R_j, x⟩ over a literal row — JVM-side, no
+    UDF, no shuffle, map-only. The rotation matrix rides the plan as
+    d literal arrays (d is small; the corpus side streams once)."""
+    out = out_col or vec_col
+    coords = [
+        F.aggregate(
+            F.zip_with(
+                F.array(*[F.lit(float(v)) for v in row]),
+                F.col(vec_col),
+                lambda r, x: r * x.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for row in rotation
+    ]
+    return emb.withColumn(out, F.array(*coords))
+
+
+def opq_adc_topk(
+    emb: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 16,
+    query_pred: str = "vec_id < 10",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rotation: list[list[float]] | None = None,
+    codebooks: DataFrame | None = None,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """OPQ search = rotate, then trained PQ-ADC (Ge et al. 2013): the
+    corpus and the queries pass through the SAME orthogonal rotation,
+    codes/LUT/ranking are exactly :func:`pq_adc_topk` over the rotated
+    frame — so the entire recall gain comes from better-conditioned
+    subspaces, at zero additional query-time cost (the rotation folds
+    into the stored codes and the Q·m·ksub LUT; inner products are
+    preserved exactly by orthogonality). Recall-dominance over
+    unrotated trained PQ on variance-skewed data is property-pinned in
+    tests/test_ann_index.py, with the trained-codebook honesty
+    discipline: on already-isotropic corpora the rotation buys ~0."""
+    if rotation is None:
+        rotation = opq_rotation(emb, m, vec_col)
+    rot = rotate_vecs(emb, rotation, vec_col=vec_col)
+    if codebooks is None:
+        codebooks = pq_codebooks_kmeans(
+            rot, m=m, ksub=ksub, vec_col=vec_col, seed=seed,
+            max_iter=max_iter,
+        )
+    return pq_adc_topk(
+        rot, k=k, m=m, ksub=ksub, query_pred=query_pred,
+        id_col=id_col, vec_col=vec_col, codebooks=codebooks,
+    )
+
+
 def pq_codebooks_kmeans(
     emb: DataFrame,
     m: int = 4,

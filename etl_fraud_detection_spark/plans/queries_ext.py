@@ -1013,6 +1013,22 @@ def q_ann_ivfpq_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_ann_opq", oracle=None)
+def q_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ search (Ge et al. 2013): a PCA + eigenvalue-allocation
+    rotation balances variance across PQ subspaces before quantizing —
+    the next recall lever above trained codebooks, at ZERO query-time
+    cost (the orthogonal rotation folds into the stored codes and the
+    LUT; inner products are preserved exactly). Rows-only (PCA and
+    k-means aren't oracle-expressible — the q_ann_ivfpq_kmeans
+    discipline); the recall-dominance property on variance-skewed data
+    and the rotation's orthogonality/cosine-preservation are pinned in
+    tests/test_ann_index.py."""
+    return similarity.opq_adc_topk(
+        _t(spark, sf_dir, "embeddings"), k=5, m=4, ksub=16, max_iter=5
+    )
+
+
 @query("q_ann_ivfpq_residual", oracle=_ivfpq_residual_oracle())
 def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESIDUAL IVFADC — Jégou et al. 2011 §IV exactly as published:
