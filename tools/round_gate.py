@@ -64,6 +64,24 @@ def main() -> int:
     if o_failed_names:
         print("oracle failed:", " ".join(o_failed_names))
 
+    # Never-sampled sweep INSIDE the gate (round-12 verdict task 5):
+    # the round-12 sweep ran before the last two commits added queries,
+    # so the newest names reached round exit with no independent-
+    # process row. Running it here — after the catalog is final — makes
+    # that structurally impossible: the gate is red if any name is
+    # missing from the sweep's results or fails it.
+    from tools.sweep_never_sampled import run_sweep
+
+    sweep = run_sweep(args.sf)
+    print(
+        f"never-sampled sweep: {sweep['pass']} pass, {sweep['fail']} fail, "
+        f"{sweep['rows_only']} rows-only, {len(sweep['missing'])} missing"
+    )
+    # full record (incl. the name list) stays judge-visible on its own
+    # PROGRESS line, exactly as the standalone tool writes it
+    with open(os.path.join(REPO, "PROGRESS.jsonl"), "a") as fh:
+        fh.write(json.dumps(sweep) + "\n")
+
     pytest = subprocess.run(
         [sys.executable, "-m", "pytest", "tests/", "-q"],
         capture_output=True, text=True, cwd=REPO,
@@ -108,6 +126,12 @@ def main() -> int:
         "oracle_fail": o_fail,
         "oracle_rows_only": o_skip,
         "oracle_failed_names": o_failed_names,
+        "sweep_n_names": sweep["n_names"],
+        "sweep_pass": sweep["pass"],
+        "sweep_fail": sweep["fail"],
+        "sweep_rows_only": sweep["rows_only"],
+        "sweep_missing": sweep["missing"],
+        "sweep_failed_names": sweep["failed_names"],
         "plans_rows": len(plan_rows),
         "plans_missing": plans_missing,
         "pytest_passed": t_pass,
@@ -120,7 +144,8 @@ def main() -> int:
         fh.write(json.dumps(record) + "\n")
     print(json.dumps(record))
     ok = (o_fail == 0 and t_fail == 0 and pytest.returncode == 0
-          and not plans_missing)
+          and not plans_missing
+          and sweep["fail"] == 0 and not sweep["missing"])
     return 0 if ok else 1
 
 

@@ -44,18 +44,18 @@ def never_sampled() -> list[str]:
     return sorted(names - sampled)
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf", default="/root/testdata/sf0.01")
-    args = ap.parse_args()
-
+def run_sweep(sf: str) -> dict:
+    """Run the sweep and return its PROGRESS record (also used by
+    tools/round_gate.py, which embeds the sweep in the round-exit gate
+    so a late catalog add can't reach round exit without an
+    independent-process row — round-12 verdict task 5)."""
     names = never_sampled()
     print(f"{len(names)} never-driver-sampled queries:")
     print(" ".join(names))
     t0 = time.time()
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "check_oracle.py"),
-         *names, "--sf", args.sf],
+         *names, "--sf", sf],
         capture_output=True, text=True, cwd=REPO,
     )
     out = proc.stdout
@@ -68,10 +68,10 @@ def main() -> int:
         )
         if m:
             results[m.group(2)] = m.group(1)
-    record = {
+    return {
         "ts": time.time(),
         "gate": "never_sampled_sweep",
-        "sf": args.sf,
+        "sf": sf,
         "n_names": len(names),
         "pass": sum(1 for v in results.values() if v == "PASS"),
         "fail": sum(1 for v in results.values() if v == "FAIL"),
@@ -82,6 +82,14 @@ def main() -> int:
         "check_oracle_rc": proc.returncode,
         "wall_s": round(time.time() - t0, 1),
     }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    record = run_sweep(args.sf)
     with open(os.path.join(REPO, "PROGRESS.jsonl"), "a") as fh:
         fh.write(json.dumps(record) + "\n")
     print(json.dumps({k: v for k, v in record.items() if k != "names"}))
