@@ -12,9 +12,12 @@ read-only-probe split over the versioned warehouse:
   (``similarity.kmeans_centroids``). Small — always broadcast.
 - ``ivf_assign``: (vid, vec, vnorm, cid) — one row per indexed vector
   with its nearest-centroid cell, written PARTITIONED BY cid (build
-  and every append): a probe's cid-key join prunes the scan to its
-  nprobe cells' files (dynamic partition pruning off the broadcast
-  query side) — the IVF access pattern expressed as disk layout.
+  and every append): a probe restricts the scan to the union of its
+  probed cells' files with a STATIC partition filter collected from
+  the bounded centroid rank (see ``_static_cell_filter`` — round 13
+  replaced reliance on dynamic partition pruning after measuring its
+  runtime fallback reading every partition) — the IVF access pattern
+  expressed as disk layout.
 
 Both tables commit atomically (``Warehouse.begin_run``/``commit_run``)
 — the index can never hold assignments without the quantizer that
@@ -76,6 +79,33 @@ def _assign(vectors: DataFrame, cen: DataFrame) -> DataFrame:
     return argmax_cell(vectors, cen).select("vid", "vec", "vnorm", "cid")
 
 
+def _static_cell_filter(
+    codes: DataFrame, q_cells: DataFrame, cell_col: str = "cid"
+) -> DataFrame:
+    """Restrict a cid-partitioned table to the UNION of probed cells
+    with a STATIC partition filter: the probed-cell set is a bounded
+    Q·nprobe-row metadata collect (the bounded-collect class — the
+    centroid rank is a Q×K frame), and the literal ``cid IN (...)``
+    prunes partitions at FILE-LISTING time, before any task launches.
+
+    Round-13 finding, the reason this exists: the cid equi-join's
+    DYNAMIC partition pruning was present in every probe plan (the
+    r12 plan pin) but at runtime Spark's reuse-broadcast fallback read
+    ALL partitions for this subplan shape — measured 64/64 partitions,
+    80k/80k rows on a 64-cell index (SCALE.md round 13). A static
+    filter cannot fall back; the partitions-read metric now equals the
+    probed-cell union (probe-verified). The cid join stays (it
+    attaches query_id to candidates), so results are bit-identical;
+    the q_cells subplan evaluates twice (once collected here, once in
+    the join), both bounded."""
+    cells = sorted(
+        r[0] for r in q_cells.select(cell_col).distinct().collect()
+    )
+    if not cells:
+        return codes.where(F.lit(False))
+    return codes.where(F.col(cell_col).isin(cells))
+
+
 def _vrows(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return emb.select(
         F.col(id_col).alias("vid"),
@@ -114,7 +144,8 @@ def build(
     wh.overwrite(LAYER, T_CENTROIDS, centroids)
     cen = wh.read(LAYER, T_CENTROIDS)  # assignments derive from the STORED quantizer
     # partitioned by cell id: a probe reads only its nprobe cells'
-    # files (partition pruning / DPP), the IVF access pattern on disk
+    # files (static partition filter from the bounded centroid rank;
+    # see _static_cell_filter), the IVF access pattern on disk
     wh.overwrite(
         LAYER, T_ASSIGN,
         _assign(_vrows(emb, id_col, vec_col), cen),
@@ -247,7 +278,8 @@ def probe(
         .select("query_id", "q_vec", "q_norm", "cid")
     )
     scored = (
-        idx.join(F.broadcast(q_cells), ["cid"])
+        _static_cell_filter(idx, q_cells)
+        .join(F.broadcast(q_cells), ["cid"])
         .where(F.col("vid") != F.col("query_id"))
         .select(
             "query_id",
@@ -378,8 +410,9 @@ def pq_ingest(
 # §IV) — coarse quantizer + per-subspace codebook + a code table that
 # carries each vector's coarse cell and is PARTITIONED BY it. A probe
 # ranks its bounded query set against the broadcast centroids, then
-# ADC-scores ONLY the nprobe probed cells' code rows: the cid equi-join
-# reaches the scan as dynamic partition pruning, so at 10⁹ vectors a
+# ADC-scores ONLY the nprobe probed cells' code rows: a static
+# partition filter from the bounded centroid rank prunes the scan at
+# file-listing time (_static_cell_filter), so at 10⁹ vectors a
 # query touches N·nprobe/K code rows — never the corpus. Same atomic
 # three-table commit and frozen-quantizer ingest contract as the IVF
 # and PQ indexes it composes.
@@ -645,9 +678,9 @@ def ivfpq_probe(
     """IVFADC search against the stored index — READ-ONLY: rank the
     bounded query set against the broadcast stored centroids, build the
     ADC lookup table from the broadcast stored codebook, then score
-    ONLY the nprobe probed cells' code rows (the cid join is dynamic
-    partition pruning over the cid-partitioned code table — plan-pinned
-    in test_ann_index.py) and two-level top-k over cell-local
+    ONLY the nprobe probed cells' code rows (a static ``cid IN``
+    partition filter prunes the cid-partitioned code table at
+    file-listing time — plan- and metric-pinned in test_ann_index.py) and two-level top-k over cell-local
     candidates. Results identical to similarity.ivfpq_topk given the
     same quantizers (residual indexes: to ivfpq_residual_topk — the
     stored meta record selects the scoring decomposition, so callers
@@ -676,8 +709,10 @@ def ivfpq_probe(
             queries, cen, nprobe, id_col, vec_col
         ).withColumnRenamed("cell", "cid")
         lut = pq_lut(pq_subrows(queries, m, id_col, vec_col), book)
-        cand = codes.join(F.broadcast(q_cells), "cid").select(
-            "query_id", "vid", "sub", "code", "qc"
+        cand = (
+            _static_cell_filter(codes, q_cells)
+            .join(F.broadcast(q_cells), "cid")
+            .select("query_id", "vid", "sub", "code", "qc")
         )
         return pq_adc_rank_cells(cand, lut, m, k, qc_col="qc")
     w_cells = Window.partitionBy("query_id").orderBy(
@@ -700,8 +735,10 @@ def ivfpq_probe(
         .select("query_id", "cid")
     )
     lut = pq_lut(pq_subrows(queries, m, id_col, vec_col), book)
-    cand = codes.join(F.broadcast(q_cells), "cid").select(
-        "query_id", "vid", "sub", "code"
+    cand = (
+        _static_cell_filter(codes, q_cells)
+        .join(F.broadcast(q_cells), "cid")
+        .select("query_id", "vid", "sub", "code")
     )
     return pq_adc_rank_cells(cand, lut, m, k)
 

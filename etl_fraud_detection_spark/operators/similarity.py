@@ -1002,8 +1002,8 @@ def ivfpq_topk(
     Scale shape: assignment is the map-side :func:`argmax_cell`
     aggregate; codes ⋈ cells is an N-row equi-join on vid; the search
     side is (codes ⋈ broadcast query-cells on cid) — in the persisted
-    form the cid equi-join becomes dynamic partition pruning on the
-    cid-partitioned code table — then a broadcast LUT join and the
+    form a static partition filter prunes the
+    cid-partitioned code table at file-listing time — then a broadcast LUT join and the
     two-level top-k. No per-query corpus-sized scan or sort anywhere.
 
     ``centroids`` (cid, cen_vec, cen_norm) and ``codebooks``

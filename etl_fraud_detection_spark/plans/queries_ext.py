@@ -1117,8 +1117,10 @@ def q_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERSISTED IVFADC probe (operators/ann_index ivfpq_*): coarse
     quantizer + PQ codebook + a cell-carrying code table PARTITIONED BY
     cid live in three warehouse tables under one atomic commit; the
-    query set searches READ-ONLY and its cid join reaches the code scan
-    as dynamic partition pruning (plan-pinned), so a probe reads ONLY
+    query set searches READ-ONLY and a static partition filter from the
+    bounded centroid rank prunes the code scan (plan-pinned, runtime
+    partitions-read verified — round 13 found dynamic pruning's
+    fallback silently reading every partition), so a probe reads ONLY
     its nprobe cells' files. Deliberately the SAME oracle as
     q_ann_ivfpq: the stored-index path must return bit-identical
     neighbors while re-encoding and re-assigning nothing — the daily

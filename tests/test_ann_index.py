@@ -154,7 +154,7 @@ def test_partition_aware_compaction_preserves_layout_and_probes(spark, wh):
     """Batch admissions accrete per-batch files inside each cid=*/
     partition directory; compact(partition_by=["cid"]) must collapse
     them WITHOUT flattening the partition tree — the layout is what the
-    probe's dynamic partition pruning prunes on — and probe results
+    probe's static cell filter prunes on — and probe results
     must be byte-identical across the rewrite."""
     import glob
     import os
@@ -771,16 +771,24 @@ def test_ivfpq_residual_ingest_encodes_residually(spark, wh):
 
 
 def test_ivfpq_probe_plan_prunes_code_partitions(spark, wh):
-    """The probe's cid join must reach the cid-partitioned code table
-    as dynamic partition pruning — a probe reads ONLY its nprobe
-    cells' files (the flat-ADC scale fix this index exists for) — and
-    the big side stays integer code rows: no re-encode (the encode's
+    """The probe must read ONLY its nprobe cells' files from the
+    cid-partitioned code table — via a STATIC literal cid IN (...)
+    partition filter collected from the bounded centroid rank (round
+    13: the previous dynamicpruning pin was necessary but not
+    sufficient — the runtime fallback read every partition; a static
+    filter prunes at file listing and cannot fall back) — and the big
+    side stays integer code rows: no re-encode (the encode's
     min-struct argmin never appears), no float vectors, no Python."""
+    import re
+
     emb = _emb(spark, range(40))
     ann_index.ivfpq_build(wh, emb, run_id=1, m=2, ksub=8, n_centroids=8)
     out = ann_index.ivfpq_probe(wh, emb.where("vec_id < 5"), k=3, nprobe=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "dynamicpruning" in plan, plan
+    m = re.search(r"PartitionFilters: \[cid#\d+ IN \(([^)]*)\)", plan)
+    assert m, plan
+    # 5 queries x nprobe=2 probe a strict subset of the 8 cells
+    assert 0 < len(m.group(1).split(",")) < 8
     assert "ReadSchema: struct<vid:bigint,sub:int,code:int" in plan
     for bad in ("Python", "mapInPandas", "KMeans"):
         assert bad not in plan

@@ -1,0 +1,327 @@
+"""Round-13 probes (verdict tasks 1 and 4).
+
+(a) ``ivfpq_prod``: the PRODUCTION-SHAPE stored-form IVFADC
+    measurement the round-12 receipts lacked (they stopped at K=16,
+    nprobe=2): trained coarse quantizers at K in {64, 256}, trained PQ
+    codebooks, >=2M vectors, nprobe in {1, 4, 8}. Records, per config:
+    probe wall (min-of-3, cases interleaved), parquet records read by
+    the pruned code scan (Spark UI REST, the files-read receipt),
+    ADC candidate rows per query vs the N·m·nprobe/K prediction — the
+    cost-model claim at similarity.py ivfpq_topk's docstring, asserted
+    here instead of extrapolated — and recall@10 vs exact cosine with
+    and without the exact re-rank stage (ann_rerank over a k'=50
+    shortlist).
+
+(b) ``topk_ceiling``: topk_per_query's level-2 merge bound in anger —
+    a 2,048-partition candidate frame whose hot query owns ~9/10 of
+    all rows, k=1000, so the DEFAULT two-level form's final merge sees
+    up to k·P = 2M rows on one reducer (the bound is k·P — skew-proof
+    but scan-width-coupled), while ``merge_fanout=45`` (~sqrt(P))
+    caps the final merge at k·B = 45k rows. Records wall + worst-stage
+    max task for both shapes and asserts bit-identical row counts.
+
+Usage: python tools/probe_r13.py [ivfpq_prod|topk_ceiling|all]
+       [--rows 2000000] [--queries 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from probe_r10 import _next_stage_id, _rest, _timed_run  # noqa: E402
+from probe_r12 import _scored_hot, _vectors  # noqa: E402
+
+
+def _cvectors(spark, n: int, n_clusters: int = 256) -> "DataFrame":
+    """n 64-dim CLUSTERED vectors: vector i = anchor(i % n_clusters) +
+    small hashed noise, dims generated independently (the r11 fixture
+    lesson). Real embedding corpora cluster — a recall measurement on
+    structureless hash-uniform vectors is meaningless (true neighbors
+    are arbitrary, every ANN scores ~random); on this fixture true
+    neighbors share a cluster, the coarse quantizer has structure to
+    learn, and recall@k separates the variants."""
+    return spark.range(0, n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda d: (
+                ((F.pmod(F.xxhash64((F.col("id") % n_clusters) * 64 + d),
+                         F.lit(999)) + 1).cast("double") / 1000.0)
+                + (((F.pmod(F.xxhash64(F.col("id") * 64 + d + 7_777_777),
+                            F.lit(999)) + 1).cast("double") / 1000.0 - 0.5)
+                   * 0.15)
+            ).cast("float"),
+        ).alias("embedding"),
+    ).repartition(32)
+
+
+def _input_records(spark, since_stage: int) -> int:
+    """Total data-source records read by stages completed after
+    ``since_stage`` — for a probe run this is dominated by the code
+    table's parquet scan, so it IS the pruning receipt: dynamic
+    partition pruning off the query side must keep it near
+    (union of probed cells), never the whole table."""
+    total = 0
+    for st in _rest(spark, "/stages?status=complete"):
+        if st["stageId"] >= since_stage:
+            total += int(st.get("inputRecords", 0) or 0)
+    return total
+
+
+def _recall(got_rows, truth) -> float:
+    got: dict[int, set[int]] = {}
+    for r in got_rows:
+        got.setdefault(r.query_id, set()).add(r.cand_id)
+    return sum(
+        len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
+    ) / len(truth)
+
+
+def ivfpq_prod(spark, rows: int, n_queries: int) -> None:
+    from etl_fraud_detection_spark.operators import ann_index, similarity
+    from etl_fraud_detection_spark.pipeline import Warehouse
+
+    m, ksub, kk = 4, 16, 10
+    print(f"## production-K stored IVFADC: {rows} vectors, trained "
+          f"quantizers, {n_queries} queries, k={kk} (m={m}, ksub={ksub})")
+    emb = _cvectors(spark, rows).persist()
+    emb.count()
+    queries = emb.where(f"vec_id < {n_queries}").persist()
+    queries.count()
+
+    # trained quantizers from a 50k sample (production practice: the
+    # quantizer fits on a sample, the index covers the corpus); PQ
+    # codebooks shared by the flat and both IVF indexes so recall
+    # differences isolate the coarse stage
+    sample = emb.where("vec_id % 40 = 7").persist()
+    sample.count()
+    t0 = time.perf_counter()
+    books = similarity.pq_codebooks_kmeans(sample, m=m, ksub=ksub,
+                                           seed=42, max_iter=5)
+    cens = {
+        K: similarity.kmeans_centroids(sample, n_centroids=K, seed=7,
+                                       max_iter=5).persist()
+        for K in (64, 256)
+    }
+    for K in cens:
+        cens[K].count()
+    print(f"# quantizer training (sample 50k): "
+          f"{time.perf_counter() - t0:.1f}s")
+    sample.unpersist()
+
+    t0 = time.perf_counter()
+    wh_flat = Warehouse(spark, tempfile.mkdtemp(prefix="probe13_pq_"))
+    ann_index.pq_build(wh_flat, emb, run_id=1, m=m, ksub=ksub,
+                       codebooks=books)
+    whs = {}
+    for K, cen in cens.items():
+        whs[K] = Warehouse(spark, tempfile.mkdtemp(prefix=f"probe13_ivf{K}_"))
+        ann_index.ivfpq_build(whs[K], emb, run_id=1, m=m, ksub=ksub,
+                              centroids=cen, codebooks=books)
+    print(f"# index builds (flat + K=64 + K=256): "
+          f"{time.perf_counter() - t0:.1f}s")
+
+    truth: dict[int, set[int]] = {}
+    t0 = time.perf_counter()
+    for r in similarity.brute_force_topk(
+        emb, k=kk, query_pred=f"vec_id < {n_queries}"
+    ).collect():
+        truth.setdefault(r.query_id, set()).add(r.cand_id)
+    print(f"# exact ground truth: {time.perf_counter() - t0:.1f}s")
+
+    cases: list[tuple[str, int | None, int | None]] = [("flat", None, None)]
+    for K in (64, 256):
+        for nprobe in (1, 4, 8):
+            cases.append((f"K={K} nprobe={nprobe}", K, nprobe))
+
+    def probe_df(K, nprobe):
+        if K is None:
+            return ann_index.pq_probe(wh_flat, queries, k=kk)
+        return ann_index.ivfpq_probe(whs[K], queries, k=kk, nprobe=nprobe)
+
+    for name, K, nprobe in cases:  # codegen warmup, uncounted
+        probe_df(K, nprobe).count()
+
+    walls: dict[str, list[float]] = {name: [] for name, _, _ in cases}
+    recs: dict[str, int] = {}
+    for _ in range(3):  # interleaved min-of-3 (host-noise discipline)
+        for name, K, nprobe in cases:
+            df = probe_df(K, nprobe)
+            s0 = _next_stage_id(spark)
+            t0 = time.perf_counter()
+            cnt = df.count()
+            walls[name].append(time.perf_counter() - t0)
+            assert cnt == kk * n_queries, (name, cnt)
+            recs[name] = _input_records(spark, s0)
+
+    # candidate rows per query: the ADC work the cost model bounds at
+    # N·m·nprobe/K (join OUTPUT — the scan-records column shows the
+    # UNION-of-probed-cells pruning, which also depends on Q)
+    n_codes = rows * m
+    print("| config | probe wall s (min of 3) | scan records "
+          "(of {:,} codes) | cand rows/query (pred N·m·np/K) | "
+          "recall@{} | +rerank k'=50 |".format(n_codes, kk))
+    print("|---|---|---|---|---|---|")
+    results = {}
+    for name, K, nprobe in cases:
+        wall = min(walls[name])
+        got = probe_df(K, nprobe).collect()
+        rec = _recall(got, truth)
+        if K is None:
+            cand_q = pred = n_codes  # every code row ADC-joined per query
+            rr = ""
+        else:
+            codes = whs[K].read("index", "ivfpq_codes")
+            cand_q = (
+                codes.join(
+                    F.broadcast(
+                        probe_q_cells(spark, whs[K], queries, nprobe)
+                    ),
+                    "cid",
+                ).count() / n_queries
+            )
+            pred = n_codes * nprobe / K
+            short = (
+                ann_index.ivfpq_probe(whs[K], queries, k=50, nprobe=nprobe)
+                .select("query_id", "cand_id").localCheckpoint()
+            )
+            rr = f"{_recall(similarity.ann_rerank(emb, short, k=kk).collect(), truth):.3f}"
+        results[name] = (wall, recs[name], cand_q, pred, rec)
+        print(f"| {name} | {wall:.2f} | {recs[name]:,} | "
+              f"{cand_q:,.0f} ({pred:,.0f}) | {rec:.3f} | {rr} |")
+
+    # the pinned cost-model assertions (task 1: replace arithmetic
+    # with a receipt). Candidate work per query tracks N·m·nprobe/K
+    # within 3x (trained cells are balanced-ish, not exactly equal),
+    # shrinks with K, grows with nprobe, and every pruned config beats
+    # the flat scan by at least 4x on candidates.
+    for name, (wall, rec_n, cand_q, pred, _r) in results.items():
+        if name == "flat":
+            continue
+        assert cand_q < 3 * pred and cand_q > pred / 3, (name, cand_q, pred)
+    for nprobe in (1, 4, 8):
+        a = results[f"K=64 nprobe={nprobe}"][2]
+        b = results[f"K=256 nprobe={nprobe}"][2]
+        assert b < a, (nprobe, a, b)  # more cells -> fewer candidates
+    for K in (64, 256):
+        a = results[f"K={K} nprobe=1"][2]
+        b = results[f"K={K} nprobe=8"][2]
+        assert b > a, (K, a, b)  # more probes -> more candidates
+    print("# cost-model assertions passed: cand/query in [pred/3, 3*pred] "
+          "for pred = N*m*nprobe/K, monotone in nprobe, shrinking in K")
+    emb.unpersist()
+    queries.unpersist()
+
+
+def probe_q_cells(spark, wh, queries, nprobe):
+    """The probe's query->cells frame (same construction as
+    ivfpq_probe's raw path) — used to measure the candidate join
+    output size without re-running the full rank."""
+    from pyspark.sql import Window
+
+    from etl_fraud_detection_spark.operators.similarity import dot, norm
+
+    cen = wh.read("index", "ivf_centroids")
+    w_cells = Window.partitionBy("query_id").orderBy(
+        F.col("qa_cos").desc(), F.col("cid")
+    )
+    return (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+            norm(F.col("embedding")).alias("q_norm"),
+        )
+        .crossJoin(F.broadcast(cen))
+        .select(
+            "query_id", "cid",
+            (dot(F.col("q_vec"), F.col("cen_vec"))
+             / (F.col("q_norm") * F.col("cen_norm"))).alias("qa_cos"),
+        )
+        .withColumn("_qrn", F.row_number().over(w_cells))
+        .where(F.col("_qrn") <= nprobe)
+        .select("query_id", "cid")
+    )
+
+
+def topk_ceiling(spark, rows: int) -> None:
+    from etl_fraud_detection_spark.operators import similarity
+
+    k, parts, fanout = 1000, 2048, 45
+    print(f"\n## level-2 merge ceiling: {rows} candidate rows in "
+          f"{parts} partitions, hot query owns ~9/10, k={k} — default "
+          f"two-level (final merge <= k*P = {k * parts / 1e6:.1f}M rows) "
+          f"vs merge_fanout={fanout} (final <= k*B = {k * fanout / 1e3:.0f}k)")
+    print("| shape | wall (s, min of 2) | stage max tasks (worst 3) |")
+    print("|---|---|---|")
+    scored = _scored_hot(spark, rows).repartition(parts).persist()
+    scored.count()
+    order = [F.col("cos").desc(), F.col("cand_id")]
+    shapes = [
+        ("two-level (default)",
+         lambda: similarity.topk_per_query(scored, k, order)),
+        (f"three-level fanout={fanout}",
+         lambda: similarity.topk_per_query(scored, k, order,
+                                           merge_fanout=fanout)),
+    ]
+    for name, fn in shapes:  # warmup
+        fn().count()
+    counts = {}
+    best: dict[str, tuple] = {}
+    for _ in range(2):
+        for name, fn in shapes:
+            wall, stages, cnt = _timed_run(spark, fn())
+            counts[name] = cnt
+            if name not in best or wall < best[name][0]:
+                best[name] = (wall, stages)
+    assert len(set(counts.values())) == 1, counts  # identical results
+    for name, _fn in shapes:
+        wall, stages = best[name]
+        top = ", ".join(f"{mt:.2f}x{nt}" for mt, _, nt, _ in stages[:3])
+        print(f"| {name} | {wall:.2f} | {top} |")
+    scored.unpersist()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", nargs="?", default="all",
+                    choices=["ivfpq_prod", "topk_ceiling", "all"])
+    ap.add_argument("--rows", type=int, default=2_000_000)
+    ap.add_argument("--queries", type=int, default=16)
+    ap.add_argument("--topk-rows", type=int, default=8_000_000)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from etl_fraud_detection_spark.session import tune
+
+    spark = tune(
+        SparkSession.builder.appName("probe-r13")
+        .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', 32)}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.retainedStages", "5000")
+        .config("spark.driver.host", "127.0.0.1")
+        .config("spark.driver.bindAddress", "127.0.0.1")
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.mode in ("ivfpq_prod", "all"):
+        ivfpq_prod(spark, args.rows, args.queries)
+    if args.mode in ("topk_ceiling", "all"):
+        topk_ceiling(spark, args.topk_rows)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
