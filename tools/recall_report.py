@@ -62,6 +62,37 @@ def main() -> None:
         ("IVFADC residual nprobe=2", lambda: S.ivfpq_residual_topk(
             emb, k=k, query_pred=pred, nprobe=2)),
     ]
+    # round 13 (verdict task 1): the TRAINED-K production configuration
+    # — trained coarse quantizer at K=64, trained PQ codebooks, the
+    # nprobe dial, the exact re-rank stage, and the OPQ rotation. These
+    # train MLlib models, so they sit behind one shared fit each.
+    cen64 = S.kmeans_centroids(emb, n_centroids=64, seed=7, max_iter=5)
+    books = S.pq_codebooks_kmeans(emb, m=4, ksub=16, seed=42, max_iter=5)
+
+    def _trained(nprobe):
+        return S.ivfpq_topk(
+            emb, k=k, query_pred=pred, n_centroids=64, nprobe=nprobe,
+            centroids=cen64, codebooks=books,
+        )
+
+    def _trained_rerank(nprobe):
+        short = (
+            S.ivfpq_topk(
+                emb, k=50, query_pred=pred, n_centroids=64, nprobe=nprobe,
+                centroids=cen64, codebooks=books,
+            ).select("query_id", "cand_id").localCheckpoint()
+        )
+        return S.ann_rerank(emb, short, k=k)
+
+    variants += [
+        ("IVFADC trained K=64 nprobe=1", lambda: _trained(1)),
+        ("IVFADC trained K=64 nprobe=4", lambda: _trained(4)),
+        ("IVFADC trained K=64 nprobe=8", lambda: _trained(8)),
+        ("IVFADC trained K=64 np=4 + rerank k'=50",
+         lambda: _trained_rerank(4)),
+        ("OPQ rotated flat ADC (trained)", lambda: S.opq_adc_topk(
+            emb, k=k, query_pred=pred, max_iter=5)),
+    ]
     print(f"## ANN recall@{k} vs exact cosine — {n} vectors, "
           f"{len(truth)} queries ({args.sf})")
     print("| variant | recall@{k} | wall (s, single-shot) |"
