@@ -763,3 +763,149 @@ def pq_probe(
     m = _pq_m(cen)
     lut = pq_lut(pq_subrows(queries, m, id_col, vec_col), cen)
     return pq_adc_rank(codes, lut, m, k)
+
+
+# ---------------------------------------------------------------------------
+# Persisted OPQ index: the rotation "folds into the stored codes" made
+# literal — the orthogonal OPQ rotation (Ge et al. 2013; trained once,
+# similarity.opq_rotation) is a warehouse table beside the codebook
+# and the code table, all under one atomic commit, so ingest and probe
+# provably apply the SAME rotation the codes were encoded under. An
+# index whose queries were rotated differently than its codes would
+# silently return wrong neighbors — the same failure class the IVFADC
+# quantizer-version stamp closes, here closed by construction (the
+# rotation has no drift lifecycle: it is frozen with the codebook and
+# replaced only by a full re-build).
+# ---------------------------------------------------------------------------
+
+T_OPQ_ROT = "opq_rotation"
+T_OPQ_BOOK = "opq_codebook"
+T_OPQ_CODES = "opq_codes"
+
+
+def _stored_rotation(wh) -> list[list[float]]:
+    """The stored rotation, ordered by output coordinate — a d-row
+    bounded metadata collect (d = embedding dim, e.g. 64)."""
+    rot = _require(wh.read(LAYER, T_OPQ_ROT), T_OPQ_ROT)
+    return [list(r["r"]) for r in rot.orderBy("j").collect()]
+
+
+def opq_build(
+    wh,
+    emb: DataFrame,
+    run_id: int,
+    m: int = 4,
+    ksub: int = 16,
+    rotation: list[list[float]] | None = None,
+    codebooks: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Initial (or re-)build: rotation + codebook + full-corpus codes
+    under ONE atomic commit. ``rotation`` defaults to
+    ``similarity.opq_rotation`` (PCA + round-constrained eigenvalue
+    allocation) over the corpus; ``codebooks`` defaults to per-subspace
+    Lloyd codebooks trained on the ROTATED corpus — the configuration
+    OPQ exists for (there is no oracle ambition here: PCA is already
+    not oracle-expressible, so the catalog query is rows-only and the
+    correctness story is the bit-equality pins against the session
+    operator). The stored codes never carry floats; encoding derives
+    from the STORED rotation and book, not the in-memory ones."""
+    from .similarity import (
+        opq_rotation, pq_codebooks_kmeans, pq_encode, pq_subrows,
+        rotate_vecs,
+    )
+
+    if rotation is None:
+        rotation = opq_rotation(emb, m, vec_col)
+    spark = emb.sparkSession
+    rot_df = spark.createDataFrame(
+        [(j, [float(x) for x in row]) for j, row in enumerate(rotation)],
+        "j int, r array<double>",
+    )
+    wh.begin_run(run_id)
+    wh.overwrite(LAYER, T_OPQ_ROT, rot_df)
+    rotated = rotate_vecs(emb, _stored_rotation(wh), vec_col=vec_col)
+    if codebooks is None:
+        codebooks = pq_codebooks_kmeans(rotated, m=m, ksub=ksub,
+                                        vec_col=vec_col)
+    else:
+        _check_book_m(codebooks, m)
+    wh.overwrite(
+        LAYER, T_OPQ_BOOK,
+        codebooks.select(
+            F.col("sub").cast("int"),
+            F.col("cid").cast("int"),
+            F.col("cs").cast("array<double>"),
+        ),
+    )
+    book = wh.read(LAYER, T_OPQ_BOOK)
+    wh.overwrite(
+        LAYER, T_OPQ_CODES,
+        pq_encode(pq_subrows(rotated, m, id_col, vec_col), book),
+    )
+    wh.commit_run(run_id)
+
+
+def opq_ingest(
+    wh,
+    batch: DataFrame,
+    run_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    commit: bool = True,
+) -> DataFrame:
+    """Admit a vector batch: rotate with the STORED rotation, encode
+    against the STORED (frozen) codebook, append — O(batch·(d² +
+    m·ksub)) plus the replay-guard scan, independent of corpus size.
+    IDEMPOTENT on replay (the ann/dedup ingest contract): vids already
+    coded are skipped, duplicate vids within the batch collapse."""
+    from .similarity import pq_encode, pq_subrows, rotate_vecs
+
+    rot = _stored_rotation(wh)
+    book = _require(wh.read(LAYER, T_OPQ_BOOK), T_OPQ_BOOK)
+    idx = _require(wh.read(LAYER, T_OPQ_CODES), T_OPQ_CODES)
+    batch = batch.dropDuplicates([id_col])
+    batch_ids = batch.select(F.col(id_col).alias("vid"))
+    already = idx.select("vid").join(
+        F.broadcast(batch_ids), ["vid"], "left_semi"
+    )
+    m = _pq_m(book)
+    new_rows = pq_subrows(
+        rotate_vecs(batch, rot, vec_col=vec_col), m, id_col, vec_col
+    ).join(F.broadcast(already), ["vid"], "left_anti")
+    coded = pq_encode(new_rows, book)
+    if not commit:
+        return coded
+    if run_id is None:
+        raise ValueError("run_id is required when commit=True")
+    coded = coded.localCheckpoint()  # one eager pass feeds append + return
+    wh.begin_run(run_id)
+    wh.append(LAYER, T_OPQ_CODES, coded)
+    wh.commit_run(run_id)
+    return coded
+
+
+def opq_probe(
+    wh,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """OPQ-ADC search against the stored index — READ-ONLY: rotate the
+    bounded query set with the STORED rotation (d codegen folds over
+    Q rows), build the LUT from the stored codebook, score the stored
+    integer code rows, two-level top-k. Queries and codes share one
+    rotation by construction; results identical to
+    similarity.opq_adc_topk given the same rotation and codebooks
+    (pinned in test_ann_index.py)."""
+    from .similarity import pq_adc_rank, pq_lut, pq_subrows, rotate_vecs
+
+    rot = _stored_rotation(wh)
+    book = _require(wh.read(LAYER, T_OPQ_BOOK), T_OPQ_BOOK)
+    codes = _require(wh.read(LAYER, T_OPQ_CODES), T_OPQ_CODES)
+    m = _pq_m(book)
+    rq = rotate_vecs(queries, rot, vec_col=vec_col)
+    lut = pq_lut(pq_subrows(rq, m, id_col, vec_col), book)
+    return pq_adc_rank(codes, lut, m, k)

@@ -1029,6 +1029,42 @@ def q_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_ann_opq_index", oracle=None)
+def q_ann_opq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED OPQ probe: the rotation lives in the warehouse beside
+    the codebook and codes (one atomic commit), so ingest and probe
+    provably apply the SAME rotation the codes were encoded under —
+    the probe rotates the query set itself (d codegen folds over Q
+    rows) and pays ZERO extra per-candidate cost. Rows-only (PCA +
+    k-means aren't oracle-expressible); bit-equality of the stored
+    path against the session operator and the stored-rotation ingest
+    contract are pinned in tests/test_ann_index.py. Build cost is paid
+    once per source version (the index-fixture discipline) — the
+    recurring cost a user pays is this probe."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators import ann_index
+    from ..pipeline import Warehouse
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:opq1".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_opq_{tag}")
+    _built_once(
+        root, "index/opq_codes/_CURRENT",
+        lambda: ann_index.opq_build(
+            Warehouse(spark, root), emb, run_id=1, m=4, ksub=16,
+        ),
+    )
+    wh = Warehouse(spark, root)
+    return ann_index.opq_probe(wh, emb.where("vec_id < 10"), k=5)
+
+
 @query("q_ann_ivfpq_residual", oracle=_ivfpq_residual_oracle())
 def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESIDUAL IVFADC — Jégou et al. 2011 §IV exactly as published:

@@ -1163,3 +1163,65 @@ def test_opq_rotation_improves_pq_recall_on_variance_skewed_data(spark):
         )
     )
     assert opq >= plain + 0.05, (plain, opq)
+
+
+# -- persisted OPQ index (opq_build / opq_ingest / opq_probe) ---------------
+
+
+def test_opq_probe_matches_session_operator(spark, wh):
+    """Stored-index OPQ probe == similarity.opq_adc_topk bit for bit
+    given the same rotation and codebooks — and the stored index
+    applies the rotation to queries itself, so a caller can never
+    rotate differently than the codes were encoded."""
+    emb = _emb(spark, range(60))
+    R = similarity.opq_rotation(emb, m=2)
+    books = similarity.pq_codebooks_kmeans(
+        similarity.rotate_vecs(emb, R), m=2, ksub=8, seed=42, max_iter=10
+    )
+    ann_index.opq_build(wh, emb, run_id=1, m=2, ksub=8, rotation=R,
+                        codebooks=books)
+    tables = {t.split("/")[-1] for t in wh._manifest(1)["tables"]}
+    assert {"opq_rotation", "opq_codebook", "opq_codes"} <= tables
+    got = {
+        tuple(r)
+        for r in ann_index.opq_probe(
+            wh, emb.where("vec_id < 10"), k=3
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in similarity.opq_adc_topk(
+            emb, k=3, m=2, ksub=8, query_pred="vec_id < 10",
+            rotation=R, codebooks=books,
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_opq_ingest_rotates_with_stored_rotation(spark, wh):
+    """A batch admitted into an OPQ index must get the SAME codes a
+    from-scratch build over the union corpus would give it when both
+    share the stored rotation and codebook (frozen-artifact contract),
+    and replay appends nothing."""
+    import tempfile
+
+    emb40 = _emb(spark, range(40))
+    R = similarity.opq_rotation(emb40, m=2)
+    books = similarity.pq_codebooks_kmeans(
+        similarity.rotate_vecs(emb40, R), m=2, ksub=8, seed=42, max_iter=10
+    )
+    ann_index.opq_build(wh, emb40, run_id=1, m=2, ksub=8, rotation=R,
+                        codebooks=books)
+    out = ann_index.opq_ingest(wh, _emb(spark, range(40, 50)), run_id=2)
+    assert {r.vid for r in out.collect()} == set(range(40, 50))
+    replay = ann_index.opq_ingest(wh, _emb(spark, range(40, 50)), run_id=3)
+    assert replay.count() == 0
+
+    wh2 = Warehouse(spark, tempfile.mkdtemp(prefix="opq_ref_"))
+    ann_index.opq_build(wh2, _emb(spark, range(50)), run_id=1, m=2,
+                        ksub=8, rotation=R, codebooks=books)
+    got = {(r.vid, r.sub): r.code
+           for r in wh.read("index", "opq_codes").collect()}
+    want = {(r.vid, r.sub): r.code
+            for r in wh2.read("index", "opq_codes").collect()}
+    assert got == want and len(got) == 100
