@@ -1029,6 +1029,37 @@ def q_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_topk_bounded_merge",
+    oracle="""
+    SELECT c_nationkey, c_custkey, rnk, c_acctbal FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        FROM customer
+    ) WHERE rnk <= 5
+    """,
+)
+def q_topk_bounded_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation top-5 customers by account balance through the
+    THREE-LEVEL bounded-merge rank path (topk_per_query with
+    merge_fanout=8): level 1 ranks within (nation, input partition),
+    a middle level merges survivors by pid % 8, the final merge sees
+    ≤ 5·8 rows per nation — a FIXED ceiling independent of input
+    partition count (the round-13 scale lever for very wide scans;
+    SCALE.md 'level-2 merge ceiling'). Value-exact against the plain
+    single-window oracle: the extra merge level must be invisible in
+    results, which is the containment property the bit-identity pin
+    in tests/test_ann_index.py proves on skewed frames."""
+    scored = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", "c_acctbal"
+    )
+    return similarity.topk_per_query(
+        scored, 5, [F.col("c_acctbal").desc(), F.col("c_custkey")],
+        part_col="c_nationkey", merge_fanout=8,
+    ).select("c_nationkey", "c_custkey", "rnk", "c_acctbal")
+
+
 @query("q_ann_opq_index", oracle=None)
 def q_ann_opq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERSISTED OPQ probe: the rotation lives in the warehouse beside

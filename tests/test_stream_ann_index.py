@@ -186,3 +186,68 @@ def test_streaming_vector_admission_grows_frozen_ivfpq_index(spark, tmp_path):
         k=len(vids), nprobe=4,
     )
     assert 24 in {r.cand_id for r in probe.collect()}
+
+
+def test_streaming_vector_admission_grows_frozen_opq_index(spark, tmp_path):
+    """The OPQ twin: a vector file-stream admitted batch-by-batch
+    through foreachBatch + opq_ingest against the frozen ROTATION and
+    codebook (both byte-stable across the run), redelivered vids not
+    re-coded, and a vector admitted mid-stream probe-visible through
+    the rotated ADC search afterwards — i.e. streamed batches are
+    rotated with the STORED rotation, never a retrained one."""
+    from etl_fraud_detection_spark.operators import similarity
+
+    wh = Warehouse(spark, str(tmp_path / "opqwh"))
+    seed = spark.createDataFrame([(i, _vec(i)) for i in range(16)], SCHEMA)
+    R = similarity.opq_rotation(seed, m=2)
+    books = similarity.pq_codebooks_kmeans(
+        similarity.rotate_vecs(seed, R), m=2, ksub=8, seed=42, max_iter=5
+    )
+    ann_index.opq_build(wh, seed, run_id=1, m=2, ksub=8, rotation=R,
+                        codebooks=books)
+    rot_before = sorted(
+        (r.j, tuple(r.r))
+        for r in wh.read("index", "opq_rotation").collect()
+    )
+    book_before = sorted(
+        (r.sub, r.cid, tuple(r.cs))
+        for r in wh.read("index", "opq_codebook").collect()
+    )
+
+    # batch 2 redelivers vec 20 (already admitted in batch 0)
+    src = _write_stream_files(
+        spark, tmp_path, [[20, 21], [22, 23], [20, 24]]
+    )
+
+    def admit(batch_df, batch_id):
+        ann_index.opq_ingest(wh, batch_df, run_id=100 + batch_id)
+
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(admit)
+        .option("checkpointLocation", str(tmp_path / "opqckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    codes = wh.read("index", "opq_codes")
+    vids = set(range(16)) | {20, 21, 22, 23, 24}
+    assert {r.vid for r in codes.select("vid").collect()} == vids
+    assert codes.count() == len(vids) * 2  # m=2 rows per vid, no dupes
+    # rotation AND codebook frozen across every streamed batch
+    assert rot_before == sorted(
+        (r.j, tuple(r.r))
+        for r in wh.read("index", "opq_rotation").collect()
+    )
+    assert book_before == sorted(
+        (r.sub, r.cid, tuple(r.cs))
+        for r in wh.read("index", "opq_codebook").collect()
+    )
+    # a vector admitted mid-stream is probe-visible via rotated ADC
+    probe = ann_index.opq_probe(
+        wh, spark.createDataFrame([(99, _vec(22))], SCHEMA), k=len(vids)
+    )
+    assert 24 in {r.cand_id for r in probe.collect()}
