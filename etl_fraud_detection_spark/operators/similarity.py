@@ -1329,6 +1329,7 @@ def opq_adc_topk(
     codebooks: DataFrame | None = None,
     seed: int = 42,
     max_iter: int = 10,
+    train_books: bool = True,
 ) -> DataFrame:
     """OPQ search = rotate, then trained PQ-ADC (Ge et al. 2013): the
     corpus and the queries pass through the SAME orthogonal rotation,
@@ -1344,9 +1345,18 @@ def opq_adc_topk(
         rotation = opq_rotation(emb, m, vec_col)
     rot = rotate_vecs(emb, rotation, vec_col=vec_col)
     if codebooks is None:
-        codebooks = pq_codebooks_kmeans(
-            rot, m=m, ksub=ksub, vec_col=vec_col, seed=seed,
-            max_iter=max_iter,
+        # ``train_books=False`` pairs the rotation with the
+        # deterministic lowest-id codebook OVER THE ROTATED FRAME —
+        # the cheap configuration for repeated session calls (the m
+        # MLlib fits carry a fixed multi-second overhead regardless of
+        # ksub/max_iter; the persisted index trains once instead)
+        codebooks = (
+            pq_codebooks_kmeans(
+                rot, m=m, ksub=ksub, vec_col=vec_col, seed=seed,
+                max_iter=max_iter,
+            )
+            if train_books
+            else pq_default_codebook(rot, m, ksub, id_col, vec_col)
         )
     return pq_adc_topk(
         rot, k=k, m=m, ksub=ksub, query_pred=query_pred,

@@ -1019,13 +1019,18 @@ def q_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     rotation balances variance across PQ subspaces before quantizing —
     the next recall lever above trained codebooks, at ZERO query-time
     cost (the orthogonal rotation folds into the stored codes and the
-    LUT; inner products are preserved exactly). Rows-only (PCA and
-    k-means aren't oracle-expressible — the q_ann_ivfpq_kmeans
-    discipline); the recall-dominance property on variance-skewed data
-    and the rotation's orthogonality/cosine-preservation are pinned in
-    tests/test_ann_index.py."""
+    LUT; inner products are preserved exactly). Rows-only (PCA isn't
+    oracle-expressible — the q_ann_ivfpq_kmeans discipline); the
+    recall-dominance property on variance-skewed data and the
+    rotation's orthogonality/cosine-preservation are pinned in
+    tests/test_ann_index.py. Session form pairs the trained rotation
+    with the deterministic codebook over the rotated frame (the m
+    MLlib codebook fits carry ~16s of fixed overhead per call
+    regardless of size — measured round 13; the persisted
+    q_ann_opq_index trains them ONCE at build instead)."""
     return similarity.opq_adc_topk(
-        _t(spark, sf_dir, "embeddings"), k=5, m=4, ksub=16, max_iter=5
+        _t(spark, sf_dir, "embeddings"), k=5, m=4, ksub=16,
+        train_books=False,
     )
 
 
