@@ -1225,3 +1225,27 @@ def test_opq_ingest_rotates_with_stored_rotation(spark, wh):
     want = {(r.vid, r.sub): r.code
             for r in wh2.read("index", "opq_codes").collect()}
     assert got == want and len(got) == 100
+
+
+def test_ivfpq_qver_filter_is_pushed_to_code_scan(spark, wh):
+    """The quantizer-version restriction must reach the parquet scan
+    as a pushed data filter (row-group stats can then skip stale
+    files wholesale), not sit above the join as a post-filter."""
+    emb = _emb(spark, range(30))
+    ann_index.ivfpq_build(wh, emb, run_id=1, m=2, ksub=8, n_centroids=8)
+    out = ann_index.ivfpq_probe(wh, emb.where("vec_id < 3"), k=3, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(qver), EqualTo(qver,1)" in plan, plan
+    assert out.count() > 0
+
+
+def test_probe_with_empty_query_set_returns_empty_not_error(spark, wh):
+    """Zero queries -> zero probed cells: the static cell filter must
+    degrade to an empty result (cid IN () is not expressible), never a
+    crash — the shape a scheduled probe hits on an empty intake."""
+    emb = _emb(spark, range(20))
+    ann_index.build(wh, emb, run_id=1, n_centroids=4)
+    ann_index.ivfpq_build(wh, emb, run_id=2, m=2, ksub=8, n_centroids=4)
+    none = emb.where("vec_id < 0")
+    assert ann_index.probe(wh, none, k=3, nprobe=2).count() == 0
+    assert ann_index.ivfpq_probe(wh, none, k=3, nprobe=2).count() == 0
