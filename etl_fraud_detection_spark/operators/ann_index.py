@@ -95,9 +95,12 @@ def _static_cell_filter(
     80k/80k rows on a 64-cell index (SCALE.md round 13). A static
     filter cannot fall back; the partitions-read metric now equals the
     probed-cell union (probe-verified). The cid join stays (it
-    attaches query_id to candidates), so results are bit-identical;
-    the q_cells subplan evaluates twice (once collected here, once in
-    the join), both bounded."""
+    attaches query_id to candidates), so results are bit-identical.
+    Callers localCheckpoint ``q_cells`` first so the centroid rank
+    computes ONCE and the collect here and the join provably share the
+    same cell set. NOTE this makes every probe EAGER: a Spark job runs
+    at probe-construction time even if the returned DataFrame is never
+    evaluated (bounded — the rank is a Q×K frame)."""
     cells = sorted(
         r[0] for r in q_cells.select(cell_col).distinct().collect()
     )
@@ -258,7 +261,11 @@ def probe(
     cid). Candidates live in exactly one cell, so no (query, cand)
     pair scores twice and no dedup pass is needed. Output
     (query_id, cand_id, rnk, cos) — identical to similarity.ivf_topk
-    given the same centroids (pinned by test_ann_index.py)."""
+    given the same centroids (pinned by test_ann_index.py).
+
+    EAGER: the probed-cell set is collected at call time to build the
+    static partition filter (see _static_cell_filter), so a bounded
+    Spark job runs even if the returned frame is never evaluated."""
     cen = _require(wh.read(LAYER, T_CENTROIDS), T_CENTROIDS)
     idx = _require(wh.read(LAYER, T_ASSIGN), T_ASSIGN)
     w_cells = Window.partitionBy("query_id").orderBy(F.col("qa_cos").desc(), F.col("cid"))
@@ -277,6 +284,10 @@ def probe(
         .where(F.col("_qrn") <= nprobe)
         .select("query_id", "q_vec", "q_norm", "cid")
     )
+    # one eager pass: the static filter's collect and the cid join
+    # provably share the same probed-cell set (and the Q×K centroid
+    # rank computes once, not twice)
+    q_cells = q_cells.localCheckpoint()
     scored = (
         _static_cell_filter(idx, q_cells)
         .join(F.broadcast(q_cells), ["cid"])
@@ -686,7 +697,11 @@ def ivfpq_probe(
     stored meta record selects the scoring decomposition, so callers
     never pass an encoding flag that could silently mismatch the
     codes). This is the plan flat pq_probe cannot have: no per-query
-    corpus-sized scan, no corpus-sized rank partition."""
+    corpus-sized scan, no corpus-sized rank partition.
+
+    EAGER: the probed-cell set is collected at call time to build the
+    static partition filter (see _static_cell_filter), so a bounded
+    Spark job runs even if the returned frame is never evaluated."""
     from .similarity import (
         pq_adc_rank_cells, pq_lut, pq_subrows, residual_query_cells,
     )
@@ -705,9 +720,11 @@ def ivfpq_probe(
         # (pre-qver indexes have no column; their single build is v0)
         codes = codes.where(F.col("qver") == F.lit(meta["qver"]))
     if meta["residual"]:
-        q_cells = residual_query_cells(
-            queries, cen, nprobe, id_col, vec_col
-        ).withColumnRenamed("cell", "cid")
+        q_cells = (
+            residual_query_cells(queries, cen, nprobe, id_col, vec_col)
+            .withColumnRenamed("cell", "cid")
+            .localCheckpoint()  # one eager pass shared by filter + join
+        )
         lut = pq_lut(pq_subrows(queries, m, id_col, vec_col), book)
         cand = (
             _static_cell_filter(codes, q_cells)
@@ -733,6 +750,7 @@ def ivfpq_probe(
         .withColumn("_qrn", F.row_number().over(w_cells))
         .where(F.col("_qrn") <= nprobe)
         .select("query_id", "cid")
+        .localCheckpoint()  # one eager pass shared by filter + join
     )
     lut = pq_lut(pq_subrows(queries, m, id_col, vec_col), book)
     cand = (

@@ -1265,7 +1265,21 @@ def opq_rotation(
     from pyspark.ml.feature import PCA
     from pyspark.ml.functions import array_to_vector
 
-    d = len(emb.select(vec_col).first()[0])
+    head = emb.select(vec_col).first()
+    if head is None:
+        raise ValueError(
+            "opq_rotation: empty corpus — PCA needs at least one vector "
+            "to train the rotation on"
+        )
+    d = len(head[0])
+    if m <= 0 or d % m != 0:
+        raise ValueError(
+            f"opq_rotation: dim {d} is not divisible into m={m} equal "
+            f"subspaces — the eigenvalue allocation deals exactly d/m "
+            f"directions to each subspace (and pq_subrows would silently "
+            f"drop the trailing {d % m if m > 0 else d} dims); pick m "
+            f"dividing {d}"
+        )
     train = emb.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )

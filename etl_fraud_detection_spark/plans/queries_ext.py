@@ -1228,8 +1228,11 @@ def q_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivfpq_index_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERSISTED propose/dispose — the production ANN call end to end:
     ivfpq_probe over the STORED index proposes a top-20 shortlist
-    (code scan pruned to each query's nprobe cells via dynamic
-    partition pruning; no floats on the big side), then ann_rerank
+    (code scan pruned to each query's nprobe cells by the static
+    ``cid IN (...)`` partition filter — ann_index._static_cell_filter;
+    round 13 replaced dynamic pruning after measuring its runtime
+    fallback reading every partition; no floats on the big side), then
+    ann_rerank
     scores exact cosines against the warehouse vector table for ONLY
     the 20·Q shortlist rows — the corpus floats enter solely through
     the broadcast-shortlist join (plan-pinned in test_ann_index.py:

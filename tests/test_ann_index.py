@@ -98,23 +98,30 @@ def test_ingest_replay_is_idempotent(spark, wh):
 
 
 def test_probe_plan_is_readonly_scan(spark, wh):
-    """The probe must be a pure scan+join plan: stored parquet feeds
-    both sides, no Python/Arrow eval nodes (no KMeans retrain, which
-    would surface as extra jobs and mapInPandas/TreeAggregate nodes),
-    and the corpus side is never re-assigned (no second window over
-    ivf_assign rows)."""
+    """The probe must be a pure scan+join plan: the stored assignment
+    table feeds the big side as a parquet scan restricted by the STATIC
+    ``cid IN (...)`` partition filter (the centroid rank is evaluated
+    once into the eager q_cells checkpoint, so the query side enters
+    the final plan as a bounded in-memory frame — see
+    _static_cell_filter), no Python/Arrow eval nodes (no KMeans
+    retrain), and the corpus side is never re-assigned (no second
+    window over ivf_assign rows)."""
+    import re
+
     emb = _emb(spark, range(30))
-    ann_index.build(wh, emb, run_id=1, n_centroids=4)
-    plan = ann_index.probe(wh, emb.where("vec_id < 5"), k=3, nprobe=2)._jdf.queryExecution().executedPlan().toString()
-    # both stored tables feed the plan as parquet scans (locations are
-    # truncated in toString, so match the tables' ReadSchema signatures;
-    # cid is a PARTITION column of ivf_assign, so it is absent from its
-    # ReadSchema and present in PartitionFilters instead)
+    ann_index.build(wh, emb, run_id=1, n_centroids=8)
+    plan = ann_index.probe(wh, emb.where("vec_id < 3"), k=3, nprobe=2)._jdf.queryExecution().executedPlan().toString()
+    # the stored table feeds the plan as a parquet scan (locations are
+    # truncated in toString, so match its ReadSchema signature; cid is
+    # a PARTITION column of ivf_assign, so it is absent from the
+    # ReadSchema and appears in PartitionFilters instead)
     assert "vid:bigint,vec:array<float>" in plan.replace(" ", "")  # ivf_assign scan
-    assert "cid:int,cen_vec:array<double>" in plan.replace(" ", "")  # ivf_centroids scan
-    # the probe reads ONLY its nprobe cells' files: dynamic partition
-    # pruning off the broadcast query-cells side reaches the scan
-    assert "dynamicpruning" in plan, plan
+    # the probe reads ONLY its nprobe cells' files: the static literal
+    # filter prunes at file listing and cannot fall back (round 13)
+    m = re.search(r"PartitionFilters: \[cid#\d+ IN \(([^)]*)\)", plan)
+    assert m, plan
+    # 3 queries x nprobe=2 probe a strict subset of the 8 cells
+    assert 0 < len(m.group(1).split(",")) < 8
     for bad in ("Python", "mapInPandas", "KMeans"):
         assert bad not in plan, f"{bad} in probe plan"
 
