@@ -425,28 +425,35 @@ def pq_ingest(
 # partition filter from the bounded centroid rank prunes the scan at
 # file-listing time (_static_cell_filter), so at 10⁹ vectors a
 # query touches N·nprobe/K code rows — never the corpus. Same atomic
-# three-table commit and frozen-quantizer ingest contract as the IVF
-# and PQ indexes it composes.
+# multi-table commit and frozen-quantizer ingest contract as the IVF
+# and PQ indexes it composes. An optional stored OPQ rotation
+# (ivfpq_build(rotation=...), Ge et al. 2013 §4) trains both quantizers
+# in rotated space and rotates every later batch/query set — OPQ's
+# recall lever composed with the cell-pruned scan.
 # ---------------------------------------------------------------------------
 
 T_IVFPQ_CODES = "ivfpq_codes"
 T_IVFPQ_META = "ivfpq_meta"
+T_IVFPQ_ROT = "ivfpq_rotation"
 
 
 def _ivfpq_meta(wh) -> dict:
     """Stored index metadata — ONE 1-row read per ingest/probe call
-    (bounded-collect class): ``residual`` (encoding mode) and ``qver``
+    (bounded-collect class): ``residual`` (encoding mode), ``qver``
     (the quantizer VERSION the stored codes were encoded under —
     bumped by every build/rebuild, stamped on every code row, checked
     by every probe, so a code encoded under quantizer A can never be
-    ADC-scored against quantizer B's LUT). Indexes built before the
-    meta table existed are raw-code version 0 (the only mode that
-    existed then); an existing-but-EMPTY meta table is corrupt
-    warehouse state and raises a descriptive error instead of the bare
-    TypeError ``first()[...]`` would."""
+    ADC-scored against quantizer B's LUT) and ``rotated`` (whether the
+    index lives in OPQ-rotated space — Ge et al. 2013 §4 composed with
+    the inverted file: quantizers trained and codes encoded over
+    R·x, probes rotate the query set with the STORED rotation).
+    Indexes built before the meta table existed are raw-code unrotated
+    version 0 (the only mode that existed then); an existing-but-EMPTY
+    meta table is corrupt warehouse state and raises a descriptive
+    error instead of the bare TypeError ``first()[...]`` would."""
     meta = wh.read(LAYER, T_IVFPQ_META)
     if meta is None:
-        return {"residual": False, "qver": 0}
+        return {"residual": False, "qver": 0, "rotated": False}
     row = meta.first()
     if row is None:
         raise ValueError(
@@ -455,7 +462,11 @@ def _ivfpq_meta(wh) -> dict:
             f"impossible; rebuild the index (ann_index.ivfpq_build)"
         )
     d = row.asDict()
-    return {"residual": bool(d["residual"]), "qver": int(d.get("qver") or 0)}
+    return {
+        "residual": bool(d["residual"]),
+        "qver": int(d.get("qver") or 0),
+        "rotated": bool(d.get("rotated") or False),
+    }
 
 
 def _ivfpq_is_residual(wh) -> bool:
@@ -475,6 +486,7 @@ def ivfpq_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     residual: bool = False,
+    rotation: list[list[float]] | None = None,
 ) -> None:
     """Initial (or re-)build: coarse quantizer + PQ codebook + the
     cell-carrying code table + a 1-row meta record of the encoding
@@ -494,12 +506,43 @@ def ivfpq_build(
     is; there is deliberately no rebuild-in-place. The default
     residual codebook is the residuals of the ksub lowest ids ≥
     ``n_centroids`` (ids below it are the centroids themselves under
-    the lowest-id quantizer — their residuals are identically zero)."""
+    the lowest-id quantizer — their residuals are identically zero).
+
+    ``rotation`` (a d×d orthogonal matrix, e.g.
+    ``similarity.opq_rotation``) builds the OPQ × IVFADC composition
+    of Ge et al. 2013 §4: the corpus is rotated ONCE here, the coarse
+    quantizer and PQ codebooks live in ROTATED space (explicit
+    ``centroids``/``codebooks`` must therefore be rotated-space
+    artifacts — the deterministic defaults derive from the rotated
+    frame automatically), and every later ingest/probe rotates its
+    batch/query set with the STORED rotation — so the recall lever of
+    OPQ composes with the static cell-pruned scan instead of the flat
+    per-query corpus scan of ``opq_probe``. Orthogonality preserves
+    every inner product and norm, so cell assignment semantics are
+    unchanged. A rotated index's meta records ``rotated=true``; a
+    build without ``rotation`` records false and ignores any rotation
+    table left by a previous rotated build (meta is authoritative)."""
     from .similarity import (
         pq_default_codebook, pq_encode, pq_subrows, residual_default_book,
-        residual_subrows,
+        residual_subrows, rotate_vecs,
     )
 
+    # quantizer VERSION: bumped by every (re)build, stamped on every
+    # code row, filtered by every probe — a stale code (encoded under a
+    # previous quantizer pair) is structurally unscoreable, not just
+    # unlikely-by-convention. Read the old version BEFORE the run opens.
+    try:
+        qver = _ivfpq_meta(wh)["qver"] + 1
+    except ValueError:  # corrupt empty meta — this build replaces it
+        qver = 1
+    wh.begin_run(run_id)
+    if rotation is not None:
+        wh.overwrite(LAYER, T_IVFPQ_ROT, _rot_df(wh.spark, rotation))
+        # everything downstream — default quantizers included — sees
+        # only the rotated frame, derived from the STORED rotation
+        emb = rotate_vecs(
+            emb, _stored_rotation(wh, T_IVFPQ_ROT), vec_col=vec_col
+        )
     if centroids is None:
         centroids = emb.where(F.col(id_col) < n_centroids).select(
             F.col(id_col).cast("int").alias("cid"),
@@ -512,15 +555,6 @@ def ivfpq_build(
             F.col("cen_vec").cast("array<double>"),
             "cen_norm",
         )
-    # quantizer VERSION: bumped by every (re)build, stamped on every
-    # code row, filtered by every probe — a stale code (encoded under a
-    # previous quantizer pair) is structurally unscoreable, not just
-    # unlikely-by-convention. Read the old version BEFORE the run opens.
-    try:
-        qver = _ivfpq_meta(wh)["qver"] + 1
-    except ValueError:  # corrupt empty meta — this build replaces it
-        qver = 1
-    wh.begin_run(run_id)
     wh.overwrite(LAYER, T_CENTROIDS, centroids)
     # everything downstream derives from the STORED quantizers
     cen = wh.read(LAYER, T_CENTROIDS)
@@ -563,7 +597,8 @@ def ivfpq_build(
     wh.overwrite(
         LAYER, T_IVFPQ_META,
         wh.spark.createDataFrame(
-            [(residual, qver)], "residual boolean, qver long"
+            [(residual, qver, rotation is not None)],
+            "residual boolean, qver long, rotated boolean",
         ),
     )
     wh.commit_run(run_id)
@@ -582,11 +617,15 @@ def ivfpq_ingest(
     the replay-guard scan, independent of corpus size. IDEMPOTENT on
     replay (the ann/dedup ingest contract): vids already coded are
     skipped, duplicate vids within the batch collapse. Encoding mode
-    (raw vs residual) follows the STORED meta record, so a batch
-    admitted into a residual index is residual-encoded against the
-    same frozen quantizers. Returns the (vid, sub, code, cid) rows of
-    the genuinely new vectors; ``commit=False`` computes read-only."""
-    from .similarity import pq_encode, pq_subrows, residual_subrows
+    (raw vs residual, rotated or not) follows the STORED meta record,
+    so a batch admitted into a residual index is residual-encoded
+    against the same frozen quantizers and a batch admitted into a
+    rotated index is rotated with the STORED rotation first. Returns
+    the (vid, sub, code, cid) rows of the genuinely new vectors;
+    ``commit=False`` computes read-only."""
+    from .similarity import (
+        pq_encode, pq_subrows, residual_subrows, rotate_vecs,
+    )
 
     cen = _require(wh.read(LAYER, T_CENTROIDS), T_CENTROIDS)
     book = _require(wh.read(LAYER, T_PQ_CODEBOOK), T_PQ_CODEBOOK)
@@ -602,7 +641,13 @@ def ivfpq_ingest(
         "left_anti",
     )
     m = _pq_m(book)
-    meta = _ivfpq_meta(wh)  # one 1-row read: mode + quantizer version
+    meta = _ivfpq_meta(wh)  # one 1-row read: mode + version + rotation
+    if meta["rotated"]:
+        # rotated index: assignment and encoding both happen in the
+        # SAME rotated space the stored quantizers were trained in
+        new_vecs = rotate_vecs(
+            new_vecs, _stored_rotation(wh, T_IVFPQ_ROT), vec_col=vec_col
+        )
     cells = argmax_cell(_vrows(new_vecs, id_col, vec_col), cen)
     enc_rows = (
         residual_subrows(cells, cen, m).select("vid", "sub", "xs")
@@ -618,6 +663,15 @@ def ivfpq_ingest(
             F.col("cell").alias("cid"),
         )
     )
+    if "qver" not in idx.columns:
+        # pre-qver index (single legacy build = implicit version 0):
+        # Warehouse.read does not mergeSchema, so stamping new rows
+        # would make the union's schema file-order dependent — and if
+        # qver DID surface, every legacy row would read NULL and the
+        # probe's equality filter would silently exclude the original
+        # corpus from results. Keep the legacy schema uniform; probes
+        # skip the version filter when the column is absent.
+        coded = coded.drop("qver")
     if not commit:
         return coded
     if run_id is None:
@@ -640,6 +694,7 @@ def ivfpq_rebuild(
     codebooks: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: list[list[float]] | None = None,
 ) -> None:
     """Quantizer REBUILD-BY-REPLACEMENT for the IVFADC index — the
     lifecycle step the frozen-quantizer ingest contract defers drift
@@ -653,7 +708,10 @@ def ivfpq_rebuild(
       frame is supplied,
     - keeps the STORED encoding mode (a residual index rebuilds as
       residual — the codes are coupled to the coarse quantizer, which
-      is exactly why rebuild must re-encode them),
+      is exactly why rebuild must re-encode them; a ROTATED index
+      retrains its OPQ rotation over the current corpus unless an
+      explicit ``rotation`` is supplied, and the coarse quantizer is
+      then trained in the NEW rotated space),
     - delegates to :func:`ivfpq_build`: every code row is re-encoded
       under the new quantizers and stamped with the BUMPED quantizer
       version, and all four tables swap under one atomic commit —
@@ -663,18 +721,28 @@ def ivfpq_rebuild(
     append racing the rebuild), probes filter codes to the current
     stored ``qver``, so scoring batch-A codes against a batch-B LUT is
     structurally impossible (pinned in test_ann_index.py)."""
-    residual = _ivfpq_meta(wh)["residual"]
-    if centroids is None:
-        from .similarity import kmeans_centroids
+    meta = _ivfpq_meta(wh)
+    if meta["rotated"] and rotation is None:
+        from .similarity import opq_rotation
 
+        rotation = opq_rotation(emb, m, vec_col)
+    if centroids is None:
+        from .similarity import kmeans_centroids, rotate_vecs
+
+        train = (
+            rotate_vecs(emb, rotation, vec_col=vec_col)
+            if rotation is not None
+            else emb
+        )
         centroids = kmeans_centroids(
-            emb.select(F.col(vec_col).alias("embedding")),
+            train.select(F.col(vec_col).alias("embedding")),
             n_centroids=n_centroids,
         )
     ivfpq_build(
         wh, emb, run_id, m=m, ksub=ksub, n_centroids=n_centroids,
         centroids=centroids, codebooks=codebooks,
-        id_col=id_col, vec_col=vec_col, residual=residual,
+        id_col=id_col, vec_col=vec_col, residual=meta["residual"],
+        rotation=rotation,
     )
 
 
@@ -704,13 +772,23 @@ def ivfpq_probe(
     Spark job runs even if the returned frame is never evaluated."""
     from .similarity import (
         pq_adc_rank_cells, pq_lut, pq_subrows, residual_query_cells,
+        rotate_vecs,
     )
 
     cen = _require(wh.read(LAYER, T_CENTROIDS), T_CENTROIDS)
     book = _require(wh.read(LAYER, T_PQ_CODEBOOK), T_PQ_CODEBOOK)
     codes = _require(wh.read(LAYER, T_IVFPQ_CODES), T_IVFPQ_CODES)
     m = _pq_m(book)
-    meta = _ivfpq_meta(wh)  # one 1-row read: mode + quantizer version
+    meta = _ivfpq_meta(wh)  # one 1-row read: mode + version + rotation
+    if meta["rotated"]:
+        # rotated index (OPQ × IVFADC): the query set is rotated with
+        # the STORED rotation — d codegen folds over Q rows, zero
+        # per-candidate cost — and then searched exactly like an
+        # unrotated index; orthogonality preserves inner products, so
+        # centroid ranking and ADC scoring are semantically unchanged
+        queries = rotate_vecs(
+            queries, _stored_rotation(wh, T_IVFPQ_ROT), vec_col=vec_col
+        )
     if "qver" in codes.columns:
         # score ONLY codes encoded under the CURRENT quantizer version:
         # a stale row (e.g. an append that raced a rebuild) is filtered
@@ -799,13 +877,45 @@ def pq_probe(
 T_OPQ_ROT = "opq_rotation"
 T_OPQ_BOOK = "opq_codebook"
 T_OPQ_CODES = "opq_codes"
+T_OPQ_META = "opq_meta"
 
 
-def _stored_rotation(wh) -> list[list[float]]:
-    """The stored rotation, ordered by output coordinate — a d-row
-    bounded metadata collect (d = embedding dim, e.g. 64)."""
-    rot = _require(wh.read(LAYER, T_OPQ_ROT), T_OPQ_ROT)
+def _opq_meta(wh) -> dict:
+    """Stored flat-OPQ index metadata — ONE 1-row read (bounded-collect
+    class): ``qver``, the rotation/codebook VERSION the stored codes
+    were encoded under. Same contract as the IVFADC ``_ivfpq_meta``:
+    bumped by every build/rebuild, stamped on every code row, filtered
+    by every probe — a code encoded under rotation A can never be
+    ADC-scored against rotation B's LUT (an append racing a rebuild,
+    a partial restore). Pre-meta indexes are version 0; an
+    existing-but-EMPTY meta table is corrupt warehouse state."""
+    meta = wh.read(LAYER, T_OPQ_META)
+    if meta is None:
+        return {"qver": 0}
+    row = meta.first()
+    if row is None:
+        raise ValueError(
+            f"OPQ index metadata corrupt: {LAYER}.{T_OPQ_META} exists "
+            f"but holds no row — the atomic commit should make this "
+            f"impossible; rebuild the index (ann_index.opq_build)"
+        )
+    return {"qver": int(row.asDict().get("qver") or 0)}
+
+
+def _stored_rotation(wh, table: str = T_OPQ_ROT) -> list[list[float]]:
+    """The stored rotation (flat-OPQ or rotated-IVFADC table), ordered
+    by output coordinate — a d-row bounded metadata collect (d =
+    embedding dim, e.g. 64)."""
+    rot = _require(wh.read(LAYER, table), table)
     return [list(r["r"]) for r in rot.orderBy("j").collect()]
+
+
+def _rot_df(spark, rotation: list[list[float]]) -> DataFrame:
+    """A d×d rotation as its warehouse frame (j = output coordinate)."""
+    return spark.createDataFrame(
+        [(j, [float(x) for x in row]) for j, row in enumerate(rotation)],
+        "j int, r array<double>",
+    )
 
 
 def opq_build(
@@ -828,7 +938,11 @@ def opq_build(
     not oracle-expressible, so the catalog query is rows-only and the
     correctness story is the bit-equality pins against the session
     operator). The stored codes never carry floats; encoding derives
-    from the STORED rotation and book, not the in-memory ones."""
+    from the STORED rotation and book, not the in-memory ones. Every
+    code row is stamped with the bumped rotation/codebook version
+    (``qver`` — the _opq_meta lifecycle, mirroring the IVFADC stamp),
+    so a row encoded under a previous build is structurally
+    unscoreable by later probes."""
     from .similarity import (
         opq_rotation, pq_codebooks_kmeans, pq_encode, pq_subrows,
         rotate_vecs,
@@ -836,13 +950,12 @@ def opq_build(
 
     if rotation is None:
         rotation = opq_rotation(emb, m, vec_col)
-    spark = emb.sparkSession
-    rot_df = spark.createDataFrame(
-        [(j, [float(x) for x in row]) for j, row in enumerate(rotation)],
-        "j int, r array<double>",
-    )
+    try:
+        qver = _opq_meta(wh)["qver"] + 1
+    except ValueError:  # corrupt empty meta — this build replaces it
+        qver = 1
     wh.begin_run(run_id)
-    wh.overwrite(LAYER, T_OPQ_ROT, rot_df)
+    wh.overwrite(LAYER, T_OPQ_ROT, _rot_df(emb.sparkSession, rotation))
     rotated = rotate_vecs(emb, _stored_rotation(wh), vec_col=vec_col)
     if codebooks is None:
         codebooks = pq_codebooks_kmeans(rotated, m=m, ksub=ksub,
@@ -860,7 +973,13 @@ def opq_build(
     book = wh.read(LAYER, T_OPQ_BOOK)
     wh.overwrite(
         LAYER, T_OPQ_CODES,
-        pq_encode(pq_subrows(rotated, m, id_col, vec_col), book),
+        pq_encode(pq_subrows(rotated, m, id_col, vec_col), book).select(
+            "vid", "sub", "code", F.lit(qver).cast("long").alias("qver")
+        ),
+    )
+    wh.overwrite(
+        LAYER, T_OPQ_META,
+        wh.spark.createDataFrame([(qver,)], "qver long"),
     )
     wh.commit_run(run_id)
 
@@ -892,7 +1011,16 @@ def opq_ingest(
     new_rows = pq_subrows(
         rotate_vecs(batch, rot, vec_col=vec_col), m, id_col, vec_col
     ).join(F.broadcast(already), ["vid"], "left_anti")
-    coded = pq_encode(new_rows, book)
+    coded = pq_encode(new_rows, book).select(
+        "vid", "sub", "code",
+        F.lit(_opq_meta(wh)["qver"]).cast("long").alias("qver"),
+    )
+    if "qver" not in idx.columns:
+        # pre-qver index: keep the legacy schema uniform (the ivfpq
+        # ingest rationale — Warehouse.read does not mergeSchema, and
+        # a surfaced qver column would NULL out every legacy row under
+        # the probe's equality filter)
+        coded = coded.drop("qver")
     if not commit:
         return coded
     if run_id is None:
@@ -902,6 +1030,38 @@ def opq_ingest(
     wh.append(LAYER, T_OPQ_CODES, coded)
     wh.commit_run(run_id)
     return coded
+
+
+def opq_rebuild(
+    wh,
+    emb: DataFrame,
+    run_id: int,
+    m: int = 4,
+    ksub: int = 16,
+    rotation: list[list[float]] | None = None,
+    codebooks: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Rotation/codebook REBUILD-BY-REPLACEMENT for the flat OPQ index
+    — the lifecycle step the frozen-artifact ingest contract defers
+    drift correction to (the ivfpq_rebuild discipline). The code table
+    cannot reconstruct its vectors (that IS the compression), so
+    rebuild takes the corpus frame ``emb`` — at 100 TB that is the
+    warehouse vector table, read once. Delegates to :func:`opq_build`,
+    which retrains the PCA rotation over the CURRENT corpus and the
+    rotated-space codebooks (unless explicit ones are supplied),
+    re-encodes every row under the BUMPED ``qver``, and swaps all four
+    tables under one atomic commit — readers observe either (old
+    rotation, old book, old codes) or (new, new, new). Belt and
+    braces: even if a stale code row somehow survived (an append
+    racing the rebuild), probes filter codes to the current stored
+    ``qver`` (pinned in test_ann_index.py)."""
+    _require(wh.read(LAYER, T_OPQ_CODES), T_OPQ_CODES)  # rebuild, not build
+    opq_build(
+        wh, emb, run_id, m=m, ksub=ksub, rotation=rotation,
+        codebooks=codebooks, id_col=id_col, vec_col=vec_col,
+    )
 
 
 def opq_probe(
@@ -917,12 +1077,22 @@ def opq_probe(
     integer code rows, two-level top-k. Queries and codes share one
     rotation by construction; results identical to
     similarity.opq_adc_topk given the same rotation and codebooks
-    (pinned in test_ann_index.py)."""
+    (pinned in test_ann_index.py).
+
+    NOTE this is the flat-ADC BASELINE: the score pass scans every
+    stored code row per query set. The production composition is
+    ivfpq_build(rotation=...) + ivfpq_probe — the same rotation with
+    the cell-pruned scan (q_ann_opq_ivf)."""
     from .similarity import pq_adc_rank, pq_lut, pq_subrows, rotate_vecs
 
     rot = _stored_rotation(wh)
     book = _require(wh.read(LAYER, T_OPQ_BOOK), T_OPQ_BOOK)
     codes = _require(wh.read(LAYER, T_OPQ_CODES), T_OPQ_CODES)
+    if "qver" in codes.columns:
+        # score ONLY codes encoded under the CURRENT rotation/codebook
+        # version (pushed parquet predicate — the IVFADC qver
+        # discipline); pre-qver indexes have no column, single build
+        codes = codes.where(F.col("qver") == F.lit(_opq_meta(wh)["qver"]))
     m = _pq_m(book)
     rq = rotate_vecs(queries, rot, vec_col=vec_col)
     lut = pq_lut(pq_subrows(rq, m, id_col, vec_col), book)

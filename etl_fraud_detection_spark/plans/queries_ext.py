@@ -791,16 +791,18 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_oracle(k: int = 5) -> str:
+def _ivfpq_oracle(k: int = 5, src: str = "embeddings", pre: str = "") -> str:
     """IVFADC: the _ivf_nprobe_oracle coarse-cell CTEs composed with
     the _pq_adc_oracle code/LUT CTEs — candidates restricted to the
-    query's nprobe=2 nearest coarse cells before ADC scoring."""
+    query's nprobe=2 nearest coarse cells before ADC scoring.
+    ``src``/``pre`` let a caller run the SAME pipeline over a derived
+    vector relation (q_ann_opq_ivf: a rotated twin of embeddings)."""
     return f"""
-    WITH sub AS (
+    WITH {pre}sub AS (
         SELECT vec_id, s.s AS sub,
                embedding[s.s * (len(embedding) // 4) + 1
                          : (s.s + 1) * (len(embedding) // 4)] AS xs
-        FROM embeddings, unnest([0, 1, 2, 3]) AS s(s)
+        FROM {src}, unnest([0, 1, 2, 3]) AS s(s)
     ),
     cen AS (SELECT vec_id AS cid, sub, xs AS cs FROM sub WHERE vec_id < 16),
     codes AS (
@@ -813,13 +815,13 @@ def _ivfpq_oracle(k: int = 5) -> str:
         ) WHERE rn = 1
     ),
     coarse AS (SELECT vec_id AS ccid, embedding AS cen_vec
-               FROM embeddings WHERE vec_id < 16),
+               FROM {src} WHERE vec_id < 16),
     assign AS (
         SELECT e.vec_id AS vid, ccid,
                row_number() OVER (PARTITION BY e.vec_id
                    ORDER BY {_cos_sql('e.embedding', 'cen_vec')} DESC,
                             ccid) AS arn
-        FROM embeddings e CROSS JOIN coarse
+        FROM {src} e CROSS JOIN coarse
     ),
     cells AS (SELECT vid, ccid FROM assign WHERE arn = 1),
     qcells AS (SELECT vid AS query_id, ccid
@@ -1067,16 +1069,21 @@ def q_topk_bounded_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_ann_opq_index", oracle=None)
 def q_ann_opq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PERSISTED OPQ probe: the rotation lives in the warehouse beside
-    the codebook and codes (one atomic commit), so ingest and probe
-    provably apply the SAME rotation the codes were encoded under —
-    the probe rotates the query set itself (d codegen folds over Q
-    rows) and pays ZERO extra per-candidate cost. Rows-only (PCA +
-    k-means aren't oracle-expressible); bit-equality of the stored
-    path against the session operator and the stored-rotation ingest
-    contract are pinned in tests/test_ann_index.py. Build cost is paid
-    once per source version (the index-fixture discipline) — the
-    recurring cost a user pays is this probe."""
+    """PERSISTED flat-OPQ probe — the EXACT-ADC BASELINE of the OPQ
+    family, not its production path: the probe scans EVERY stored code
+    row per query set (flat ADC — the same per-query corpus-scan shape
+    as q_ann_pq_adc, which it exists to compare against), so at 10⁹
+    vectors it is the recall yardstick, while the production form is
+    q_ann_opq_ivf: the SAME rotation composed with the inverted file,
+    where the code scan is pruned to the probed cells at file-listing
+    time. What this index pins: the rotation lives in the warehouse
+    beside the codebook and codes (one atomic commit), so ingest and
+    probe provably apply the SAME rotation the codes were encoded
+    under — the probe rotates the query set itself (d codegen folds
+    over Q rows) at zero per-candidate cost. Rows-only (PCA + k-means
+    aren't oracle-expressible); bit-equality of the stored path
+    against the session operator and the stored-rotation ingest
+    contract are pinned in tests/test_ann_index.py."""
     import hashlib
     import os
     import tempfile
@@ -1088,7 +1095,7 @@ def q_ann_opq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     tag = hashlib.md5(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:opq1".encode()
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:opq2".encode()
     ).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"spark_graft_opq_{tag}")
     _built_once(
@@ -1251,6 +1258,77 @@ def q_ann_ivfpq_index_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     return similarity.ann_rerank(emb, short, k=5)
+
+
+# Deterministic OPQ floor rotation: the stride PERMUTATION that deals
+# input coordinate (j % 16) * 4 + (j // 16) to output coordinate j, so
+# subspace s = j // 16 holds input dims {s, s+4, s+8, ...} — the
+# interleave allocation a variance-balanced rotation produces when
+# variance is laid out contiguously. A permutation matrix is a genuine
+# orthogonal rotation (R·Rᵀ = I) that DuckDB can express as list
+# re-indexing, giving the OPQ × IVFADC composition an ORACLE-EXACT
+# floor; the trained PCA rotation (similarity.opq_rotation) slots into
+# the same ``rotation`` parameter (bit-equality pinned in
+# tests/test_ann_index.py rotated-IVFADC tests).
+_OPQ_IVF_PERM = [(j % 16) * 4 + (j // 16) for j in range(64)]
+
+
+def _opq_ivf_rotation() -> list[list[float]]:
+    return [
+        [1.0 if i == p else 0.0 for i in range(64)]
+        for p in _OPQ_IVF_PERM
+    ]
+
+
+@query(
+    "q_ann_opq_ivf",
+    oracle=_ivfpq_oracle(
+        k=5,
+        src="rot",
+        pre=(
+            "rot AS (SELECT vec_id, ["
+            + ", ".join(f"embedding[{p + 1}]" for p in _OPQ_IVF_PERM)
+            + "] AS embedding FROM embeddings), "
+        ),
+    ),
+)
+def q_ann_opq_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ × IVFADC (Ge et al. 2013 §4 — the rotation composed WITH
+    the inverted file): ivfpq_build(rotation=...) stores the rotation
+    beside the coarse quantizer and trains every artifact in ROTATED
+    space; the probe rotates only the bounded query set (d codegen
+    folds over Q rows, zero per-candidate cost) and then searches
+    through the SAME static ``cid IN`` partition-filtered code scan as
+    q_ann_ivfpq_index — so OPQ's recall lever no longer costs the flat
+    per-query corpus scan of q_ann_opq_index. This floor uses the
+    deterministic stride-permutation rotation (orthogonal AND
+    SQL-expressible, so the oracle runs the full IVFADC pipeline over
+    the permuted vectors); production swaps in the trained PCA
+    rotation via the same parameter, pinned bit-equal in
+    tests/test_ann_index.py."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators import ann_index
+    from ..pipeline import Warehouse
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:opqivf1".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_opqivf_{tag}")
+    _built_once(
+        root, "index/ivfpq_codes/_CURRENT",
+        lambda: ann_index.ivfpq_build(
+            Warehouse(spark, root), emb, run_id=1, m=4, ksub=16,
+            n_centroids=16, rotation=_opq_ivf_rotation(),
+        ),
+    )
+    wh = Warehouse(spark, root)
+    return ann_index.ivfpq_probe(wh, emb.where("vec_id < 10"), k=5, nprobe=2)
 
 
 def _lsh_ann_oracle() -> str:

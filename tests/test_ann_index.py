@@ -969,7 +969,8 @@ def test_ivfpq_rebuild_reencodes_residual_codes_under_new_quantizer(spark, wh):
         ann_index.ivfpq_ingest(
             wh, _drifted(spark, range(lo, lo + 10)), run_id=2 + b
         )
-    assert ann_index._ivfpq_meta(wh) == {"residual": True, "qver": 1}
+    assert ann_index._ivfpq_meta(wh) == {"residual": True, "qver": 1,
+                                         "rotated": False}
     codes_v1 = wh.read("index", "ivfpq_codes")
     assert codes_v1.where("qver <> 1").count() == 0
     n_rows = codes_v1.count()
@@ -992,7 +993,8 @@ def test_ivfpq_rebuild_reencodes_residual_codes_under_new_quantizer(spark, wh):
     ann_index.ivfpq_rebuild(wh, union, run_id=9, m=2, ksub=8,
                             n_centroids=8, centroids=cen2)
 
-    assert ann_index._ivfpq_meta(wh) == {"residual": True, "qver": 2}
+    assert ann_index._ivfpq_meta(wh) == {"residual": True, "qver": 2,
+                                         "rotated": False}
     codes_v2 = wh.read("index", "ivfpq_codes")
     assert codes_v2.count() == n_rows
     assert codes_v2.where("qver <> 2").count() == 0  # nothing stale
@@ -1256,3 +1258,309 @@ def test_probe_with_empty_query_set_returns_empty_not_error(spark, wh):
     none = emb.where("vec_id < 0")
     assert ann_index.probe(wh, none, k=3, nprobe=2).count() == 0
     assert ann_index.ivfpq_probe(wh, none, k=3, nprobe=2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Rotated IVFADC: the OPQ × inverted-file composition (Ge et al. 2013
+# §4) — ivfpq_build(rotation=...) trains both quantizers in rotated
+# space; ingest/probe rotate their batch/query sets with the STORED
+# rotation; the static cell-pruned scan is unchanged.
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_rotated_probe_matches_rotated_session_operator(spark, wh):
+    """A rotated stored index must search bit-identically to the
+    session ivfpq_topk over the PRE-rotated corpus: the rotation folds
+    into the stored artifacts (codes, centroids, books all live in
+    rotated space) and the probe rotates only the query set — so the
+    two pipelines are the same deterministic plan over the same rotated
+    frame."""
+    emb = _emb(spark, range(40))
+    R = similarity.opq_rotation(emb, m=2)
+    ann_index.ivfpq_build(wh, emb, run_id=1, m=2, ksub=8, n_centroids=8,
+                          rotation=R)
+    tables = {t.split("/")[-1] for t in wh._manifest(1)["tables"]}
+    assert "ivfpq_rotation" in tables  # committed WITH the quantizers
+    got = {
+        tuple(r)
+        for r in ann_index.ivfpq_probe(
+            wh, emb.where("vec_id < 5"), k=3, nprobe=2
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in similarity.ivfpq_topk(
+            similarity.rotate_vecs(emb, R), k=3, m=2, ksub=8,
+            n_centroids=8, nprobe=2, query_pred="vec_id < 5",
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_ivfpq_rotated_ingest_matches_from_scratch_build(spark, wh):
+    """A batch admitted into a rotated index must get the SAME
+    (code, cell, qver) rows a from-scratch rotated build over the union
+    corpus would give it (frozen-artifact contract: the stored rotation
+    and quantizers encode the batch, never retrained ones), and replay
+    appends nothing."""
+    import tempfile
+
+    emb40 = _emb(spark, range(40))
+    R = similarity.opq_rotation(emb40, m=2)
+    ann_index.ivfpq_build(wh, emb40, run_id=1, m=2, ksub=8, n_centroids=8,
+                          rotation=R)
+    out = ann_index.ivfpq_ingest(wh, _emb(spark, range(40, 50)), run_id=2)
+    assert {r.vid for r in out.collect()} == set(range(40, 50))
+    replay = ann_index.ivfpq_ingest(wh, _emb(spark, range(40, 50)), run_id=3)
+    assert replay.count() == 0
+
+    wh2 = Warehouse(spark, tempfile.mkdtemp(prefix="ivfpqrot_ref_"))
+    ann_index.ivfpq_build(wh2, _emb(spark, range(50)), run_id=1, m=2,
+                          ksub=8, n_centroids=8, rotation=R)
+    got = {(r.vid, r.sub): (r.code, r.cid, r.qver)
+           for r in wh.read("index", "ivfpq_codes").collect()}
+    want = {(r.vid, r.sub): (r.code, r.cid, r.qver)
+            for r in wh2.read("index", "ivfpq_codes").collect()}
+    assert got == want and len(got) == 100
+
+
+def test_ivfpq_rotated_probe_plan_prunes_code_partitions(spark, wh):
+    """The rotated probe keeps the unrotated probe's scale shape: the
+    code scan is pruned by the static cid IN partition filter (the
+    rotation touches only the bounded query side — d codegen folds
+    over Q rows), the big side stays integer code rows, and no
+    training appears anywhere in the plan."""
+    import re
+
+    emb = _emb(spark, range(40))
+    R = similarity.opq_rotation(emb, m=2)
+    ann_index.ivfpq_build(wh, emb, run_id=1, m=2, ksub=8, n_centroids=8,
+                          rotation=R)
+    out = ann_index.ivfpq_probe(wh, emb.where("vec_id < 5"), k=3, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[cid#\d+ IN \(([^)]*)\)", plan)
+    assert m, plan
+    assert 0 < len(m.group(1).split(",")) < 8
+    assert "ReadSchema: struct<vid:bigint,sub:int,code:int" in plan
+    for bad in ("Python", "mapInPandas", "KMeans", "PCA"):
+        assert bad not in plan
+    assert out.count() > 0
+
+
+def test_ivfpq_rotated_residual_composes(spark, wh):
+    """rotation + residual stack: codes quantize the ROTATED residual
+    x' − c(x') and the probe scores ⟨q', c⟩ + LUT partials in rotated
+    space — bit-identical to the session residual operator over the
+    pre-rotated corpus."""
+    emb = _emb(spark, range(40))
+    R = similarity.opq_rotation(emb, m=2)
+    ann_index.ivfpq_build(wh, emb, run_id=1, m=2, ksub=8, n_centroids=8,
+                          rotation=R, residual=True)
+    got = {
+        tuple(r)
+        for r in ann_index.ivfpq_probe(
+            wh, emb.where("vec_id < 5"), k=3, nprobe=2
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in similarity.ivfpq_residual_topk(
+            similarity.rotate_vecs(emb, R), k=3, m=2, ksub=8,
+            n_centroids=8, nprobe=2, query_pred="vec_id < 5",
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_ivfpq_rotated_rebuild_keeps_rotation_lifecycle(spark, wh):
+    """Rebuilding a rotated index retrains the rotation over the
+    current corpus, re-encodes every row under the bumped quantizer
+    version, and stays rotated — readers observe (old rotation, old
+    quantizers, old codes) or (new, new, new), never a mix."""
+    emb = _emb(spark, range(40))
+    R = similarity.opq_rotation(emb, m=2)
+    ann_index.ivfpq_build(wh, emb, run_id=1, m=2, ksub=8, n_centroids=8,
+                          rotation=R)
+    ann_index.ivfpq_ingest(wh, _emb(spark, range(40, 60)), run_id=2)
+    ann_index.ivfpq_rebuild(
+        wh, _emb(spark, range(60)), run_id=3, m=2, ksub=8, n_centroids=8,
+    )
+    meta = ann_index._ivfpq_meta(wh)
+    assert meta == {"residual": False, "qver": 2, "rotated": True}
+    vers = wh.read("index", "ivfpq_codes").select("qver").distinct().collect()
+    assert [r.qver for r in vers] == [2]  # every row re-encoded
+    out = ann_index.ivfpq_probe(wh, emb.where("vec_id < 5"), k=3, nprobe=2)
+    assert out.count() > 0
+
+
+def test_ivfpq_ingest_into_legacy_prever_index_keeps_schema(spark, wh):
+    """An index whose stored code files predate the qver column must
+    stay qver-free after ingest: Warehouse.read does not mergeSchema,
+    so a stamped append would make the union's schema file-order
+    dependent — and if qver surfaced, legacy rows would read NULL and
+    the probe's equality filter would silently exclude the ENTIRE
+    original corpus (the exact silent-wrong-answer class the stamp
+    exists to prevent). The guard drops the stamp; the probe skips the
+    version filter when the column is absent and scores old and new
+    rows alike."""
+    from etl_fraud_detection_spark.operators.similarity import (
+        pq_default_codebook, pq_encode, pq_subrows,
+    )
+    from pyspark.sql import functions as SF
+
+    emb = _emb(spark, range(30))
+    # forge a pre-qver index: quantizers + codes WITHOUT qver, no meta
+    cen = emb.where("vec_id < 8").select(
+        SF.col("vec_id").cast("int").alias("cid"),
+        SF.col("embedding").cast("array<double>").alias("cen_vec"),
+        similarity.norm(SF.col("embedding")).alias("cen_norm"),
+    )
+    wh.begin_run(1)
+    wh.overwrite("index", "ivf_centroids", cen)
+    stored_cen = wh.read("index", "ivf_centroids")
+    book = pq_default_codebook(emb, 2, 8)
+    wh.overwrite("index", "pq_codebook", book.select(
+        SF.col("sub").cast("int"), SF.col("cid").cast("int"),
+        SF.col("cs").cast("array<double>"),
+    ))
+    cells = similarity.argmax_cell(
+        emb.select(SF.col("vec_id").alias("vid"),
+                   SF.col("embedding").alias("vec"),
+                   similarity.norm(SF.col("embedding")).alias("vnorm")),
+        stored_cen,
+    )
+    codes = (
+        pq_encode(pq_subrows(emb, 2), wh.read("index", "pq_codebook"))
+        .join(cells.select("vid", SF.col("cid").alias("cell")), "vid")
+        .select("vid", "sub", "code", SF.col("cell").alias("cid"))
+    )
+    wh.overwrite("index", "ivfpq_codes", codes, partition_by=["cid"])
+    wh.commit_run(1)
+    assert "qver" not in wh.read("index", "ivfpq_codes").columns
+
+    out = ann_index.ivfpq_ingest(wh, _emb(spark, range(30, 40)), run_id=2)
+    assert "qver" not in out.columns
+    merged = wh.read("index", "ivfpq_codes")
+    assert "qver" not in merged.columns  # uniform legacy schema
+    assert merged.select("vid").distinct().count() == 40
+
+    # probe scores BOTH the legacy corpus and the admitted batch
+    hits = ann_index.ivfpq_probe(wh, emb.where("vec_id < 5"),
+                                 k=1000, nprobe=8)
+    cands = {r.cand_id for r in hits.collect()}
+    assert cands & set(range(5, 30)), "legacy rows excluded"
+    assert cands & set(range(30, 40)), "ingested rows excluded"
+
+
+def test_opq_stale_rotation_codes_are_never_scored(spark, wh):
+    """The flat-OPQ probe filters the code scan to the CURRENT stored
+    rotation/codebook version (the IVFADC qver discipline): a code row
+    encoded under any other version — an append that raced an
+    opq_rebuild, a partial restore — is excluded at the parquet scan,
+    never ADC-scored against the wrong LUT."""
+    emb = _emb(spark, range(40))
+    R = similarity.opq_rotation(emb, m=2)
+    books = similarity.pq_codebooks_kmeans(
+        similarity.rotate_vecs(emb, R), m=2, ksub=8, seed=42, max_iter=10
+    )
+    ann_index.opq_build(wh, emb, run_id=1, m=2, ksub=8, rotation=R,
+                        codebooks=books)
+    queries = emb.where("vec_id < 5")
+    before = sorted(
+        map(tuple, ann_index.opq_probe(wh, queries, k=3).collect())
+    )
+    # forge stale rows: clone two real candidates' codes under fresh
+    # vids with WRONG versions (one older, one newer than stored)
+    codes = wh.read("index", "opq_codes")
+    stale = codes.where("vid in (20, 25)").select(
+        (F.col("vid") + 1000).alias("vid"), "sub", "code",
+        F.when(F.col("vid") == 20, F.lit(0)).otherwise(F.lit(99))
+        .cast("long").alias("qver"),
+    )
+    wh.begin_run(2)
+    wh.append("index", "opq_codes", stale)
+    wh.commit_run(2)
+    assert wh.read("index", "opq_codes").where("vid >= 1000").count() == 4
+
+    everything = ann_index.opq_probe(wh, queries, k=1000)
+    assert everything.where("cand_id >= 1000").count() == 0
+    after = sorted(
+        map(tuple, ann_index.opq_probe(wh, queries, k=3).collect())
+    )
+    assert after == before
+
+
+def test_opq_rebuild_reencodes_under_new_rotation(spark, wh):
+    """opq_rebuild retrains rotation + codebooks over the CURRENT
+    corpus, re-encodes every row under the bumped version, and swaps
+    atomically — the rebuilt index is bit-identical to a fresh build
+    over the same corpus with the same artifacts."""
+    import tempfile
+
+    emb = _emb(spark, range(40))
+    ann_index.opq_build(wh, emb, run_id=1, m=2, ksub=8)
+    assert ann_index._opq_meta(wh) == {"qver": 1}
+    ann_index.opq_ingest(wh, _emb(spark, range(40, 60)), run_id=2)
+
+    union = _emb(spark, range(60))
+    R2 = similarity.opq_rotation(union, m=2)
+    books2 = similarity.pq_codebooks_kmeans(
+        similarity.rotate_vecs(union, R2), m=2, ksub=8, seed=42,
+        max_iter=10,
+    )
+    ann_index.opq_rebuild(wh, union, run_id=3, m=2, ksub=8, rotation=R2,
+                          codebooks=books2)
+    assert ann_index._opq_meta(wh) == {"qver": 2}
+    vers = wh.read("index", "opq_codes").select("qver").distinct().collect()
+    assert [r.qver for r in vers] == [2]  # every row re-encoded
+
+    wh2 = Warehouse(spark, tempfile.mkdtemp(prefix="opq_rebuild_ref_"))
+    ann_index.opq_build(wh2, union, run_id=1, m=2, ksub=8, rotation=R2,
+                        codebooks=books2)
+    got = sorted(map(tuple, ann_index.opq_probe(
+        wh, union.where("vec_id < 5"), k=3).collect()))
+    want = sorted(map(tuple, ann_index.opq_probe(
+        wh2, union.where("vec_id < 5"), k=3).collect()))
+    assert got == want and got
+
+
+def test_opq_ingest_into_legacy_prever_index_keeps_schema(spark, wh):
+    """An OPQ index whose stored code files predate the qver column
+    must stay qver-free after ingest (the ivfpq legacy-schema guard):
+    probes skip the version filter and score old and new rows alike."""
+    from etl_fraud_detection_spark.operators.similarity import (
+        pq_encode, pq_subrows,
+    )
+
+    emb = _emb(spark, range(30))
+    R = similarity.opq_rotation(emb, m=2)
+    books = similarity.pq_codebooks_kmeans(
+        similarity.rotate_vecs(emb, R), m=2, ksub=8, seed=42, max_iter=10
+    )
+    # forge a pre-qver index: rotation + book + bare (vid, sub, code)
+    wh.begin_run(1)
+    wh.overwrite("index", "opq_rotation", ann_index._rot_df(spark, R))
+    wh.overwrite("index", "opq_codebook", books.select(
+        F.col("sub").cast("int"), F.col("cid").cast("int"),
+        F.col("cs").cast("array<double>"),
+    ))
+    wh.overwrite(
+        "index", "opq_codes",
+        pq_encode(
+            pq_subrows(similarity.rotate_vecs(emb, R), 2),
+            books,
+        ),
+    )
+    wh.commit_run(1)
+    assert "qver" not in wh.read("index", "opq_codes").columns
+
+    out = ann_index.opq_ingest(wh, _emb(spark, range(30, 40)), run_id=2)
+    assert "qver" not in out.columns
+    merged = wh.read("index", "opq_codes")
+    assert "qver" not in merged.columns
+    assert merged.select("vid").distinct().count() == 40
+
+    hits = ann_index.opq_probe(wh, emb.where("vec_id < 5"), k=1000)
+    cands = {r.cand_id for r in hits.collect()}
+    assert cands & set(range(5, 30)), "legacy rows excluded"
+    assert cands & set(range(30, 40)), "ingested rows excluded"
