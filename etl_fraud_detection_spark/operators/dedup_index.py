@@ -104,9 +104,12 @@ def optimize(wh, run_id: int, band_files: int | None = None) -> None:
     under one atomic commit: ``nd_shingles`` compacts to block-sized
     files; ``nd_bands`` — the table every batch PROBES by
     (band_idx, band_hash) — is laid out in Z-ORDER on that probe key,
-    so a band-key lookup opens the one file whose min/max covers it
+    so a band-key PREDICATE opens the one file whose min/max covers it
     instead of every append sliver (the media twin,
-    :func:`media_index.optimize`, pins the files-touched property)."""
+    :func:`media_index.optimize`, pins the files-touched property).
+    The probe join alone pushes nothing to this scan; ingest()'s
+    _static_band_filter is what turns the layout into skipped row
+    groups at probe time (runtime receipt in SCALE.md r14)."""
     bands_tbl = wh.read(LAYER, T_BANDS)
     if bands_tbl is None:
         # mirror ingest's missing-index contract, and check BEFORE
@@ -116,7 +119,12 @@ def optimize(wh, run_id: int, band_files: int | None = None) -> None:
             f"this warehouse — nothing to optimize; call build() first"
         )
     wh.begin_run(run_id)
-    wh.compact(LAYER, T_SHINGLES)
+    # shingles: range-sorted on doc_id (1-column z-order), so the
+    # verify scan's literal candidate-id filter (ingest's r14
+    # _static_band_filter discipline) skips non-candidate row groups —
+    # a bare compaction would interleave batches and give every file a
+    # corpus-wide doc_id span, defeating the pushdown
+    wh.compact(LAYER, T_SHINGLES, zorder_by=["doc_id"])
     if band_files is None:
         wh.compact(LAYER, T_BANDS, zorder_by=["band_idx", "band_hash"])
     else:
@@ -126,6 +134,55 @@ def optimize(wh, run_id: int, band_files: int | None = None) -> None:
             zorder_files=band_files,
         )
     wh.commit_run(run_id)
+
+
+def _static_band_filter(
+    stored: DataFrame,
+    batch_bands: DataFrame,
+    max_keys: int,
+    key_cols: tuple[str, ...] = ("band_idx", "band_hash"),
+    val_col: str = "band_hash",
+) -> DataFrame:
+    """Restrict the stored band table's SCAN to the batch's band keys
+    with a LITERAL pushed filter — ann_index._static_cell_filter's
+    discipline applied to the band ledger. The batch's distinct key
+    set is a bounded collect (≤ bands-per-doc · batch docs); grouped
+    by the low-cardinality key columns it pushes one
+    ``val IN (...)`` branch per group to the parquet scan, where the
+    z-ordered layout's row-group stats (optimize()) can skip the
+    non-colliding ledger wholesale. PURELY a scan restriction: the
+    equi-join on the same columns decides matches, so results are
+    bit-identical with or without it (pinned in tests). Above
+    ``max_keys`` distinct keys (a backfill-sized batch) the literal
+    list stops being 'bounded metadata' and the plain equi-join over
+    the linear index read is the right plan — the filter steps aside.
+    NOTE the collect makes the probe EAGER: batch signatures compute
+    at call time (they are persisted, so exactly once)."""
+    if max_keys <= 0:
+        return stored
+    keys = (
+        batch_bands.select(*key_cols)
+        .distinct()
+        .limit(max_keys + 1)
+        .collect()
+    )
+    if len(keys) > max_keys:
+        return stored
+    if not keys:
+        return stored.where(F.lit(False))
+    group_cols = [c for c in key_cols if c != val_col]
+    by_group: dict[tuple, list] = {}
+    for r in keys:
+        by_group.setdefault(tuple(r[c] for c in group_cols), []).append(
+            r[val_col]
+        )
+    cond = None
+    for gvals, vals in sorted(by_group.items()):
+        c = F.col(val_col).isin(sorted(vals))
+        for gc, gv in zip(group_cols, gvals):
+            c = (F.col(gc) == F.lit(gv)) & c
+        cond = c if cond is None else (cond | c)
+    return stored.where(cond)
 
 
 def ingest(
@@ -138,6 +195,7 @@ def ingest(
     commit: bool = True,
     intra_pairs: bool = False,
     normalize: bool = True,
+    static_probe_keys: int = 1024,
 ) -> DataFrame:
     """Admit a batch against the persisted index; returns the admission
     frame (doc_id, admitted, dup_of, jaccard) for every batch doc.
@@ -145,7 +203,9 @@ def ingest(
     ``commit=False`` is the WHAT-IF / read-only mode: verdicts are
     computed against the current index but nothing is appended — the
     returned frame stays lazy (its full probe/verify plan is
-    inspectable), intermediates register with
+    inspectable; note the bounded band-key collect of
+    _static_band_filter runs one batch-sized Spark job at call time
+    unless ``static_probe_keys=0``), intermediates register with
     ``dedup.release_shingles`` instead of being eagerly dropped, and
     ``run_id`` is not required. Use it for reproducible backfill
     checks or admission previews; the default committing mode is the
@@ -157,7 +217,12 @@ def ingest(
     guard in particular scans nd_bands' doc ids each batch):
     1. batch fingerprints + bands — linear in batch shingles.
     2. candidates = batch bands ⋈ nd_bands (batch side broadcastable
-       for a daily batch; index side pre-bucketed at scale).
+       for a daily batch; index side pre-bucketed at scale). When the
+       batch's distinct band keys fit ``static_probe_keys`` (bounded
+       collect), the ledger side is ALSO scan-restricted by a literal
+       pushed filter so the z-ordered layout's row-group stats skip
+       the non-colliding index instead of reading it linearly — see
+       _static_band_filter; results are identical either way.
     3. exact-Jaccard verify over fingerprints: batch side from step 1,
        ledger side = nd_shingles semi-filtered to candidate docs.
     4. admitted docs' fingerprints + bands APPEND to both tables under
@@ -200,16 +265,40 @@ def ingest(
     fps = _fps(new_docs, normalize=normalize).persist()
     batch_bands = _bands_of(fps, num_hashes, bands).persist()
 
+    # the probe's ledger side: scan-restricted to the batch's band keys
+    # when bounded (static literal filter + the z-ordered layout's
+    # row-group stats — measured receipt in SCALE.md r14); the replay
+    # guard above deliberately reads the UNFILTERED frame (it checks
+    # doc_id presence, not band keys)
+    probe_bands = _static_band_filter(idx_bands, batch_bands,
+                                      static_probe_keys)
     candidates = (
         batch_bands.select(F.col("doc_id").alias("a"), "band_idx", "band_hash")
-        .join(idx_bands.select(F.col("doc_id").alias("b"), "band_idx", "band_hash"),
+        .join(probe_bands.select(F.col("doc_id").alias("b"), "band_idx", "band_hash"),
               ["band_idx", "band_hash"])
         .select("a", "b")
         .distinct()
         .persist()
     )
     ledger_ids = candidates.select(F.col("b").alias("doc_id")).distinct()
-    ledger_fps = wh.read(LAYER, T_SHINGLES).join(
+    stored_sh = wh.read(LAYER, T_SHINGLES)
+    # the DOMINANT probe read (r14 runtime receipt, SCALE.md): the
+    # verify scan is O(ledger shingles) per batch when restricted only
+    # by the semi-join below — a join pushes nothing to the scan. The
+    # candidate ledger-doc set is LSH-bounded, so when it fits the cap
+    # push it as a literal doc_id IN: appends write batch-contiguous
+    # doc_id ranges, so file/row-group stats skip the non-candidate
+    # ledger wholesale. The semi-join stays — results identical.
+    if static_probe_keys > 0:
+        cand_ids = ledger_ids.limit(static_probe_keys + 1).collect()
+        if len(cand_ids) <= static_probe_keys:
+            ids = sorted(r["doc_id"] for r in cand_ids)
+            stored_sh = (
+                stored_sh.where(F.col("doc_id").isin(ids))
+                if ids
+                else stored_sh.where(F.lit(False))
+            )
+    ledger_fps = stored_sh.join(
         F.broadcast(ledger_ids), ["doc_id"], "left_semi"
     )
     # persist ourselves (and unpersist below) — _jaccard_between's

@@ -173,12 +173,17 @@ def optimize(wh, run_id: int, band_files: int | None = None) -> None:
     block-sized files, and ``md_bands`` — the table every batch PROBES
     by (modality, band_idx, band_val) — is additionally laid out in
     Z-ORDER on its probe key. Per-batch appends leave every small file
-    spanning the whole band-value space, so a single band-key lookup
-    must open ALL of them; after the z layout each band key lives in
-    one file's min/max range and a probe opens ~1 of N
-    (tests/test_media_index.py pins files-touched before/after). At
-    100 TB this is the difference between a daily probe reading the
-    colliding slivers of the ledger and re-reading all of it.
+    spanning the whole band-value space, so a band-key PREDICATE must
+    open ALL of them; after the z layout each band key lives in one
+    file's min/max range (tests/test_media_index.py pins files-touched
+    before/after). The probe itself is an equi-JOIN — a join alone
+    pushes nothing to the scan (the round-13 DPP lesson), which is why
+    ingest() turns the batch's bounded band-key set into a literal
+    pushed filter (_static_band_filter): that filter is what converts
+    this layout into skipped row groups at probe time (runtime
+    records-read receipt in SCALE.md r14). At 100 TB this is the
+    difference between a daily probe reading the colliding slivers of
+    the ledger and re-reading all of it.
     ``band_files`` overrides the bytes-derived file count (probes and
     tests); the dedup_index twin is :func:`dedup_index.optimize`."""
     bands_tbl = wh.read(LAYER, T_BANDS)
@@ -191,7 +196,11 @@ def optimize(wh, run_id: int, band_files: int | None = None) -> None:
             f"build() first"
         )
     wh.begin_run(run_id)
-    for t in (T_HASHES, T_FRAMES, T_ADMITTED):
+    # hashes verify-scan locality: range-sorted on media_id so the
+    # probe's literal candidate-id filter skips non-candidate row
+    # groups (the dedup_index.optimize shingle discipline)
+    wh.compact(LAYER, T_HASHES, zorder_by=["media_id"])
+    for t in (T_FRAMES, T_ADMITTED):
         wh.compact(LAYER, t)
     if band_files is None:
         wh.compact(LAYER, T_BANDS,
@@ -213,6 +222,7 @@ def ingest(
     max_dist_audio: int = 3,
     min_shared_frames: int = 1,
     commit: bool = True,
+    static_probe_keys: int = 1024,
 ) -> DataFrame:
     """Admit a media batch against the persisted ledger; returns the
     admission frame (media_id, admitted, dup_of, via, score) for every
@@ -229,7 +239,13 @@ def ingest(
     2. decode the new blobs once per modality (Arrow mapInPandas).
     3. banded probe: batch bands ⋈ md_bands on (modality, band_idx,
        band_val) — one join serves image and audio; candidates verify
-       with the true popcount against md_hashes.
+       with the true popcount against md_hashes. When the batch's
+       distinct band keys fit ``static_probe_keys`` (bounded collect),
+       the ledger side is ALSO scan-restricted by a literal pushed
+       filter so optimize()'s z-ordered row-group stats skip the
+       non-colliding ledger instead of reading it linearly (the
+       dedup_index._static_band_filter discipline; results identical
+       either way — the join re-checks the full key).
     4. video probe: batch frame hashes ⋈ md_frames on the 64-bit hash,
        pairs kept at >= ``min_shared_frames`` distinct shared hashes.
     5. INTRA-BATCH stage over the ledger-admitted blobs: cluster them
@@ -280,20 +296,45 @@ def ingest(
     frames = frames.persist()
 
     # banded probe (image + audio in ONE join): candidates meet on the
-    # exact band key; verify re-reads the full hashes for the popcount
+    # exact band key; verify re-reads the full hashes for the popcount.
+    # The ledger scan is statically restricted to the batch's bounded
+    # band-key set (literal pushed filter + z-ordered row-group stats;
+    # measured receipt in SCALE.md r14) — the join still decides.
+    from .dedup_index import _static_band_filter
+
+    probe_bands = _static_band_filter(
+        stored_bands, bands, static_probe_keys,
+        key_cols=("modality", "band_idx", "band_val"), val_col="band_val",
+    )
     cand = (
         bands.select(
             F.col("media_id").alias("a"), "modality", "band_idx", "band_val"
         )
         .join(
-            stored_bands.select(
+            probe_bands.select(
                 F.col("media_id").alias("b"), "modality", "band_idx", "band_val"
             ),
             ["modality", "band_idx", "band_val"],
         )
         .select("a", "b", "modality")
         .distinct()
+        .persist()  # feeds the verify join AND the bounded b-id collect
     )
+    # verify-scan restriction (the dedup_index r14 discipline): the
+    # candidate ledger-id set is LSH-bounded, so when it fits the cap
+    # push it as a literal media_id IN — optimize()'s media_id-sorted
+    # hashes layout then skips the non-candidate ledger row groups
+    # instead of reading the O(ledger) hash table per batch. The join
+    # below re-checks the ids, so results are identical either way.
+    if static_probe_keys > 0:
+        bids = cand.select("b").distinct().limit(static_probe_keys + 1).collect()
+        if len(bids) <= static_probe_keys:
+            idset = sorted(r["b"] for r in bids)
+            stored_hashes = (
+                stored_hashes.where(F.col("media_id").isin(idset))
+                if idset
+                else stored_hashes.where(F.lit(False))
+            )
     max_dist = (
         F.when(F.col("modality") == "image", F.lit(max_dist_image))
         .otherwise(F.lit(max_dist_audio))
@@ -450,7 +491,7 @@ def ingest(
         )
 
     if not commit:
-        for frame in (hashes, bands, frames, best, edges):
+        for frame in (hashes, bands, frames, best, edges, cand):
             dedup._PERSISTED_SHINGLES.append(frame)
         return admission
 
@@ -468,7 +509,7 @@ def ingest(
         # full replay / all-rejected batch: the ledger is already
         # exactly right — skip the four appends and the commit (a
         # steady-state re-ingest costs the probe, not a table version)
-        for f in (hashes, bands, frames, best, edges):
+        for f in (hashes, bands, frames, best, edges, cand):
             f.unpersist()
         return admission
     wh.begin_run(run_id)
@@ -486,6 +527,6 @@ def ingest(
     )
     wh.append(LAYER, T_ADMITTED, adm_ids)
     wh.commit_run(run_id)
-    for f in (hashes, bands, frames, best, edges):
+    for f in (hashes, bands, frames, best, edges, cand):
         f.unpersist()
     return admission

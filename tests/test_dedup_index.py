@@ -253,3 +253,34 @@ def test_optimize_on_missing_index_fails_before_run_opens(spark, wh):
     assert dedup_index.ingest(
         wh, _docs(spark, [(10, THIRD)]), run_id=2
     ).count() == 1
+
+
+def test_static_band_filter_changes_no_verdict_and_pushes_literal(spark, wh):
+    """The bounded static band-key filter is a pure scan restriction:
+    admission verdicts are identical with it on (default), off
+    (static_probe_keys=0), and with a cap the batch exceeds (filter
+    steps aside) — and when on, the literal band_hash IN predicate
+    reaches the stored band scan as a pushed filter, which is what
+    lets optimize()'s z-order row-group stats skip the non-colliding
+    ledger (runtime receipt in SCALE.md r14)."""
+    docs = [(i, f"w{i} " * 3 + BASE) for i in range(8)]
+    dedup_index.build(wh, _docs(spark, docs), run_id=1)
+    batch = _docs(spark, [(100, BASE), (101, OTHER), (102, THIRD)])
+
+    def verdicts(**kw):
+        return sorted(
+            (r.doc_id, r.admitted, r.dup_of)
+            for r in dedup_index.ingest(wh, batch, commit=False, **kw).collect()
+        )
+
+    on = verdicts()
+    off = verdicts(static_probe_keys=0)
+    capped = verdicts(static_probe_keys=1)  # batch has > 1 distinct key
+    assert on == off == capped and on
+
+    plan = dedup_index.ingest(
+        wh, batch, commit=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    import re
+    assert re.search(r"In\(band_hash, \[", plan), plan

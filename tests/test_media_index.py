@@ -379,3 +379,31 @@ class TestOptimizeLayout:
             commit=False,
         ))
         assert got[99_000][0] is False
+
+
+def test_static_band_filter_changes_no_verdict(spark, tmp_path):
+    """The bounded static band-key filter on the md_bands probe scan is
+    a pure restriction: verdicts identical with it on (default), off
+    (static_probe_keys=0), and with an exceeded cap — the dedup_index
+    twin pins the pushed-literal plan property; this pins the media
+    key grouping (modality, band_idx) → band_val IN."""
+    wh = Warehouse(spark, str(tmp_path / "mdwh_sf"))
+    media_index.build(
+        wh, _media(spark, [_png_row(i, i) for i in range(6)]), run_id=1
+    )
+    batch = _media(spark, [
+        _png_row(50, 2, bump=17),   # near-dup of ledger 2
+        _png_row(51, 40),           # fresh
+    ])
+
+    def verdicts(**kw):
+        return sorted(
+            (r.media_id, r.admitted, r.dup_of)
+            for r in media_index.ingest(wh, batch, commit=False, **kw).collect()
+        )
+
+    on = verdicts()
+    off = verdicts(static_probe_keys=0)
+    capped = verdicts(static_probe_keys=1)
+    assert on == off == capped and on
+    assert {m for m, _a, _d in on} == {50, 51}

@@ -28,13 +28,30 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--no-plans-regen", action="store_true",
+                    help="skip the PLANS.md regeneration (quick re-check)")
     args = ap.parse_args()
 
     t0 = time.time()
-    # PLANS.md coverage gate (round-9 verdict: q_bpe_train slipped in
-    # two commits after the last regen and nothing noticed): every
-    # non-streaming catalog query must have an audit row. Cheap static
-    # check, so it runs FIRST — regenerate with tools/plan_report.py.
+    # PLANS.md REGENERATION inside the gate (round-13 verdict task 4:
+    # coverage-by-name let a catalog commit AFTER a manual regen ship
+    # an unaudited plan row — exactly what happened at r13's 16:40
+    # q_ann_opq change). The gate now regenerates the audit itself, so
+    # every row describes the plan shape of the code being gated.
+    # --no-plans-regen keeps the old behavior for quick re-checks.
+    plans_regen_rc = None
+    if not args.no_plans_regen:
+        regen = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "plan_report.py")],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        plans_regen_rc = regen.returncode
+        print(f"plans regen: rc={regen.returncode}")
+        if regen.returncode != 0:
+            sys.stderr.write(regen.stdout[-1000:] + regen.stderr[-2000:])
+    # Coverage gate stays (round-9 verdict: q_bpe_train slipped in two
+    # commits after the last regen and nothing noticed): every
+    # non-streaming catalog query must have an audit row.
     sys.path.insert(0, REPO)
     from etl_fraud_detection_spark.plans.queries import QUERIES
     from tools.plan_report import SKIP as PLAN_SKIP
@@ -134,6 +151,7 @@ def main() -> int:
         "sweep_failed_names": sweep["failed_names"],
         "plans_rows": len(plan_rows),
         "plans_missing": plans_missing,
+        "plans_regen_rc": plans_regen_rc,
         "pytest_passed": t_pass,
         "pytest_failed": t_fail,
         "pytest_failed_names": failed_names,
@@ -145,6 +163,7 @@ def main() -> int:
     print(json.dumps(record))
     ok = (o_fail == 0 and t_fail == 0 and pytest.returncode == 0
           and not plans_missing
+          and plans_regen_rc in (None, 0)
           and sweep["fail"] == 0 and not sweep["missing"])
     return 0 if ok else 1
 
