@@ -536,13 +536,19 @@ def ivfpq_build(
     except ValueError:  # corrupt empty meta — this build replaces it
         qver = 1
     wh.begin_run(run_id)
+    rotated_cache = None
     if rotation is not None:
         wh.overwrite(LAYER, T_IVFPQ_ROT, _rot_df(wh.spark, rotation))
         # everything downstream — default quantizers included — sees
-        # only the rotated frame, derived from the STORED rotation
+        # only the rotated frame, derived from the STORED rotation.
+        # Persisted: the assignment pass, the encode pass and the
+        # default-quantizer derivations all consume it — without the
+        # cache the rotation re-evaluates once per subtree (measured
+        # r14: the un-cached d=64 build ran >25 min at 2M vectors)
         emb = rotate_vecs(
             emb, _stored_rotation(wh, T_IVFPQ_ROT), vec_col=vec_col
-        )
+        ).persist()
+        rotated_cache = emb
     if centroids is None:
         centroids = emb.where(F.col(id_col) < n_centroids).select(
             F.col(id_col).cast("int").alias("cid"),
@@ -602,6 +608,8 @@ def ivfpq_build(
         ),
     )
     wh.commit_run(run_id)
+    if rotated_cache is not None:
+        rotated_cache.unpersist()
 
 
 def ivfpq_ingest(
@@ -956,7 +964,9 @@ def opq_build(
         qver = 1
     wh.begin_run(run_id)
     wh.overwrite(LAYER, T_OPQ_ROT, _rot_df(emb.sparkSession, rotation))
-    rotated = rotate_vecs(emb, _stored_rotation(wh), vec_col=vec_col)
+    # persisted: codebook training and the encode pass both consume the
+    # rotated corpus (the ivfpq_build single-evaluation discipline)
+    rotated = rotate_vecs(emb, _stored_rotation(wh), vec_col=vec_col).persist()
     if codebooks is None:
         codebooks = pq_codebooks_kmeans(rotated, m=m, ksub=ksub,
                                         vec_col=vec_col)
@@ -982,6 +992,7 @@ def opq_build(
         wh.spark.createDataFrame([(qver,)], "qver long"),
     )
     wh.commit_run(run_id)
+    rotated.unpersist()
 
 
 def opq_ingest(

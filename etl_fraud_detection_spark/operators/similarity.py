@@ -20,6 +20,7 @@ shape: assign → shuffle on centroid id → search within cell.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -1311,11 +1312,46 @@ def rotate_vecs(
     out_col: str | None = None,
 ) -> DataFrame:
     """Apply an orthogonal rotation (d×d list-of-lists, e.g. from
-    :func:`opq_rotation`) to a vector column: each output coordinate
-    is one codegen fold ⟨R_j, x⟩ over a literal row — JVM-side, no
-    UDF, no shuffle, map-only. The rotation matrix rides the plan as
-    d literal arrays (d is small; the corpus side streams once)."""
+    :func:`opq_rotation`) to a vector column — map-only, no shuffle.
+
+    Two implementations, selected by d ONLY (never by row count), so
+    every frame rotated with the same matrix gets bit-identical values
+    — the stored-index bit-equality pins depend on that:
+
+    - d ≤ 16: each output coordinate is one expression fold ⟨R_j, x⟩
+      over a literal row. Pure JVM, no Python — the path the small-d
+      plan pins (no ArrowEvalPython in probe plans) exercise.
+    - d > 16: one Arrow-batched pandas_udf computing X @ Rᵀ with
+      numpy. The fold path's higher-order functions (zip_with /
+      aggregate lambdas) evaluate INTERPRETED per element — measured
+      round 14 at d=64 on a 2M-row build: the d² fold projection ran
+      >25 min where the vectorized matmul takes seconds (SCALE.md r14
+      OPQ section). For a PERMUTATION rotation (the oracle-paired
+      floor) the matmul is exactly x[perm] in either path — each row
+      has one nonzero — so DuckDB parity is unaffected; for trained
+      rotations both sides of every bit-equality pin use this same
+      path."""
     out = out_col or vec_col
+    d = len(rotation)
+    if d > 16:
+        import numpy as np
+
+        rows = [[float(v) for v in r] for r in rotation]
+
+        def _rot_series(col: "pd.Series") -> "pd.Series":
+            R = np.asarray(rows, dtype=np.float64)
+            if len(col) == 0:
+                return pd.Series([], dtype=object)
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in col]
+            )
+            Y = X @ R.T
+            return pd.Series(list(Y))
+
+        from pyspark.sql.types import ArrayType, DoubleType
+
+        _rot = F.pandas_udf(_rot_series, ArrayType(DoubleType()))
+        return emb.withColumn(out, _rot(F.col(vec_col)))
     coords = [
         F.aggregate(
             F.zip_with(

@@ -299,39 +299,6 @@ def mdband(spark) -> None:
     shutil.rmtree(root, ignore_errors=True)
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("probe", nargs="?", default="all",
-                    choices=["bm25", "zorder", "ndband", "mdband",
-                             "opq_prod", "all"])
-    args = ap.parse_args()
-    from pyspark.sql import SparkSession
-
-    from etl_fraud_detection_spark.session import tune
-
-    spark = tune(
-        SparkSession.builder.appName("probe-r14")
-        .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', 32)}]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
-        .config("spark.ui.enabled", "true")
-        .config("spark.ui.retainedStages", "5000")
-        .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.host", "127.0.0.1")
-        .config("spark.driver.bindAddress", "127.0.0.1")
-    ).getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    todo = (["bm25", "zorder", "ndband", "mdband"]
-            if args.probe == "all" else [args.probe])  # opq_prod only explicit
-    for name in todo:
-        globals()[name](spark)
-
-
-if __name__ == "__main__":
-    main()
-
-
 def opq_prod(spark, rows: int = 2_000_000, n_queries: int = 16) -> None:
     """OPQ at production scale (round-13 verdict task 3): the rotated
     IVFADC composition vs same-config raw IVFADC at 2M vectors — the
@@ -455,3 +422,68 @@ def opq_prod(spark, rows: int = 2_000_000, n_queries: int = 16) -> None:
           "K/nprobe; flat OPQ scans the full code table")
     emb.unpersist()
     queries.unpersist()
+
+
+def spreads(spark) -> None:
+    """Round-13 verdict task 6: q_ann_pq_adc and q_fraud4 regressed
+    ~0.5s within their recorded interleaved spread with NO code change
+    that round — one clean interleaved min-of-3 on an idle host, with
+    two stable peers as controls, settles weather vs regression."""
+    import statistics
+
+    from etl_fraud_detection_spark.plans.queries import QUERIES
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names = ["q_ann_pq_adc", "q_fraud4", "q_ann_ivfpq_index", "q_fraud3"]
+    print(f"## spreads re-measure (interleaved min-of-3, {sf})")
+    for n in names:  # warmup: fixture builds + codegen, uncounted
+        QUERIES[n].fn(spark, sf).count()
+    walls: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(3):
+        for n in names:
+            t0 = time.perf_counter()
+            QUERIES[n].fn(spark, sf).count()
+            walls[n].append(time.perf_counter() - t0)
+    print("| query | min | median | max | r13 bench median |")
+    print("|---|---|---|---|---|")
+    r13 = {"q_ann_pq_adc": 1.78, "q_fraud4": 1.48,
+           "q_ann_ivfpq_index": 1.6, "q_fraud3": None}
+    for n in names:
+        w = sorted(walls[n])
+        ref = r13.get(n)
+        print(f"| {n} | {w[0]:.2f} | {statistics.median(w):.2f} | "
+              f"{w[-1]:.2f} | {ref if ref else '-'} |")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("probe", nargs="?", default="all",
+                    choices=["bm25", "zorder", "ndband", "mdband",
+                             "opq_prod", "spreads", "all"])
+    args = ap.parse_args()
+    from pyspark.sql import SparkSession
+
+    from etl_fraud_detection_spark.session import tune
+
+    spark = tune(
+        SparkSession.builder.appName("probe-r14")
+        .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', 32)}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.retainedStages", "5000")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.host", "127.0.0.1")
+        .config("spark.driver.bindAddress", "127.0.0.1")
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    todo = (["bm25", "zorder", "ndband", "mdband"]
+            if args.probe == "all" else [args.probe])  # opq_prod only explicit
+    for name in todo:
+        globals()[name](spark)
+
+
+if __name__ == "__main__":
+    main()
+
