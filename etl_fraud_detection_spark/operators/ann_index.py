@@ -522,10 +522,7 @@ def ivfpq_build(
     unchanged. A rotated index's meta records ``rotated=true``; a
     build without ``rotation`` records false and ignores any rotation
     table left by a previous rotated build (meta is authoritative)."""
-    from .similarity import (
-        pq_default_codebook, pq_encode, pq_subrows, residual_default_book,
-        residual_subrows, rotate_vecs,
-    )
+    from .similarity import rotate_vecs
 
     # quantizer VERSION: bumped by every (re)build, stamped on every
     # code row, filtered by every probe — a stale code (encoded under a
@@ -537,18 +534,43 @@ def ivfpq_build(
         qver = 1
     wh.begin_run(run_id)
     rotated_cache = None
-    if rotation is not None:
-        wh.overwrite(LAYER, T_IVFPQ_ROT, _rot_df(wh.spark, rotation))
-        # everything downstream — default quantizers included — sees
-        # only the rotated frame, derived from the STORED rotation.
-        # Persisted: the assignment pass, the encode pass and the
-        # default-quantizer derivations all consume it — without the
-        # cache the rotation re-evaluates once per subtree (measured
-        # r14: the un-cached d=64 build ran >25 min at 2M vectors)
-        emb = rotate_vecs(
-            emb, _stored_rotation(wh, T_IVFPQ_ROT), vec_col=vec_col
-        ).persist()
-        rotated_cache = emb
+    # try/finally so the corpus-sized rotated cache is released on ALL
+    # exits: an exception mid-build (e.g. a failed overwrite) would
+    # otherwise leak the persisted frame into executor storage for the
+    # session lifetime
+    try:
+        if rotation is not None:
+            wh.overwrite(LAYER, T_IVFPQ_ROT, _rot_df(wh.spark, rotation))
+            # everything downstream — default quantizers included — sees
+            # only the rotated frame, derived from the STORED rotation.
+            # Persisted: the assignment pass, the encode pass and the
+            # default-quantizer derivations all consume it — without the
+            # cache the rotation re-evaluates once per subtree (measured
+            # r14: the un-cached d=64 build ran >25 min at 2M vectors)
+            emb = rotate_vecs(
+                emb, _stored_rotation(wh, T_IVFPQ_ROT), vec_col=vec_col
+            ).persist()
+            rotated_cache = emb
+        _ivfpq_build_tail(
+            wh, emb, run_id, m, ksub, n_centroids, centroids, codebooks,
+            id_col, vec_col, residual, rotation, qver,
+        )
+    finally:
+        if rotated_cache is not None:
+            rotated_cache.unpersist()
+
+
+def _ivfpq_build_tail(
+    wh, emb, run_id, m, ksub, n_centroids, centroids, codebooks,
+    id_col, vec_col, residual, rotation, qver,
+) -> None:
+    """Quantizer derivation + encode + commit for :func:`ivfpq_build`
+    (split out so the build's try/finally stays readable)."""
+    from .similarity import (
+        pq_default_codebook, pq_encode, pq_subrows, residual_default_book,
+        residual_subrows,
+    )
+
     if centroids is None:
         centroids = emb.where(F.col(id_col) < n_centroids).select(
             F.col(id_col).cast("int").alias("cid"),
@@ -608,8 +630,6 @@ def ivfpq_build(
         ),
     )
     wh.commit_run(run_id)
-    if rotated_cache is not None:
-        rotated_cache.unpersist()
 
 
 def ivfpq_ingest(
@@ -731,6 +751,18 @@ def ivfpq_rebuild(
     structurally impossible (pinned in test_ann_index.py)."""
     meta = _ivfpq_meta(wh)
     if meta["rotated"] and rotation is None:
+        if centroids is not None:
+            # the caller's centroids live in SOME rotated space, but
+            # the rotation about to be retrained below doesn't exist
+            # yet — pairing a fresh rotation with stale-space centroids
+            # degrades recall silently (the index stays self-consistent,
+            # so bit-equality pins can't catch it). Require the rotation
+            # alongside rotated-space centroids.
+            raise ValueError(
+                "rebuilding a ROTATED index with explicit centroids "
+                "requires the matching rotation: pass rotation= "
+                "alongside centroids=, or pass neither to retrain both"
+            )
         from .similarity import opq_rotation
 
         rotation = opq_rotation(emb, m, vec_col)
@@ -776,11 +808,13 @@ def ivfpq_probe(
     corpus-sized scan, no corpus-sized rank partition.
 
     EAGER: the probed-cell set is collected at call time to build the
-    static partition filter (see _static_cell_filter), so a bounded
-    Spark job runs even if the returned frame is never evaluated."""
+    static partition filter (see _static_cell_filter) — and, for a
+    rotated index at d > 16, so is the bounded query set
+    (_rotate_queries_local, which keeps the probe plan Python-free) —
+    so bounded Spark jobs run even if the returned frame is never
+    evaluated."""
     from .similarity import (
         pq_adc_rank_cells, pq_lut, pq_subrows, residual_query_cells,
-        rotate_vecs,
     )
 
     cen = _require(wh.read(LAYER, T_CENTROIDS), T_CENTROIDS)
@@ -790,12 +824,15 @@ def ivfpq_probe(
     meta = _ivfpq_meta(wh)  # one 1-row read: mode + version + rotation
     if meta["rotated"]:
         # rotated index (OPQ × IVFADC): the query set is rotated with
-        # the STORED rotation — d codegen folds over Q rows, zero
-        # per-candidate cost — and then searched exactly like an
-        # unrotated index; orthogonality preserves inner products, so
-        # centroid ranking and ADC scoring are semantically unchanged
-        queries = rotate_vecs(
-            queries, _stored_rotation(wh, T_IVFPQ_ROT), vec_col=vec_col
+        # the STORED rotation — d ≤ 16 as codegen folds over Q rows,
+        # d > 16 driver-side over the bounded collected query set
+        # (_rotate_queries_local: bit-identical to the Arrow path,
+        # keeps the probe plan Python-free) — zero per-candidate cost
+        # either way, then searched exactly like an unrotated index;
+        # orthogonality preserves inner products, so centroid ranking
+        # and ADC scoring are semantically unchanged
+        queries = _rotate_queries_local(
+            queries, _stored_rotation(wh, T_IVFPQ_ROT), id_col, vec_col
         )
     if "qver" in codes.columns:
         # score ONLY codes encoded under the CURRENT quantizer version:
@@ -926,6 +963,69 @@ def _rot_df(spark, rotation: list[list[float]]) -> DataFrame:
     )
 
 
+# One Arrow batch (spark.sql.execution.arrow.maxRecordsPerBatch default
+# 10k): below this, the driver-side matmul is the SAME (Q,d)@(d,d) GEMM
+# call on the same float64 inputs the pandas_udf path would run, so the
+# rotated values are bit-identical between the two paths.
+_DRIVER_ROTATE_CAP = 8192
+
+
+def _rotate_queries_local(
+    queries: DataFrame,
+    rotation: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Rotate a BOUNDED query set with the stored rotation, keeping the
+    probe plan Python-free at any d (r14 ADVICE: the d>16 pandas_udf
+    path put an ArrowEvalPython node — and a Python-worker round-trip —
+    into every large-d probe plan, contradicting the probe docstrings).
+
+    d ≤ 16 delegates to rotate_vecs' JVM fold path (already
+    Python-free, zero extra jobs). d > 16 collects the query rows — a
+    bounded-metadata collect, capped at one Arrow batch so the numpy
+    matmul here is bit-identical to the udf path — rotates driver-side
+    and recreates the frame (only id_col/vec_col survive; probes read
+    nothing else). Invalid rows (NULL vector or wrong length) map to
+    NULL, matching rotate_vecs' mask. Above the cap the Arrow path is
+    the right tool and this falls back to it — results identical, plan
+    shape reverts to ArrowEvalPython."""
+    from .similarity import rotate_vecs
+
+    d = len(rotation)
+    if d <= 16:
+        return rotate_vecs(queries, rotation, vec_col=vec_col)
+    import numpy as np
+
+    src = queries.select(id_col, vec_col)
+    rows = src.limit(_DRIVER_ROTATE_CAP + 1).collect()
+    if len(rows) > _DRIVER_ROTATE_CAP:
+        return rotate_vecs(queries, rotation, vec_col=vec_col)
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        src.schema.fields[0],
+        T.StructField(vec_col, T.ArrayType(T.DoubleType()), True),
+    ])
+    spark = queries.sparkSession
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    R = np.asarray(
+        [[float(v) for v in r] for r in rotation], dtype=np.float64
+    )
+    vals = [r[vec_col] for r in rows]
+    ok = [v is not None and len(v) == d for v in vals]
+    out: list = [None] * len(vals)
+    good = [i for i, k in enumerate(ok) if k]
+    if good:
+        Y = np.asarray([vals[i] for i in good], dtype=np.float64) @ R.T
+        for j, i in enumerate(good):
+            out[i] = [float(y) for y in Y[j]]
+    return spark.createDataFrame(
+        [(rows[i][id_col], out[i]) for i in range(len(rows))], out_schema
+    )
+
+
 def opq_build(
     wh,
     emb: DataFrame,
@@ -965,34 +1065,38 @@ def opq_build(
     wh.begin_run(run_id)
     wh.overwrite(LAYER, T_OPQ_ROT, _rot_df(emb.sparkSession, rotation))
     # persisted: codebook training and the encode pass both consume the
-    # rotated corpus (the ivfpq_build single-evaluation discipline)
+    # rotated corpus (the ivfpq_build single-evaluation discipline);
+    # try/finally so a failed overwrite can't leak the corpus-sized
+    # cache into executor storage for the session lifetime
     rotated = rotate_vecs(emb, _stored_rotation(wh), vec_col=vec_col).persist()
-    if codebooks is None:
-        codebooks = pq_codebooks_kmeans(rotated, m=m, ksub=ksub,
-                                        vec_col=vec_col)
-    else:
-        _check_book_m(codebooks, m)
-    wh.overwrite(
-        LAYER, T_OPQ_BOOK,
-        codebooks.select(
-            F.col("sub").cast("int"),
-            F.col("cid").cast("int"),
-            F.col("cs").cast("array<double>"),
-        ),
-    )
-    book = wh.read(LAYER, T_OPQ_BOOK)
-    wh.overwrite(
-        LAYER, T_OPQ_CODES,
-        pq_encode(pq_subrows(rotated, m, id_col, vec_col), book).select(
-            "vid", "sub", "code", F.lit(qver).cast("long").alias("qver")
-        ),
-    )
-    wh.overwrite(
-        LAYER, T_OPQ_META,
-        wh.spark.createDataFrame([(qver,)], "qver long"),
-    )
-    wh.commit_run(run_id)
-    rotated.unpersist()
+    try:
+        if codebooks is None:
+            codebooks = pq_codebooks_kmeans(rotated, m=m, ksub=ksub,
+                                            vec_col=vec_col)
+        else:
+            _check_book_m(codebooks, m)
+        wh.overwrite(
+            LAYER, T_OPQ_BOOK,
+            codebooks.select(
+                F.col("sub").cast("int"),
+                F.col("cid").cast("int"),
+                F.col("cs").cast("array<double>"),
+            ),
+        )
+        book = wh.read(LAYER, T_OPQ_BOOK)
+        wh.overwrite(
+            LAYER, T_OPQ_CODES,
+            pq_encode(pq_subrows(rotated, m, id_col, vec_col), book).select(
+                "vid", "sub", "code", F.lit(qver).cast("long").alias("qver")
+            ),
+        )
+        wh.overwrite(
+            LAYER, T_OPQ_META,
+            wh.spark.createDataFrame([(qver,)], "qver long"),
+        )
+        wh.commit_run(run_id)
+    finally:
+        rotated.unpersist()
 
 
 def opq_ingest(
@@ -1083,18 +1187,20 @@ def opq_probe(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """OPQ-ADC search against the stored index — READ-ONLY: rotate the
-    bounded query set with the STORED rotation (d codegen folds over
-    Q rows), build the LUT from the stored codebook, score the stored
-    integer code rows, two-level top-k. Queries and codes share one
-    rotation by construction; results identical to
-    similarity.opq_adc_topk given the same rotation and codebooks
-    (pinned in test_ann_index.py).
+    bounded query set with the STORED rotation (d ≤ 16: codegen folds
+    over Q rows; d > 16: driver-side over the collected bounded set,
+    bit-identical to the Arrow path — _rotate_queries_local — so the
+    probe plan stays Python-free at any d), build the LUT from the
+    stored codebook, score the stored integer code rows, two-level
+    top-k. Queries and codes share one rotation by construction;
+    results identical to similarity.opq_adc_topk given the same
+    rotation and codebooks (pinned in test_ann_index.py).
 
     NOTE this is the flat-ADC BASELINE: the score pass scans every
     stored code row per query set. The production composition is
     ivfpq_build(rotation=...) + ivfpq_probe — the same rotation with
     the cell-pruned scan (q_ann_opq_ivf)."""
-    from .similarity import pq_adc_rank, pq_lut, pq_subrows, rotate_vecs
+    from .similarity import pq_adc_rank, pq_lut, pq_subrows
 
     rot = _stored_rotation(wh)
     book = _require(wh.read(LAYER, T_OPQ_BOOK), T_OPQ_BOOK)
@@ -1105,6 +1211,6 @@ def opq_probe(
         # discipline); pre-qver indexes have no column, single build
         codes = codes.where(F.col("qver") == F.lit(_opq_meta(wh)["qver"]))
     m = _pq_m(book)
-    rq = rotate_vecs(queries, rot, vec_col=vec_col)
+    rq = _rotate_queries_local(queries, rot, id_col, vec_col)
     lut = pq_lut(pq_subrows(rq, m, id_col, vec_col), book)
     return pq_adc_rank(codes, lut, m, k)

@@ -677,10 +677,17 @@ def paragraph_dedup(
     trailing doc-sized join. At 100 TB the rebuild key is the doc id
     — uniform — and hot fingerprints are absorbed by partial
     aggregation + AQE skew-join."""
-    toks = F.split(F.col(text_col), " ")
-    n_segs = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
-    segs = docs.select(
+    # bound token column before the segment lambda (no CSE inside HOF
+    # lambdas — the slice() reference to an inline split(text) re-split
+    # the document once per segment; the shingles() discipline, r15)
+    base = docs.select(
         F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("_toks"),
+    )
+    toks = F.col("_toks")
+    n_segs = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
+    segs = base.select(
+        "doc_id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(1), F.greatest(n_segs, F.lit(1))),
@@ -766,7 +773,16 @@ def substring_dedup(
       preceding starts — positions are dense, one row per token), and
       the rebuild groupBy rides the same doc partitioning.
     """
-    toks = F.split(F.col(text_col), " ")
+    # Tokenize into a BOUND column before the per-token lambda (the
+    # shingles() discipline, r15): HOF lambdas get no CSE, so the
+    # element_at/slice references to an inline split(text) expression
+    # re-ran the whole tokenize per ELEMENT — O(len²) per doc, measured
+    # as ~4s of this query's 5.5s at sf0.1 (OPTIMIZATION_r15).
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("_toks"),
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     arr = F.transform(
         F.sequence(F.lit(0), n - 1),
@@ -778,8 +794,8 @@ def substring_dedup(
             ).alias("fp"),
         ),
     )
-    rows = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(arr).alias("e")
+    rows = base.select(
+        "doc_id", F.explode(arr).alias("e")
     ).select(
         "doc_id", "e.pos", "e.tok",
         F.coalesce(

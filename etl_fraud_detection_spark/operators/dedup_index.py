@@ -32,6 +32,8 @@ itself is batch SQL; see SURVEY.md §2 LLM-ops table).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import dedup
@@ -40,6 +42,25 @@ from .dedup import BANDS, NUM_HASHES
 LAYER = "index"
 T_SHINGLES = "nd_shingles"
 T_BANDS = "nd_bands"
+
+# Cost-based enablement of the static probe-scan filters (round 15,
+# r14 verdict task 3): each filter pays one bounded collect job of
+# FIXED latency per batch (it must materialize the batch bands /
+# candidate ids eagerly), and repays it by skipping ledger row groups —
+# a saving PROPORTIONAL TO LEDGER SIZE. Below the crossover the plain
+# equi-join over a linear ledger read is already cheaper, so the
+# filters key off the restricted table's MANIFEST byte size
+# (Warehouse.table_bytes — driver-side file stats, no Spark job), not
+# off the batch key count, which says nothing about what the filter
+# saves. Threshold measured in SCALE.md r15 ("band-probe crossover"):
+# the filtered probe wins wall time from ~tens of MB of ledger; the
+# default sits safely above the fixture scale and well below any
+# production ledger. Env-overridable for cluster tuning; 0 forces the
+# filters on at any size (receipts/tests), and a negative
+# static_probe_keys cap still disables them outright.
+STATIC_PROBE_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_STATIC_PROBE_MIN_BYTES", str(24 << 20))
+)
 
 
 def _fps(docs: DataFrame, normalize: bool = True) -> DataFrame:
@@ -196,6 +217,7 @@ def ingest(
     intra_pairs: bool = False,
     normalize: bool = True,
     static_probe_keys: int = 1024,
+    static_probe_min_bytes: int | None = None,
 ) -> DataFrame:
     """Admit a batch against the persisted index; returns the admission
     frame (doc_id, admitted, dup_of, jaccard) for every batch doc.
@@ -218,11 +240,15 @@ def ingest(
     1. batch fingerprints + bands — linear in batch shingles.
     2. candidates = batch bands ⋈ nd_bands (batch side broadcastable
        for a daily batch; index side pre-bucketed at scale). When the
-       batch's distinct band keys fit ``static_probe_keys`` (bounded
-       collect), the ledger side is ALSO scan-restricted by a literal
-       pushed filter so the z-ordered layout's row-group stats skip
-       the non-colliding index instead of reading it linearly — see
-       _static_band_filter; results are identical either way.
+       ledger is big enough to repay the filter's fixed collect
+       latency (``static_probe_min_bytes`` — None reads the module
+       default STATIC_PROBE_MIN_BYTES, measured at the r15 crossover;
+       0 forces the filter on) AND the batch's distinct band keys fit
+       ``static_probe_keys`` (bounded collect), the ledger side is
+       ALSO scan-restricted by a literal pushed filter so the
+       z-ordered layout's row-group stats skip the non-colliding index
+       instead of reading it linearly — see _static_band_filter;
+       results are identical either way.
     3. exact-Jaccard verify over fingerprints: batch side from step 1,
        ledger side = nd_shingles semi-filtered to candidate docs.
     4. admitted docs' fingerprints + bands APPEND to both tables under
@@ -267,11 +293,17 @@ def ingest(
 
     # the probe's ledger side: scan-restricted to the batch's band keys
     # when bounded (static literal filter + the z-ordered layout's
-    # row-group stats — measured receipt in SCALE.md r14); the replay
-    # guard above deliberately reads the UNFILTERED frame (it checks
-    # doc_id presence, not band keys)
-    probe_bands = _static_band_filter(idx_bands, batch_bands,
-                                      static_probe_keys)
+    # row-group stats — measured receipt in SCALE.md r14) AND the
+    # ledger is big enough to repay the filter's fixed collect latency
+    # (cost-based switch, r15 — manifest bytes, no extra job); the
+    # replay guard above deliberately reads the UNFILTERED frame (it
+    # checks doc_id presence, not band keys)
+    if static_probe_min_bytes is None:
+        static_probe_min_bytes = STATIC_PROBE_MIN_BYTES
+    bands_keys = static_probe_keys if (
+        (wh.table_bytes(LAYER, T_BANDS) or 0) >= static_probe_min_bytes
+    ) else 0
+    probe_bands = _static_band_filter(idx_bands, batch_bands, bands_keys)
     candidates = (
         batch_bands.select(F.col("doc_id").alias("a"), "band_idx", "band_hash")
         .join(probe_bands.select(F.col("doc_id").alias("b"), "band_idx", "band_hash"),
@@ -289,7 +321,11 @@ def ingest(
     # push it as a literal doc_id IN: appends write batch-contiguous
     # doc_id ranges, so file/row-group stats skip the non-candidate
     # ledger wholesale. The semi-join stays — results identical.
-    if static_probe_keys > 0:
+    # Same cost-based switch as the band filter, keyed off the shingle
+    # table this filter restricts.
+    if static_probe_keys > 0 and (
+        (wh.table_bytes(LAYER, T_SHINGLES) or 0) >= static_probe_min_bytes
+    ):
         cand_ids = ledger_ids.limit(static_probe_keys + 1).collect()
         if len(cand_ids) <= static_probe_keys:
             ids = sorted(r["doc_id"] for r in cand_ids)

@@ -223,6 +223,7 @@ def ingest(
     min_shared_frames: int = 1,
     commit: bool = True,
     static_probe_keys: int = 1024,
+    static_probe_min_bytes: int | None = None,
 ) -> DataFrame:
     """Admit a media batch against the persisted ledger; returns the
     admission frame (media_id, admitted, dup_of, via, score) for every
@@ -239,11 +240,15 @@ def ingest(
     2. decode the new blobs once per modality (Arrow mapInPandas).
     3. banded probe: batch bands ⋈ md_bands on (modality, band_idx,
        band_val) — one join serves image and audio; candidates verify
-       with the true popcount against md_hashes. When the batch's
-       distinct band keys fit ``static_probe_keys`` (bounded collect),
-       the ledger side is ALSO scan-restricted by a literal pushed
-       filter so optimize()'s z-ordered row-group stats skip the
-       non-colliding ledger instead of reading it linearly (the
+       with the true popcount against md_hashes. When the ledger is
+       big enough to repay the filter's fixed collect latency
+       (``static_probe_min_bytes`` — None reads dedup_index's
+       STATIC_PROBE_MIN_BYTES default, the r15 cost-based switch on
+       manifest bytes; 0 forces it on) AND the batch's distinct band
+       keys fit ``static_probe_keys`` (bounded collect), the ledger
+       side is ALSO scan-restricted by a literal pushed filter so
+       optimize()'s z-ordered row-group stats skip the non-colliding
+       ledger instead of reading it linearly (the
        dedup_index._static_band_filter discipline; results identical
        either way — the join re-checks the full key).
     4. video probe: batch frame hashes ⋈ md_frames on the 64-bit hash,
@@ -299,11 +304,21 @@ def ingest(
     # exact band key; verify re-reads the full hashes for the popcount.
     # The ledger scan is statically restricted to the batch's bounded
     # band-key set (literal pushed filter + z-ordered row-group stats;
-    # measured receipt in SCALE.md r14) — the join still decides.
-    from .dedup_index import _static_band_filter
+    # measured receipt in SCALE.md r14) — the join still decides. The
+    # r15 cost-based switch gates each filter on the restricted table's
+    # manifest bytes (fixed collect latency vs ledger-proportional
+    # saving; dedup_index's rationale).
+    from .dedup_index import (
+        STATIC_PROBE_MIN_BYTES, _static_band_filter,
+    )
 
+    if static_probe_min_bytes is None:
+        static_probe_min_bytes = STATIC_PROBE_MIN_BYTES
+    bands_keys = static_probe_keys if (
+        (wh.table_bytes(LAYER, T_BANDS) or 0) >= static_probe_min_bytes
+    ) else 0
     probe_bands = _static_band_filter(
-        stored_bands, bands, static_probe_keys,
+        stored_bands, bands, bands_keys,
         key_cols=("modality", "band_idx", "band_val"), val_col="band_val",
     )
     cand = (
@@ -326,7 +341,10 @@ def ingest(
     # hashes layout then skips the non-candidate ledger row groups
     # instead of reading the O(ledger) hash table per batch. The join
     # below re-checks the ids, so results are identical either way.
-    if static_probe_keys > 0:
+    # Same cost-based gate, keyed off the hash table this restricts.
+    if static_probe_keys > 0 and (
+        (wh.table_bytes(LAYER, T_HASHES) or 0) >= static_probe_min_bytes
+    ):
         bids = cand.select("b").distinct().limit(static_probe_keys + 1).collect()
         if len(bids) <= static_probe_keys:
             idset = sorted(r["b"] for r in bids)

@@ -534,41 +534,79 @@ def dsir_weights(
     surface with n_feats = 0 and weight 0 — the empty log-ratio sum —
     via explode_outer (no trailing doc-sized join).
 
-    Scale shape — two corpus passes, nothing else: (1) FIT: one
-    explode + groupBy(slot) with conditional partial-aggregated sums →
-    a ``buckets``-row model (bounded, broadcastable by construction);
-    (2) SCORE: the same explode, broadcast-join the model, one
-    doc-keyed aggregation. No content-keyed window, no corpus-sized
-    join side; a mass-duplicated page only fattens slot COUNTS
-    (map-side combined), never a single partition."""
+    Scale shape — ONE featurization pass, nothing corpus-sized twice
+    (round-15 optimization; see OPTIMIZATION_r15.md): the explode +
+    per-gram md5 is the dominant cost, and composing fit and score
+    lazily made it evaluate up to THREE times per action (the model
+    inside the lw broadcast subtree, the model again inside the totals
+    broadcast, then the score pass). Now the explode aggregates ONCE
+    into per-(doc, slot) occurrence counts, persisted for the duration
+    of the query (released via release_ranked — bounded above by the
+    gram count, usually far smaller): (1) FIT reads the cached counts
+    — groupBy(slot) conditional sums → a ``buckets``-row model
+    (bounded, broadcastable by construction); (2) SCORE reads them
+    again — broadcast-join the model, one doc-keyed aggregation with
+    ``cnt``-weighted sums (exact integers, so bit-identical to the
+    per-occurrence sum). No content-keyed window, no corpus-sized join
+    side; a mass-duplicated page only fattens COUNTS (map-side
+    combined), never a single partition. At 100 TB the persisted
+    counts frame is the standard materialize-the-featurization trade —
+    strictly smaller than the gram stream it replaces, spillable, and
+    the alternative (re-featurizing the corpus per pass) costs two
+    more full passes."""
+    # Tokenize ONCE into a BOUND column before the bigram lambda (the
+    # dedup.shingles discipline): higher-order-function lambdas are
+    # interpreted with NO common-subexpression elimination, so an
+    # element_at(<filter(split(text))>, i) inside the lambda re-ran the
+    # whole tokenize per ELEMENT — O(len²) per doc, measured 2.8s of
+    # this query's 4.2s featurization pass at sf0.1 (OPTIMIZATION_r15:
+    # bound column → 0.8s, bit-identical gram stream).
     arr = F.filter(
         F.split(F.col(text_col), " "), lambda x: x != F.lit("")
     )
-    n = F.size(arr)
+    toks_df = docs.select(
+        F.col(id_col).alias("doc_id"),
+        is_target.alias("_t"),
+        arr.alias("toks"),
+    )
+    toks = F.col("toks")
+    n = F.size(toks)
     bigrams = F.when(
         n >= 2,
         F.transform(
             F.sequence(F.lit(1), n - 1),
             lambda i: F.concat_ws(
-                " ", F.element_at(arr, i), F.element_at(arr, i + 1)
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
             ),
         ),
-    ).otherwise(F.slice(arr, 1, 0))
-    rows = docs.select(
-        F.col(id_col).alias("doc_id"),
-        is_target.alias("_t"),
-        F.explode_outer(F.concat(arr, bigrams)).alias("gram"),
+    ).otherwise(F.slice(toks, 1, 0))
+    rows = toks_df.select(
+        "doc_id",
+        "_t",
+        F.explode_outer(F.concat(toks, bigrams)).alias("gram"),
     ).withColumn(
         "slot",
         F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
         % buckets,
     )
+    # count("gram") ignores NULLs, so the explode_outer row of a
+    # zero-feature doc survives with cnt = 0 (and a NULL slot that
+    # never matches the model join) — n_feats = 0, weight = 0, exactly
+    # the empty log-ratio sum the per-occurrence form produced
+    counts = (
+        rows.groupBy("doc_id", "_t", "slot")
+        .agg(F.count("gram").alias("cnt"))
+        .persist()
+    )
+    _PERSISTED_RANKED.append(counts)
     model = (
-        rows.where(F.col("gram").isNotNull())
+        counts.where(F.col("slot").isNotNull())
         .groupBy("slot")
         .agg(
-            F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("cp"),
-            F.sum(F.when(~F.col("_t"), 1).otherwise(0)).alias("cq"),
+            F.sum(F.when(F.col("_t"), F.col("cnt")).otherwise(F.lit(0)))
+            .alias("cp"),
+            F.sum(F.when(~F.col("_t"), F.col("cnt")).otherwise(F.lit(0)))
+            .alias("cq"),
         )
     )
     tot = model.agg(
@@ -591,8 +629,8 @@ def dsir_weights(
         )
     )
     aggs = [
-        F.count("gram").alias("n_feats"),
-        F.coalesce(F.sum("lw_micro"), F.lit(0))
+        F.sum("cnt").cast("long").alias("n_feats"),
+        F.coalesce(F.sum(F.col("cnt") * F.col("lw_micro")), F.lit(0))
         .cast("long")
         .alias("dsir_logw_micro"),
     ]
@@ -600,7 +638,11 @@ def dsir_weights(
         # rides the same doc_id groupBy for free — lets dsir_select
         # filter to raw rows without a corpus-sized join back
         aggs.append(F.max("_t").alias("_is_target"))
-    return rows.join(F.broadcast(lw), ["slot"], "left").groupBy("doc_id").agg(*aggs)
+    return (
+        counts.join(F.broadcast(lw), ["slot"], "left")
+        .groupBy("doc_id")
+        .agg(*aggs)
+    )
 
 
 def dsir_select(
@@ -629,7 +671,8 @@ def dsir_select(
     Returns the k selected raw rows: (doc_id, n_feats,
     dsir_logw_micro, es_key_micro), highest key first by construction.
 
-    Scale shape: the two dsir_weights passes, then ONE key projection
+    Scale shape: dsir_weights' single featurization pass (cached
+    counts; fit + score read the cache), then ONE key projection
     + TakeOrderedAndProject (per-partition top-k, never a global
     sort). No join — the weight frame carries the target flag through
     its own doc_id groupBy (``keep_target``), so filtering to raw rows

@@ -1330,7 +1330,22 @@ def rotate_vecs(
       floor) the matmul is exactly x[perm] in either path — each row
       has one nonzero — so DuckDB parity is unaffected; for trained
       rotations both sides of every bit-equality pin use this same
-      path."""
+      path.
+
+    Invalid rows (NULL vector, or length != d): both paths yield a
+    null-ish output row instead of failing the job — the fold path
+    null-propagates per coordinate, and the matmul path masks such
+    rows out of the batch and emits NULL for them (without the mask a
+    single NULL made np.asarray build an object array and the matmul
+    raised, failing the whole Arrow batch — divergent from the fold
+    path, which degrades per row).
+
+    Cross-version caveat: the d>16 matmul sums in a different order
+    than the pre-r14 fold path, so trained-rotation outputs can differ
+    in the last ulp. An index persisted at d>16 BEFORE the matmul path
+    existed should be rebuilt (qver bump — opq_rebuild/ivfpq_rebuild)
+    rather than probed with matmul-rotated queries; the catalog
+    fixtures did exactly that via their opq2/opqivf1 tag bumps."""
     out = out_col or vec_col
     d = len(rotation)
     if d > 16:
@@ -1342,11 +1357,19 @@ def rotate_vecs(
             R = np.asarray(rows, dtype=np.float64)
             if len(col) == 0:
                 return pd.Series([], dtype=object)
-            X = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in col]
-            )
-            Y = X @ R.T
-            return pd.Series(list(Y))
+            vals = list(col)
+            ok = [v is not None and len(v) == len(rows) for v in vals]
+            if all(ok):
+                Y = np.asarray(vals, dtype=np.float64) @ R.T
+                return pd.Series(list(Y))
+            outv: list = [None] * len(vals)
+            good = [i for i, k in enumerate(ok) if k]
+            if good:
+                X = np.asarray([vals[i] for i in good], dtype=np.float64)
+                Y = X @ R.T
+                for j, i in enumerate(good):
+                    outv[i] = Y[j]
+            return pd.Series(outv, dtype=object)
 
         from pyspark.sql.types import ArrayType, DoubleType
 

@@ -247,6 +247,27 @@ class Warehouse:
             return None
         return self._read_vdir(self._vdir(p, v))
 
+    def table_bytes(self, layer: str, table: str) -> int | None:
+        """Total data-file bytes of the CURRENT version — driver-side
+        filesystem metadata only, no Spark job (the manifest-size read
+        the cost-based probe-filter switch keys off: dedup_index /
+        media_index ingest enable their static scan filters only when
+        the ledger is big enough that skipped row groups repay the
+        filters' fixed collect latency). None if the table doesn't
+        exist."""
+        p = self.path(layer, table)
+        v = self._current(p)
+        if v is None:
+            return None
+        total = 0
+        for root, _dirs, fs in os.walk(self._vdir(p, v)):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in fs
+                if f.endswith(".parquet")
+            )
+        return total
+
     def _read_vdir(self, vdir: str) -> DataFrame:
         """Read one version directory. A version holding ZERO data
         files (an empty PARTITIONED write emits no parquet at all —

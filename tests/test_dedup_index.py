@@ -257,12 +257,15 @@ def test_optimize_on_missing_index_fails_before_run_opens(spark, wh):
 
 def test_static_band_filter_changes_no_verdict_and_pushes_literal(spark, wh):
     """The bounded static band-key filter is a pure scan restriction:
-    admission verdicts are identical with it on (default), off
-    (static_probe_keys=0), and with a cap the batch exceeds (filter
-    steps aside) — and when on, the literal band_hash IN predicate
-    reaches the stored band scan as a pushed filter, which is what
-    lets optimize()'s z-order row-group stats skip the non-colliding
-    ledger (runtime receipt in SCALE.md r14)."""
+    admission verdicts are identical with it on (forced via
+    static_probe_min_bytes=0 — the r15 cost-based gate would otherwise
+    rightly skip it at this fixture's ledger size), off
+    (static_probe_keys=0), gated off by ledger size (the default), and
+    with a cap the batch exceeds (filter steps aside) — and when on,
+    the literal band_hash IN predicate reaches the stored band scan as
+    a pushed filter, which is what lets optimize()'s z-order row-group
+    stats skip the non-colliding ledger (runtime receipt in SCALE.md
+    r14)."""
     docs = [(i, f"w{i} " * 3 + BASE) for i in range(8)]
     dedup_index.build(wh, _docs(spark, docs), run_id=1)
     batch = _docs(spark, [(100, BASE), (101, OTHER), (102, THIRD)])
@@ -273,14 +276,42 @@ def test_static_band_filter_changes_no_verdict_and_pushes_literal(spark, wh):
             for r in dedup_index.ingest(wh, batch, commit=False, **kw).collect()
         )
 
-    on = verdicts()
+    on = verdicts(static_probe_min_bytes=0)
     off = verdicts(static_probe_keys=0)
-    capped = verdicts(static_probe_keys=1)  # batch has > 1 distinct key
-    assert on == off == capped and on
+    gated = verdicts()  # default gate: tiny ledger -> filters skipped
+    capped = verdicts(static_probe_keys=1, static_probe_min_bytes=0)
+    assert on == off == gated == capped and on
 
     plan = dedup_index.ingest(
-        wh, batch, commit=False
+        wh, batch, commit=False, static_probe_min_bytes=0
     )._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     import re
     assert re.search(r"In\(band_hash, \[", plan), plan
+
+
+def test_static_band_filter_cost_gate_keys_off_ledger_bytes(spark, wh):
+    """The r15 cost-based switch: below ``static_probe_min_bytes`` of
+    ledger the probe plan keeps the plain equi-join (no literal
+    band_hash IN pushed to the stored scan — the filter's fixed
+    collect latency would cost more than the skipped rows save); at a
+    threshold the fixture ledger clears, the literal appears. Verdicts
+    are identical either way (pinned above); this pins the PLAN
+    actually flips on the manifest-size variable."""
+    import re
+
+    docs = [(i, f"w{i} " * 3 + BASE) for i in range(8)]
+    dedup_index.build(wh, _docs(spark, docs), run_id=1)
+    batch = _docs(spark, [(100, BASE), (101, OTHER)])
+    nbytes = wh.table_bytes(dedup_index.LAYER, dedup_index.T_BANDS)
+    assert nbytes and nbytes > 0
+
+    def plan(min_bytes):
+        return dedup_index.ingest(
+            wh, batch, commit=False, static_probe_min_bytes=min_bytes
+        )._jdf.queryExecution().executedPlan().toString()
+
+    below = plan(nbytes + 1)   # ledger smaller than the bar: gated off
+    at = plan(nbytes)          # ledger meets the bar: filter on
+    assert not re.search(r"In\(band_hash, \[", below), below
+    assert re.search(r"In\(band_hash, \[", at), at

@@ -383,10 +383,12 @@ class TestOptimizeLayout:
 
 def test_static_band_filter_changes_no_verdict(spark, tmp_path):
     """The bounded static band-key filter on the md_bands probe scan is
-    a pure restriction: verdicts identical with it on (default), off
-    (static_probe_keys=0), and with an exceeded cap — the dedup_index
-    twin pins the pushed-literal plan property; this pins the media
-    key grouping (modality, band_idx) → band_val IN."""
+    a pure restriction: verdicts identical with it forced on
+    (static_probe_min_bytes=0), off (static_probe_keys=0), gated off by
+    the r15 ledger-size switch (the default at this fixture scale), and
+    with an exceeded cap — the dedup_index twin pins the pushed-literal
+    plan property; this pins the media key grouping
+    (modality, band_idx) → band_val IN."""
     wh = Warehouse(spark, str(tmp_path / "mdwh_sf"))
     media_index.build(
         wh, _media(spark, [_png_row(i, i) for i in range(6)]), run_id=1
@@ -402,8 +404,9 @@ def test_static_band_filter_changes_no_verdict(spark, tmp_path):
             for r in media_index.ingest(wh, batch, commit=False, **kw).collect()
         )
 
-    on = verdicts()
+    on = verdicts(static_probe_min_bytes=0)  # force past the r15 gate
     off = verdicts(static_probe_keys=0)
-    capped = verdicts(static_probe_keys=1)
-    assert on == off == capped and on
+    gated = verdicts()  # default size gate: tiny ledger -> plain join
+    capped = verdicts(static_probe_keys=1, static_probe_min_bytes=0)
+    assert on == off == gated == capped and on
     assert {m for m, _a, _d in on} == {50, 51}
