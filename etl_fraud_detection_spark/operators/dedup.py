@@ -73,7 +73,7 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n:
     """Distinct word n-gram shingles per doc (docs with < n tokens drop,
     mirrored in the oracle's ``len(toks) >= n`` filter)."""
     # Tokenize ONCE into a column before the filter: referencing the
-    # split() expression in both the filter and the gram transform makes
+    # split() expression in both the filter and the gram builder makes
     # codegen evaluate it twice per row (no CSE across the stages;
     # measured ~2x on the sf0.1 corpus). The token array rides the
     # shuffle instead of the raw text — same bytes, already split.
@@ -81,20 +81,25 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n:
         docs.select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("toks"))
         .where(F.size("toks") >= n)
     )
-    # One slice reference per gram — n element_at references would
-    # re-evaluate per reference inside the lambda (no CSE in
-    # higher-order functions; measured 3.4× at n=4 in ngrams.py).
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size("toks") - n),
-        lambda i: F.array_join(F.slice(F.col("toks"), i + 1, n), " "),
-    )
+    # Gram construction via MLlib's NGram (a COMPILED Scala UDF:
+    # sliding(n).mkString(" ") — byte-identical grams to the previous
+    # array_join(slice) transform, checked by count + md5-prefix
+    # checksum over the sf0.1 corpus). The transform-lambda form it
+    # replaces evaluates INTERPRETED per element even with every
+    # reference bound (higher-order-function lambdas never enter
+    # codegen — the r14 rotate_vecs finding); measured 2.0x on the
+    # full shingle+md5 pass (0.87 -> 0.44 s at sf0.1, tools/probe_r15
+    # hof mode; Arrow mapInPandas sat between at 0.64 s).
+    from pyspark.ml.feature import NGram
+
+    grams = NGram(n=n, inputCol="toks", outputCol="_grams").transform(toks)
     # Spread the explode: a single-file scan would otherwise shingle the
     # whole corpus in one task (at 100 TB the scan has many splits and
     # this repartition is a no-op cost-wise relative to the explode).
     n_part = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        toks.repartition(n_part, F.col("doc_id"))
-        .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+        grams.repartition(n_part, F.col("doc_id"))
+        .select("doc_id", F.explode(F.array_distinct("_grams")).alias("shingle"))
     )
 
 

@@ -52,14 +52,21 @@ T_BANDS = "nd_bands"
 # filters key off the restricted table's MANIFEST byte size
 # (Warehouse.table_bytes — driver-side file stats, no Spark job), not
 # off the batch key count, which says nothing about what the filter
-# saves. Threshold measured in SCALE.md r15 ("band-probe crossover"):
-# the filtered probe wins wall time from ~tens of MB of ledger; the
-# default sits safely above the fixture scale and well below any
-# production ledger. Env-overridable for cluster tuning; 0 forces the
-# filters on at any size (receipts/tests), and a negative
-# static_probe_keys cap still disables them outright.
+# saves. Threshold MEASURED (SCALE.md r15 "band-probe crossover",
+# tools/probe_r15.py crossover mode): on this host (local NVMe, 32
+# cores, hot page cache) the unfiltered probe wins wall time at EVERY
+# ledger size tried up to 1.8 GB / ~90M shingle rows — the linear
+# ledger read parallelizes to ~nothing while the filters' eager
+# collects cost a fixed ~1.2-1.5 s — so the local default sits above
+# local scale entirely (4 GiB). The r14 receipts (200-314x fewer scan
+# ROWS) remain true and are exactly why production deployments on
+# cold/remote object storage — where scan bytes are the expensive
+# resource — should LOWER this via $SPARK_GRAFT_STATIC_PROBE_MIN_BYTES
+# toward their storage-throughput crossover. 0 forces the filters on
+# at any size (receipts/tests); a zero/negative static_probe_keys cap
+# still disables them outright.
 STATIC_PROBE_MIN_BYTES = int(
-    os.environ.get("SPARK_GRAFT_STATIC_PROBE_MIN_BYTES", str(24 << 20))
+    os.environ.get("SPARK_GRAFT_STATIC_PROBE_MIN_BYTES", str(4 << 30))
 )
 
 

@@ -73,9 +73,26 @@ def ngram_rows(
 ) -> DataFrame:
     """(id, gram) stream with the token array tokenized ONCE per row
     (see ngram_array). ``distinct`` dedups grams within a document;
-    ``outer`` keeps sub-n-token documents as one NULL-gram row."""
-    t = docs.select(F.col(id_col).alias(id_col), tokens(text_col).alias("__toks"))
-    g = _gram_expr(F.col("__toks"), n)
+    ``outer`` keeps sub-n-token documents as one NULL-gram row.
+
+    Gram construction is MLlib's NGram — a COMPILED Scala UDF emitting
+    byte-identical grams to :func:`ngram_array`'s transform form, which
+    stays for Column-level composition but evaluates its lambda
+    INTERPRETED per element (measured 2x on the shingle pass,
+    tools/probe_r15 hof mode; the dedup.shingles rationale). NGram
+    NPEs on a NULL token array, so NULL text coalesces to the empty
+    array first — same output as the guarded transform (empty gram
+    array; one NULL-gram row under ``outer``)."""
+    from pyspark.ml.feature import NGram
+
+    t = docs.select(
+        F.col(id_col).alias(id_col),
+        F.coalesce(
+            tokens(text_col), F.array().cast("array<string>")
+        ).alias("__toks"),
+    )
+    t = NGram(n=n, inputCol="__toks", outputCol="__grams").transform(t)
+    g = F.col("__grams")
     if distinct:
         g = F.array_distinct(g)
     ex = F.explode_outer(g) if outer else F.explode(g)
@@ -205,9 +222,18 @@ def with_lexical_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame
 
     The char histogram is computed in array land (distinct chars x
     occurrence filter): O(|alphabet| * len) per document with a bounded
-    alphabet, keeping the whole operator inside one codegen stage."""
-    toks = tokens(text_col)
-    chars = F.split(F.col(text_col), "")
+    alphabet, keeping the whole operator inside one codegen stage. The
+    token/char arrays are BOUND to columns before the lambdas (r15 —
+    HOF lambdas get no CSE, so an inline split(text) reference would
+    re-tokenize once per distinct char)."""
+    base = docs.select(
+        "doc_id",
+        F.col(text_col).alias("_txt"),
+        tokens(text_col).alias("_toks"),
+        F.split(F.col(text_col), "").alias("_chars"),
+    )
+    toks = F.col("_toks")
+    chars = F.col("_chars")
     char_sq = F.aggregate(
         F.transform(
             F.array_distinct(chars),
@@ -216,8 +242,8 @@ def with_lexical_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame
         F.lit(0).cast("long"),
         lambda acc, x: acc + x * x,
     )
-    n_chars = F.length(F.col(text_col))
-    return docs.select(
+    n_chars = F.length(F.col("_txt"))
+    return base.select(
         "doc_id",
         F.size(F.array_distinct(toks)).cast("long").alias("n_token_types"),
         F.size(toks).cast("long").alias("n_tokens"),
