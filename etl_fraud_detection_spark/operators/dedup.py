@@ -81,6 +81,17 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n:
         docs.select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("toks"))
         .where(F.size("toks") >= n)
     )
+    # Spread the explode: a single-file scan would otherwise shingle the
+    # whole corpus in one task (at 100 TB the scan has many splits and
+    # this repartition is a no-op cost-wise relative to the explode).
+    # Repartition BEFORE gram construction: the exchange must carry the
+    # token array, not the built grams — an n-word gram array is ~n× the
+    # token bytes (pre-array_distinct), and Catalyst keeps a Project
+    # where it is written, so transforming first put the gram build
+    # below the shuffle and taxed EVERY shingle consumer's exchange
+    # (the r15 regression: q_dedup_ngram_jaccard 0.98 → 1.99 s).
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    toks = toks.repartition(n_part, F.col("doc_id"))
     # Gram construction via MLlib's NGram (a COMPILED Scala UDF:
     # sliding(n).mkString(" ") — byte-identical grams to the previous
     # array_join(slice) transform, checked by count + md5-prefix
@@ -93,13 +104,8 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n:
     from pyspark.ml.feature import NGram
 
     grams = NGram(n=n, inputCol="toks", outputCol="_grams").transform(toks)
-    # Spread the explode: a single-file scan would otherwise shingle the
-    # whole corpus in one task (at 100 TB the scan has many splits and
-    # this repartition is a no-op cost-wise relative to the explode).
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
-    return (
-        grams.repartition(n_part, F.col("doc_id"))
-        .select("doc_id", F.explode(F.array_distinct("_grams")).alias("shingle"))
+    return grams.select(
+        "doc_id", F.explode(F.array_distinct("_grams")).alias("shingle")
     )
 
 
