@@ -808,11 +808,8 @@ def ivfpq_probe(
     corpus-sized scan, no corpus-sized rank partition.
 
     EAGER: the probed-cell set is collected at call time to build the
-    static partition filter (see _static_cell_filter) — and, for a
-    rotated index at d > 16, so is the bounded query set
-    (_rotate_queries_local, which keeps the probe plan Python-free) —
-    so bounded Spark jobs run even if the returned frame is never
-    evaluated."""
+    static partition filter (see _static_cell_filter), so a bounded
+    Spark job runs even if the returned frame is never evaluated."""
     from .similarity import (
         pq_adc_rank_cells, pq_lut, pq_subrows, residual_query_cells,
     )
@@ -825,10 +822,9 @@ def ivfpq_probe(
     if meta["rotated"]:
         # rotated index (OPQ × IVFADC): the query set is rotated with
         # the STORED rotation — d ≤ 16 as codegen folds over Q rows,
-        # d > 16 driver-side over the bounded collected query set
-        # (_rotate_queries_local: bit-identical to the Arrow path,
-        # keeps the probe plan Python-free) — zero per-candidate cost
-        # either way, then searched exactly like an unrotated index;
+        # d > 16 through ONE Arrow node over the bounded query frame
+        # (_rotate_queries_local) — zero per-candidate cost either
+        # way, then searched exactly like an unrotated index;
         # orthogonality preserves inner products, so centroid ranking
         # and ADC scoring are semantically unchanged
         queries = _rotate_queries_local(
@@ -963,67 +959,36 @@ def _rot_df(spark, rotation: list[list[float]]) -> DataFrame:
     )
 
 
-# One Arrow batch (spark.sql.execution.arrow.maxRecordsPerBatch default
-# 10k): below this, the driver-side matmul is the SAME (Q,d)@(d,d) GEMM
-# call on the same float64 inputs the pandas_udf path would run, so the
-# rotated values are bit-identical between the two paths.
-_DRIVER_ROTATE_CAP = 8192
-
-
 def _rotate_queries_local(
     queries: DataFrame,
     rotation: list[list[float]],
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """Rotate a BOUNDED query set with the stored rotation, keeping the
-    probe plan Python-free at any d (r14 ADVICE: the d>16 pandas_udf
-    path put an ArrowEvalPython node — and a Python-worker round-trip —
-    into every large-d probe plan, contradicting the probe docstrings).
+    """Rotate a BOUNDED query set with the stored rotation.
 
-    d ≤ 16 delegates to rotate_vecs' JVM fold path (already
-    Python-free, zero extra jobs). d > 16 collects the query rows — a
-    bounded-metadata collect, capped at one Arrow batch so the numpy
-    matmul here is bit-identical to the udf path — rotates driver-side
-    and recreates the frame (only id_col/vec_col survive; probes read
-    nothing else). Invalid rows (NULL vector or wrong length) map to
-    NULL, matching rotate_vecs' mask. Above the cap the Arrow path is
-    the right tool and this falls back to it — results identical, plan
-    shape reverts to ArrowEvalPython."""
+    d ≤ 16 delegates to rotate_vecs' JVM fold path (Python-free, zero
+    extra jobs, bit-locked to the oracle). d > 16 uses rotate_vecs'
+    Arrow pandas_udf path — ONE ArrowEvalPython node over the bounded
+    query frame, O(query set) at any scale.
+
+    History: r15 replaced the d>16 path with a driver-side
+    collect + numpy GEMM + createDataFrame to keep probe plans
+    Python-free (r14 ADVICE). Both independent r15 bench records put
+    the two OPQ probe queries ABOVE their r14 medians, and the r16
+    same-boot interleaved A/B confirmed the collect path is the slower
+    one at fixture scale (q_ann_opq_ivf 3.07 s driver-side vs 2.45 s
+    Arrow; q_ann_opq_index 1.98 vs 1.80; medians of 6 interleaved
+    samples — OPTIMIZATION_r16.md §2): the eager collect +
+    local-relation rebuild costs more wall time than the Arrow node it
+    removed, and since the rotation only ever touches the bounded
+    query set, the Python round trip it reintroduces is
+    scale-independent. Measured over plan aesthetics (guide §1.1), so
+    the Arrow path is restored; results are bit-identical either way
+    (same float64 GEMM — pinned by the r15 equality tests)."""
     from .similarity import rotate_vecs
 
-    d = len(rotation)
-    if d <= 16:
-        return rotate_vecs(queries, rotation, vec_col=vec_col)
-    import numpy as np
-
-    src = queries.select(id_col, vec_col)
-    rows = src.limit(_DRIVER_ROTATE_CAP + 1).collect()
-    if len(rows) > _DRIVER_ROTATE_CAP:
-        return rotate_vecs(queries, rotation, vec_col=vec_col)
-    from pyspark.sql import types as T
-
-    out_schema = T.StructType([
-        src.schema.fields[0],
-        T.StructField(vec_col, T.ArrayType(T.DoubleType()), True),
-    ])
-    spark = queries.sparkSession
-    if not rows:
-        return spark.createDataFrame([], out_schema)
-    R = np.asarray(
-        [[float(v) for v in r] for r in rotation], dtype=np.float64
-    )
-    vals = [r[vec_col] for r in rows]
-    ok = [v is not None and len(v) == d for v in vals]
-    out: list = [None] * len(vals)
-    good = [i for i, k in enumerate(ok) if k]
-    if good:
-        Y = np.asarray([vals[i] for i in good], dtype=np.float64) @ R.T
-        for j, i in enumerate(good):
-            out[i] = [float(y) for y in Y[j]]
-    return spark.createDataFrame(
-        [(rows[i][id_col], out[i]) for i in range(len(rows))], out_schema
-    )
+    return rotate_vecs(queries, rotation, vec_col=vec_col)
 
 
 def opq_build(
@@ -1188,13 +1153,12 @@ def opq_probe(
 ) -> DataFrame:
     """OPQ-ADC search against the stored index — READ-ONLY: rotate the
     bounded query set with the STORED rotation (d ≤ 16: codegen folds
-    over Q rows; d > 16: driver-side over the collected bounded set,
-    bit-identical to the Arrow path — _rotate_queries_local — so the
-    probe plan stays Python-free at any d), build the LUT from the
-    stored codebook, score the stored integer code rows, two-level
-    top-k. Queries and codes share one rotation by construction;
-    results identical to similarity.opq_adc_topk given the same
-    rotation and codebooks (pinned in test_ann_index.py).
+    over Q rows; d > 16: one Arrow node over the bounded query frame —
+    _rotate_queries_local), build the LUT from the stored codebook,
+    score the stored integer code rows, two-level top-k. Queries and
+    codes share one rotation by construction; results identical to
+    similarity.opq_adc_topk given the same rotation and codebooks
+    (pinned in test_ann_index.py).
 
     NOTE this is the flat-ADC BASELINE: the score pass scans every
     stored code row per query set. The production composition is
