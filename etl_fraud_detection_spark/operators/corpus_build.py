@@ -240,10 +240,20 @@ def _admission(
     # batch of 10^6 identical pages collapses to one candidate per map
     # task instead of one min-over-window reducer — and `cand` IS the
     # aggregate's output (no second pass); only the dup rows join back
-    # (AQE splits a hot fp join partition). red stays persisted: the
-    # agg and the intra probe both read it, and the tier-1 probe job
-    # below materializes it for every later job.
-    red = red.persist()
+    # (AQE splits a hot fp join partition).
+    # CHECKPOINT red, not persist (r16): red is the composition BASE of
+    # the whole cascade — cand, fresh, the shingle fingerprints, the
+    # bands, both band joins and the fused verify all build on it, and
+    # a persist caches rows but leaves the full extract/gate/redact
+    # LINEAGE in every one of those plans. Composed multiplicatively
+    # (sh 3x per verify, bands 2x per self-join, ...) the admission
+    # frame's tree reached ~380 cached-scan + ~1500 parquet-scan nodes
+    # and Catalyst re-analysis dominated every downstream action
+    # (measured: the `near` checkpoint spent its ~2 s on planning, not
+    # execution). Truncating here costs nothing new — the extraction
+    # job this forces is the same one the tier-1 probe triggered — and
+    # collapses every downstream plan to leaf-sized.
+    red = red.localCheckpoint()
     _PERSISTED_SHINGLES.append(red)
     cand = (
         red.groupBy("fp")
@@ -263,7 +273,16 @@ def _admission(
         .groupBy("doc_id")
         .agg(F.min("sv_id").alias("dup_of"))
     )
-    fresh = cand.join(stored.select("doc_id"), "doc_id", "left_anti")
+    # fresh is the SECOND composition base (r16): the batch every
+    # ingest-side frame (fingerprints, bands, both band joins, the
+    # fused verify) builds on, and its lazy plan drags the survivors
+    # read + the exact-dup cascade into each of those compositions
+    # (~340 cached-scan / ~1370 parquet-scan nodes in the admission
+    # frame with only `red` truncated). One batch-sized checkpoint —
+    # a cached-read + one survivors scan — makes it a leaf.
+    fresh = cand.join(
+        stored.select("doc_id"), "doc_id", "left_anti"
+    ).localCheckpoint()
     # intra_pairs=True derives the batch×batch near-dup pairs from the
     # SAME fingerprints/bands the ledger probe computes — one extra
     # band self-join instead of a second full shingle/signature pass.
@@ -273,18 +292,15 @@ def _admission(
         wh, fresh.select("doc_id", "text"), tau=tau, commit=False,
         intra_pairs=True, normalize=False,
     )
-    # persist (not checkpoint) the pair verify: the emptiness probe
-    # below materializes it into cache, and the pair-bearing branch's
-    # filter + localCheckpoint then READ that cache instead of
-    # re-running the band self-join + jaccard verify — without this
-    # the verify evaluated 3x per pair-bearing batch (probe, filtered
-    # probe, checkpoint; measured +3.4s on q_corpus_admit_intra).
-    # persist alone is safe here because the probe is the ONLY
-    # consumer until the pair branch truncates lineage with its
-    # localCheckpoint (the 538s plan-string hazard needs N consumers
-    # composing the raw plan).
-    ipairs = ipairs.persist()
-    _PERSISTED_SHINGLES.append(ipairs)
+    # ipairs reads ingest's FUSED verify cache (r16): ledger and
+    # in-batch candidates verified in one _jaccard_between pass,
+    # persisted inside ingest and registered for release there. The
+    # tier-2 emptiness probe below therefore materializes BOTH verdict
+    # families in one job — the `near` checkpoint (pair-bearing) or
+    # the lazy verdict union (steady state) then reads that cache
+    # instead of running its own ledger-verify pipeline (the r15
+    # two-pass shape measured ~1.9 s of checkpoint time re-verifying
+    # what the probe had just computed).
 
     def tag(df: DataFrame, status: str, with_dup: bool = False) -> DataFrame:
         dup = F.col("dup_of") if with_dup else F.lit(None).cast("long")
@@ -309,12 +325,20 @@ def _admission(
     # has no same-day twins, so no two docs share a band bucket and
     # the expensive verify never runs at all. Only a colliding batch
     # pays tier 2, the verified-pair probe (a sub-tau false collision
-    # still resolves pair-free there and keeps the steady shape).
+    # still resolves pair-free there and keeps the steady shape) —
+    # and tier 2's job IS the fused ledger+intra verify (r16), so a
+    # pair-bearing batch's `near` checkpoint below reads its cache.
     # Either probe's job materializes the persisted fingerprints/bands
-    # every job after reads from cache, and limit(1) short-circuits as
-    # soon as one row surfaces. This ordering keeps round 7's
-    # ZERO-checkpoint shape for the committing pair-free batch.
-    if icand.limit(1).count() == 0 or ipairs.limit(1).count() == 0:
+    # every job after reads from cache. Tier 1 keeps limit(1) (finding
+    # one collision is enough to demote to tier 2), but tier 2 is a
+    # FULL count on purpose: a limit(1) probe computes only the cache
+    # partitions it needs to surface one row, leaving the rest of the
+    # fused verify to re-run inside the `near` checkpoint and the
+    # filtered-pair checkpoint (measured +3 s per pair-bearing batch);
+    # the unlimited scan materializes the whole verdict cache in this
+    # one job. This ordering keeps round 7's ZERO-checkpoint shape for
+    # the committing pair-free batch.
+    if icand.limit(1).count() == 0 or ipairs.count() == 0:
         # STEADY STATE: no verified in-batch pairs, so no CC and no
         # survivor pick — keep `near` LAZY with a when-split single
         # union branch (round 7's shape; a where-split would execute
@@ -352,20 +376,28 @@ def _admission(
     # Ledger precedence: a doc near-dupping BOTH the corpus and a
     # batchmate reports the corpus partner (it never reaches this
     # stage).
+    # checkpoint FIRST, decide emptiness on the materialized result
+    # (r16): the old probe-then-checkpoint tail ran the filter twice —
+    # once for limit(1).count(), once for the checkpoint (~0.7 s + ~0.6 s
+    # measured); isEmpty over the checkpointed partitions is one
+    # near-free cached scan, so the pair-bearing batch pays one job
+    # here, not two. The all-ends-rejected corner (previously the
+    # probe's fast path) now pays this same single checkpoint — it was
+    # paying the probe anyway.
     ipairs = (
         ipairs.select("a", "b")
         .join(F.broadcast(ok_ids.select(F.col("doc_id").alias("a"))), ["a"],
               "left_semi")
         .join(F.broadcast(ok_ids.select(F.col("doc_id").alias("b"))), ["b"],
               "left_semi")
+        .localCheckpoint()
     )
-    if ipairs.limit(1).count() == 0:
+    if ipairs.isEmpty():
         # every pair had a ledger-rejected end: nothing to cluster
         inbatch = ipairs.sparkSession.createDataFrame(
             [], "doc_id long, dup_of long"
         )
     else:
-        ipairs = ipairs.localCheckpoint()
         sized = fresh.select(
             "doc_id", F.length("text").cast("long").alias("n_chars")
         )

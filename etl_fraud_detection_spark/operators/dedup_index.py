@@ -266,13 +266,17 @@ def ingest(
     verified near-dup pairs WITHIN the batch as a second frame (a, b,
     jaccard; a < b) — derived from the SAME fingerprints, signatures
     and bands the ledger probe already computed, so the admission
-    paths' intra-batch stage costs one extra band self-join + verify
-    instead of a full second shingle/signature pass (measured ~2x the
-    whole stage at sf0.1) — plus the raw band-collision candidates
-    (a, b) as a THIRD frame for tiered emptiness probing. The pair
-    set equals minhash_lsh_pairs over the batch: signatures are
-    per-doc, so restricting the corpus to the batch changes no band
-    key and no jaccard.
+    paths' intra-batch stage costs one extra band self-join instead
+    of a full second shingle/signature pass (measured ~2x the whole
+    stage at sf0.1) — plus the raw band-collision candidates (a, b)
+    as a THIRD frame for tiered emptiness probing. Both candidate
+    families verify in ONE fused _jaccard_between pass (r16): the
+    first action on the admission frame or on ``ipairs`` materializes
+    the shared verdict cache both then read, halving the verify
+    pipelines an admission batch executes. The pair set equals
+    minhash_lsh_pairs over the batch: signatures are per-doc, so
+    restricting the corpus to the batch changes no band key and no
+    jaccard.
 
     IDEMPOTENT on replay: a batch doc whose doc_id is already IN the
     index (foreachBatch redelivery after a crash between index commit
@@ -352,7 +356,41 @@ def ingest(
         .withColumnRenamed("sh_fp", "shingle")
         .persist()
     )
-    rejects = dedup._jaccard_between(sh_union, candidates, tau)
+    verified = icand = None
+    if not commit and intra_pairs:
+        # FUSED verify (r16): the ledger candidates and the in-batch
+        # band collisions verify in ONE _jaccard_between pass over the
+        # shared shingle union — one shingle semi-filter / pair-fanout
+        # / distinct-count pipeline instead of two, and the FIRST
+        # action on either returned pair frame materializes BOTH
+        # verdict families into the same persisted cache (the caller's
+        # tier-2 emptiness probe thereby pre-pays the ledger verify
+        # the admission frame reads). Splitting the fused result by
+        # provenance (semi-join against each source pair frame) is
+        # exact: jaccard depends only on the two shingle sets, so each
+        # pair's value is bit-identical to the two-pass plan's.
+        icand = (
+            batch_bands.select(
+                F.col("doc_id").alias("a"), "band_idx", "band_hash"
+            )
+            .join(
+                batch_bands.select(
+                    F.col("doc_id").alias("b"), "band_idx", "band_hash"
+                ),
+                ["band_idx", "band_hash"],
+            )
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .persist()
+        )
+        verified = dedup._jaccard_between(
+            sh_union, candidates.unionByName(icand), tau
+        ).persist()
+        rejects = verified.join(
+            F.broadcast(candidates), ["a", "b"], "left_semi"
+        )
+    else:
+        rejects = dedup._jaccard_between(sh_union, candidates, tau)
 
     admission = (
         batch.select("doc_id")
@@ -378,24 +416,9 @@ def ingest(
         for frame in (fps, batch_bands, sh_union, candidates):
             dedup._PERSISTED_SHINGLES.append(frame)
         if intra_pairs:
-            icand = (
-                batch_bands.select(
-                    F.col("doc_id").alias("a"), "band_idx", "band_hash"
-                )
-                .join(
-                    batch_bands.select(
-                        F.col("doc_id").alias("b"), "band_idx", "band_hash"
-                    ),
-                    ["band_idx", "band_hash"],
-                )
-                .where(F.col("a") < F.col("b"))
-                .select("a", "b")
-                .persist()
-            )
             dedup._PERSISTED_SHINGLES.append(icand)
-            ipairs = dedup._jaccard_between(
-                fps.withColumnRenamed("sh_fp", "shingle"), icand, tau
-            )
+            dedup._PERSISTED_SHINGLES.append(verified)
+            ipairs = verified.join(F.broadcast(icand), ["a", "b"], "left_semi")
             # icand (the UNVERIFIED band collisions) rides along so the
             # caller can probe pair-emptiness in two tiers: a batch
             # with no band collision at all — the steady-state daily

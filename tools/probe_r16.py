@@ -29,7 +29,10 @@ import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import DataFrame  # noqa: E402
+try:  # Spark 4: the concrete class overrides the unified-API base
+    from pyspark.sql.classic.dataframe import DataFrame
+except ImportError:  # pragma: no cover - Spark 3
+    from pyspark.sql import DataFrame
 
 from etl_fraud_detection_spark.session import get_spark  # noqa: E402
 
@@ -43,11 +46,14 @@ class _trace:
         self.rows: list[tuple[str, str, float]] = []
 
     def _site(self) -> str:
-        for fr in reversed(traceback.extract_stack()[:-3]):
-            fn = fr.filename
-            if "etl_fraud_detection_spark" in fn:
-                return f"{os.path.relpath(fn, REPO)}:{fr.lineno}"
-        return "<caller>"
+        # stack ends [..., caller, timed, _site] — drop the last two
+        frames = traceback.extract_stack()[:-2]
+        sites = [
+            f"{os.path.relpath(fr.filename, REPO)}:{fr.lineno}"
+            for fr in frames
+            if "etl_fraud_detection_spark" in fr.filename
+        ]
+        return " <- ".join(reversed(sites[-3:])) if sites else "<caller>"
 
     def __enter__(self):
         self.saved = {}
